@@ -1,0 +1,96 @@
+"""Sources & sinks (SURVEY.md §2.1, S1–S6).
+
+Scan path design for 100 TB: all scans are declarative
+``spark.read.<fmt>`` calls so Catalyst pushes predicates and prunes
+columns down to the parquet row-group level (verify with
+``df.explain`` → ``PushedFilters`` / ``ReadSchema``).  Sinks write
+parquet — optionally hive-partitioned (S6) so downstream readers get
+partition pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+# All driver-provided tables (TESTDATA.md + FIXTURES.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins:
+# at any scale factor these stay tiny relative to the facts
+# (region=5, nation=25 rows at every sf; supplier/part grow slowly).
+BROADCAST_DIMS = ("region", "nation", "supplier", "part")
+
+
+def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1 — parquet scan of one named table from a scale-factor dir."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Scan several tables at once; defaults to every table."""
+    use = names or TABLES
+    return {n: scan(spark, sf_dir, n) for n in use}
+
+
+def scan_csv(
+    spark: SparkSession, path: str, schema: StructType | str, header: bool = True
+) -> DataFrame:
+    """S2 — schema-explicit CSV read.
+
+    Schema is always explicit: schema inference is a full extra pass
+    over the data — unacceptable at 100 TB.
+    """
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def scan_jsonl(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    """S3 — newline-delimited JSON read (schema-explicit when known)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def scan_text(spark: SparkSession, path: str) -> DataFrame:
+    """S4 — one row per line (the MR ``TextInputFormat`` shape)."""
+    return spark.read.text(path)
+
+
+def sink_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5 — parquet sink."""
+    df.write.mode(mode).parquet(path)
+
+
+def sink_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """S6 — hive-style partitioned parquet sink.
+
+    At 100 TB, partition columns must be low-cardinality (date, region,
+    lang) so files stay >= ~128 MB; high-cardinality partitioning
+    produces a small-file explosion.  Callers pick the columns; we keep
+    the write declarative so AQE sizes the final files.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def sink_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV sink (round-trip support for S2)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def sink_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (round-trip support for S3)."""
+    df.write.mode(mode).json(path)

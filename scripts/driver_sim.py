@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Simulate the driver's verify flow against __spark_entry__.py.
+
+Builds a SparkSession the way the DRIVER would (deliberately NOT via
+projectmapreduce_spark.session — including a hostile non-UTC timezone
+to prove queries self-repair their session conf), then:
+
+1. smoke: entry(spark) at sf0.001 → collect, assert rows > 0
+2. correctness: every queries()[name] at sf0.01 vs oracle_sql()[name]
+   via DuckDB (row-count + schema + order-insensitive value canon)
+
+Usage: python scripts/driver_sim.py [--sf-dir DIR] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+
+import __spark_entry__ as entrymod
+from oracle_utils import _canon_frame  # reuse the strict canonicalizer
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--hostile-tz", default="America/Los_Angeles")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.sql.session.timeZone", args.hostile_tz)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    # --- smoke ---
+    t0 = time.time()
+    out = entrymod.entry(spark)
+    rows = out.collect()
+    print(f"[smoke] entry() -> {len(rows)} rows, schema={out.schema.simpleString()}")
+    print(f"[smoke] first row: {rows[0]}")
+    assert len(rows) > 0
+
+    # --- correctness ---
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    names = args.names or sorted(qs)
+    n_pass = n_fail = n_rows_only = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf_dir)
+            sp = sdf.toPandas()
+            if name not in oracles:
+                n_rows_only += 1
+                print(f"[rows-only] {name}: {len(sp)} rows ({time.time()-t0:.1f}s)")
+                continue
+            du = con.execute(oracles[name]).fetchdf()
+            ok_schema = sorted(sp.columns) == sorted(du.columns)
+            ok_count = len(sp) == len(du)
+            ok_vals = ok_schema and ok_count and _canon_frame(sp) == _canon_frame(du)
+            if ok_vals:
+                n_pass += 1
+                print(f"[PASS] {name}: {len(sp)} rows ({time.time()-t0:.1f}s)")
+            else:
+                n_fail += 1
+                print(
+                    f"[FAIL] {name}: schema_ok={ok_schema} count={len(sp)}vs{len(du)}"
+                )
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            print(f"[ERROR] {name}: {type(e).__name__}: {e}")
+    print(f"\n{n_pass} pass / {n_fail} fail / {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
