@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, measuring wall
+time per query (action = count() over the result, which executes the
+full plan without driver-side materialization cost dominating).
+
+Output: {"metric": "suite_wall_sec", "value": <total>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from projectmapreduce_spark.queries import QUERIES  # noqa: E402
+from projectmapreduce_spark.session import get_spark  # noqa: E402
+
+# Headline set: one representative per category, weighted toward the
+# plans whose scaling behavior matters (star join, window, band join,
+# as-of, similarity, dedup, sessionization).
+HEADLINE = [
+    "flagship_pricing_summary",
+    "j2_broadcast_dims",
+    "j7_band_join",
+    "j8_asof_join",
+    "j10_star_join",
+    "a5_rollup",
+    "a10_pivot",
+    "w1_ranking",
+    "w4_range_frame",
+    "o4_topk_per_group",
+    "t1_tumbling_window",
+    "t3_session_window",
+    "m6_word_count",
+    "m7_inverted_index",
+    "l1_exact_dedup",
+    "l2_minhash_lsh",
+    "l3_cosine_pairs",
+    "l4_topk_nn",
+    "l8_text_quality",
+    "l9_tfidf",
+    "l12_embedding_centroids",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(app_name="pmr-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not first-touch overheads.
+    QUERIES["flagship_pricing_summary"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "n_declared_queries": len(QUERIES),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -34,7 +34,21 @@ BROADCAST_DIMS = ("region", "nation", "supplier", "part")
 
 
 def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """S1 — parquet scan of one named table from a scale-factor dir."""
+    """S1 — parquet scan of one named table from a scale-factor dir.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; it is read via the nanos-as-long legacy path and
+    converted to a microsecond TimestampType with exact integer
+    arithmetic (the fixture values carry no sub-µs digits, FIXTURES.md).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,292 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.11).
+
+Four tiers, all pure DataFrame code (no Python in the hot path):
+
+- ``exact_dedup``          — sha256 content hash, keep-first.
+- ``ngram_jaccard_join``   — EXACT set-overlap similarity via a token
+                             inverted-index join (the verifier).
+- ``minhash_lsh_candidates`` / ``near_dup_minhash`` — MinHash + banded
+                             LSH candidate generation, then exact
+                             Jaccard verification of candidates only.
+- ``simhash``              — 64-bit SimHash + banded Hamming blocking.
+
+Determinism: every hash is ``crc32`` (engine-stable) combined with
+fixed affine coefficients from a seeded RNG — re-runs produce identical
+signatures (SURVEY.md §7 hard-part (f): no ``pyspark.ml`` random hash
+families).
+
+Scale design (the whole point of LSH): the naive all-pairs Jaccard is
+O(n²) — at 100 TB it's unrunnable.  MinHash-LSH is O(n · H) to sign,
+O(n · B) to bucket, and the only join is an equi-join on (band,
+band_key) whose output is the candidate set.  With b bands of r rows,
+P(candidate) ≈ 1 − (1 − j^r)^b — tune (b, r) to the target threshold.
+Hot buckets (boilerplate docs) are the skew risk: AQE skew-join
+handles moderate cases; for pathological ones cap bucket size before
+the pair-explode (``max_bucket`` parameter).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_MERSENNE = (1 << 31) - 1  # fits: a*x < 2^62 in long arithmetic
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """L1: drop byte-identical contents, keeping the lowest id.
+
+    One hash-partition shuffle on the 256-bit digest; survivor choice
+    is deterministic (min id), unlike ``dropDuplicates``.
+    """
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__h", F.sha2(F.col(content_col), 256))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumnRenamed("__h", "content_hash")
+    )
+
+
+def tokens_of(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataFrame:
+    """(id, token) pairs — n-gram shingles of the whitespace tokens.
+
+    n=1 → unigrams; n≥2 builds positional shingles JVM-side with
+    higher-order array functions (no Python).
+    """
+    arr = F.split(F.col(text_col), r"\s+")
+    if n > 1:
+        arr = F.transform(
+            F.sequence(F.lit(0), F.size(arr) - n),
+            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
+        )
+    return df.select(F.col(id_col).alias("id"), F.explode(arr).alias("token")).distinct()
+
+
+def ngram_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 1,
+) -> DataFrame:
+    """Exact Jaccard similarity join via the inverted-index pattern.
+
+    |A∩B| comes from self-joining the (id, token) relation on token —
+    an equi-join, so only ids sharing a token are ever compared
+    (blocking for free); |A∪B| = |A|+|B|−|A∩B|.  Output: (id_a, id_b,
+    jaccard) with id_a < id_b and jaccard ≥ threshold.
+
+    This is the exact verifier; at corpus scale the candidate set must
+    come from LSH first (``near_dup_minhash``) because hot tokens make
+    the token self-join quadratic in the worst case.
+    """
+    tok = tokens_of(df, id_col, text_col, n)
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = tok.select(F.col("id").alias("id_a"), "token")
+    b = tok.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        a.join(b, on="token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+
+
+def minhash_signatures(
+    tok: DataFrame, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """(id, j, minhash) — min over tokens of (a_j·crc32(token)+b_j) mod M.
+
+    The (token → 64 hash slots) expansion is a broadcast cross join
+    with a 64-row literal frame, then one partial-aggregating groupBy —
+    shuffle volume is n_docs × num_hashes, independent of corpus size.
+    """
+    spark = tok.sparkSession
+    params = spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(_hash_params(num_hashes, seed))],
+        "j int, a long, b long",
+    )
+    hv = (F.col("a") * (F.crc32("token") % F.lit(_MERSENNE)) + F.col("b")) % F.lit(_MERSENNE)
+    return (
+        tok.crossJoin(F.broadcast(params))
+        .select("id", "j", hv.alias("hv"))
+        .groupBy("id", "j")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 1,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    rows-per-band r = num_hashes/bands; a pair collides if any band's r
+    minhashes all agree.  Band key = sha256 of the band's minhash
+    vector; candidates come from an equi-self-join on (band, key).
+    ``max_bucket`` drops degenerate buckets (boilerplate explosion
+    guard) — dropped buckets are all-identical docs that exact-dedup
+    (L1) already removes upstream in a real pipeline.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(tokens_of(df, id_col, text_col, shingle_n), num_hashes, seed)
+    band_key = (
+        sig.withColumn("band", F.col("j") % bands)
+        .groupBy("id", "band")
+        .agg(
+            F.sha2(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("j"), F.col("minhash")))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                ),
+                256,
+            ).alias("bkey")
+        )
+    )
+    sized = band_key.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    left = sized.select("band", "bkey", F.col("id").alias("id_a"))
+    right = sized.select("band", "bkey", F.col("id").alias("id_b"))
+    return (
+        left.join(right, on=["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def near_dup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """L2 end-to-end: LSH candidates → exact-Jaccard verify → pairs ≥
+    threshold.  Only candidate pairs pay the exact-verify cost."""
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed
+    )
+    tok = tokens_of(df, id_col, text_col, shingle_n)
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = tok.select(F.col("id").alias("id_a"), "token")
+    tb = tok.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        cands.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: each token votes its crc32 bit
+    pattern ±1 per bit; the signature sign-aggregates the votes.
+    Pure relational: explode → (id, bit) vote aggregate → bit OR-fold.
+
+    Output: (id, simhash: long).  Near-dup candidates come from banding
+    the signature into 4×16-bit chunks (``simhash_candidates``).
+    """
+    tok = tokens_of(df, id_col, text_col, 1)
+    # crc32 is 32-bit; derive a 64-bit pattern from two crc32s (token,
+    # token reversed) to fill all bit positions.
+    h64 = (F.crc32("token").bitwiseOR(F.shiftleft(F.crc32(F.reverse("token")), 32))).cast(
+        "long"
+    )
+    votes_per_token = tok.withColumn("h64", h64).select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("bit"),
+                    F.when(F.expr(f"(h64 >> {i}) & 1") == 1, 1).otherwise(-1).alias("v"),
+                )
+                for i in range(bits)
+            ])
+        ).alias("bv"),
+    ).select("id", F.col("bv.bit").alias("bit"), F.col("bv.v").alias("v"))
+    sig_bits = (
+        votes_per_token.groupBy("id", "bit")
+        .agg(F.sum("v").alias("votes"))
+        .select(
+            "id",
+            F.when(F.col("votes") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bitval"),
+        )
+    )
+    return sig_bits.groupBy("id").agg(F.sum("bitval").alias("simhash"))
+
+
+def simhash_candidates(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into 4
+    16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal),
+    equi-join on (chunk_idx, chunk), verify Hamming on candidates."""
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    F.shiftright(F.col("simhash"), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("chunk"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.ci").alias("ci"), F.col("c.chunk").alias("chunk"))
+    a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "ci", "chunk")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "ci", "chunk")
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, on=["ci", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

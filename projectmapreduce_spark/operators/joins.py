@@ -1,0 +1,148 @@
+"""Composite join operators Spark lacks natively (SURVEY.md §2.3 J7–J9).
+
+These are the three recipes §4 calls out as NOT Catalyst built-ins:
+
+- ``band_join``      — theta join on a bounded numeric/time band,
+                       bucketed so it never degenerates into a
+                       cartesian product (1-Bucket-Theta family,
+                       "Processing theta-joins using MapReduce",
+                       SIGMOD 2011 — public pattern).
+- ``asof_join``      — each left row matched to the latest right row
+                       with ``right.ts <= left.ts`` per key, via the
+                       union + last(ignorenulls) window trick (exact,
+                       no cross join).
+- ``interval_overlap_join`` — [start,end) overlap predicate with an
+                       equi-key prefilter.
+
+Scale notes are in each docstring; every recipe is pure DataFrame code
+so AQE still handles skew/coalescing on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    band: float,
+    extra_pred: Column | None = None,
+) -> DataFrame:
+    """Join rows where ``abs(left[left_on] - right[right_on]) <= band``.
+
+    Naive formulation is a cartesian product (Spark would plan
+    BroadcastNestedLoopJoin — O(n·m) comparisons).  Instead both sides
+    are bucketed into width-``band`` buckets; each left row is exploded
+    into its own bucket ±1, the join becomes an **equi-join on
+    bucket id** (hash-partitioned, AQE-managed), and the exact band
+    predicate runs as a residual filter.  Each pair is produced exactly
+    once because a right row within ``band`` of a left row is always in
+    one of the three exploded buckets — and only one.
+
+    At 100 TB: cost is O(n + m + output) shuffle instead of O(n·m)
+    compare; bucket width = band keeps the per-bucket blow-up ≤ 3×.
+    Columns of both inputs are preserved; name collisions must be
+    resolved by the caller (alias/prefix) beforehand.
+    """
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                (F.floor(F.col(left_on) / F.lit(band)) - 1).cast("long"),
+                F.floor(F.col(left_on) / F.lit(band)).cast("long"),
+                (F.floor(F.col(left_on) / F.lit(band)) + 1).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn("__bucket", F.floor(F.col(right_on) / F.lit(band)).cast("long"))
+    pred = F.abs(F.col(left_on) - F.col(right_on)) <= F.lit(band)
+    if extra_pred is not None:
+        pred = pred & extra_pred
+    return lb.join(rb, on="__bucket", how="inner").filter(pred).drop("__bucket")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: dict[str, str],
+    left_ts_alias: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the
+    greatest ``right[ts] <= left[ts]`` within the same ``on`` key.
+
+    Spark has no native ASOF JOIN; the exact, shuffle-minimal
+    formulation is: tag both sides, union them, and run one window
+    ``last(col, ignorenulls=True)`` per carried right column ordered by
+    ``(ts, side)`` within the key — right rows sort before left rows at
+    equal timestamps, so a right row at exactly ``left.ts`` matches.
+    One shuffle (the window partitioning), no join blow-up, no range
+    bucketing parameter to tune.
+
+    Ties inside ``right`` at the same (key, ts) must be pre-deduped by
+    the caller (e.g. ``max_by``) for deterministic output.
+
+    ``right_cols`` maps right column name → output alias.  Left columns
+    pass through unchanged (plus optionally ``left_ts_alias``).
+
+    At 100 TB this is a single hash-partition on the key + in-partition
+    sort — the same cost profile as any window; AQE splits skewed keys.
+    """
+    from pyspark.sql.window import Window
+
+    lt = left.select(
+        F.lit(1).alias("__side"),
+        F.col(on).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.struct(*left.columns).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    rt = right.select(
+        F.lit(0).alias("__side"),
+        F.col(on).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = lt.unionByName(rt).select(
+        "__side",
+        "__lrow",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in right_cols
+        ],
+    )
+    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"__m_{c}").alias(alias) for c, alias in right_cols.items()]
+    return matched.filter(F.col("__side") == 1).select(*out_cols)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+) -> DataFrame:
+    """Overlap join: pairs within the same ``key`` whose half-open
+    intervals intersect (``l_start < r_end AND r_start < l_end``).
+
+    The equi-key join bounds the comparison set to per-key groups (the
+    common case for per-entity intervals); the overlap predicate runs
+    as a residual filter.  For keyless interval joins at scale, compose
+    with ``band_join`` on interval start instead.
+    """
+    pred = (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+    return left.join(right, on=key, how="inner").filter(pred)

@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11 L3/L4).
+
+All vector math is JVM-side higher-order array functions (zip_with +
+aggregate) in double precision — no Python, no UDF, whole-stage
+codegen.  Two tiers:
+
+- ``cosine_pairs`` / ``brute_force_topk`` — exact, O(Q·N); correct at
+  any recall but only affordable when one side is small (it is
+  broadcast).  This is the baseline and the oracle-checkable form.
+- ``lsh_ann_topk`` — random-hyperplane LSH bucketing: sign-bit
+  signature per vector, candidates = same bucket (plus optional
+  1-bit-flip probes), exact re-rank inside the bucket.  O(N) signing +
+  equi-join — the 100 TB path.  Planes are derived deterministically
+  from a seed via crc32, so signatures are reproducible across runs
+  and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Sequential-order double dot product (bit-stable across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All (blocked) pairs with cosine ≥ threshold.
+
+    ``block_col`` (e.g. a label, an LSH bucket, a shard key) turns the
+    cross join into an equi-join — mandatory at scale; None is the
+    small-N exact mode.
+    """
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        as_double(F.col(vec_col)).alias("va"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        as_double(F.col(vec_col)).alias("vb"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    j = a.join(b, on="blk") if block_col else a.crossJoin(b)
+    return (
+        j.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    The query side is broadcast (queries are few by construction), so
+    the big side streams once with no shuffle; the per-query rank is a
+    window on q_id — shuffle bounded by Q·N candidate rows.  Output:
+    (q_id, neighbor_id, cos_sim, nn_rank).
+    """
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), as_double(F.col(q_vec_col)).alias("qv")
+    )
+    n = emb.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv"))
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.select(
+        "q_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("nn_rank")
+    ).filter(F.col("nn_rank") <= k)
+
+
+def _planes_expr(dim: int, n_planes: int, seed: int) -> Column:
+    """Deterministic pseudo-random hyperplanes as a literal
+    array<array<double>> — coefficient (p, d) = crc32(f"{seed}:{p}:{d}")
+    mapped to [−1, 1).  Engine-stable, no RNG state."""
+    return F.array(*[
+        F.array(*[
+            (F.crc32(F.lit(f"{seed}:{p}:{d}")) % 100_000) / 50_000.0 - 1.0
+            for d in range(dim)
+        ])
+        for p in range(n_planes)
+    ])
+
+
+def lsh_bucket(vec_col, dim: int, n_planes: int = 12, seed: int = 7) -> Column:
+    """Random-hyperplane signature: bit p = sign(v · plane_p)."""
+    v = as_double(vec_col)
+    planes = _planes_expr(dim, n_planes, seed)
+    bits = F.transform(planes, lambda pl: F.when(dot(v, pl) > 0, F.lit(1)).otherwise(F.lit(0)))
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, bit: acc * 2 + bit
+    ).alias("bucket")
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+    k: int,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: bucket both sides by hyperplane signature,
+    equi-join on bucket, exact cosine re-rank inside the bucket.
+
+    Recall < 1 by design (measured in tests/test_operators.py against
+    ``brute_force_topk``); raise recall with fewer planes (bigger
+    buckets) or multiprobe.  At 100 TB the bucket join replaces the
+    O(Q·N) scan with O(Q·N/2^planes) expected comparisons.
+    """
+    n = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("nv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        as_double(F.col(q_vec_col)).alias("qv"),
+        lsh_bucket(F.col(q_vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    scored = (
+        n.join(F.broadcast(q), on="bucket")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.select(
+        "q_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("nn_rank")
+    ).filter(F.col("nn_rank") <= k)
+
+
+def centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Per-label mean vector via posexplode → (label, pos) partial-agg —
+    shuffle is labels × dim rows, never the vectors themselves.
+    Output: (label, pos, centroid_val)."""
+    exploded = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(as_double(F.col(vec_col))).alias("pos", "val"),
+    )
+    return exploded.groupBy("label", "pos").agg(F.avg("val").alias("centroid_val"))

@@ -1,0 +1,186 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.11
+L5–L10 + the training-data extras: language-ID, quality scoring, token
+counting, fingerprinting).
+
+Everything is built from JVM-side expressions; the only state is small
+broadcast lexicons.  Each public function returns a DataFrame (or a
+Column) composable with the rest of the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the heuristic language ID.
+# Public-knowledge stopword shortlists; the operator is the Spark-side
+# scoring machinery — swap in real profiles (fastText, CLD3) via the
+# same broadcast-join shape.
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "fr": ["le", "la", "de", "et", "est"],
+    "es": ["el", "la", "de", "y", "es"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+_STOPWORDS = ("a", "the", "of", "and", "is")
+
+
+def normalize_text(col) -> Column:
+    """L5: lowercase, strip non-word punctuation, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^\w\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def tokenize(col) -> Column:
+    """L6: whitespace tokenization → array<string>."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Token-count estimate with a BPE-ish regex: splits words, digit
+    runs, and punctuation marks separately (the common ~GPT-style
+    pre-tokenizer shape), counted JVM-side."""
+    pieces = F.regexp_extract_all(col, F.lit(r"(\w+|[^\w\s])"), 1)
+    return F.size(pieces)
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """L8: per-doc quality heuristics — lengths, token stats, stopword
+    ratio, alpha ratio — all single-pass map-side expressions."""
+    toks = tokenize(F.col(text_col))
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n_tok).alias(
+            "mean_token_len"
+        ),
+        (n_stop / n_tok).alias("stopword_ratio"),
+        (n_alpha / F.length(text_col)).alias("alpha_ratio"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    min_tokens: int = 10,
+    max_mean_token_len: float = 12.0,
+    min_stopword_ratio: float = 0.0,
+) -> DataFrame:
+    """Keep docs passing the C4-style cheap quality gates."""
+    toks = tokenize(F.col(text_col))
+    n_tok = F.size(toks)
+    mean_len = F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n_tok
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_tok
+    return df.filter(
+        (n_tok >= min_tokens)
+        & (mean_len <= max_mean_token_len)
+        & (stop_ratio >= min_stopword_ratio)
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: score = matches against each language's
+    marker lexicon via explode ⋈ broadcast lexicon, argmax per doc.
+    Output: (id, lang_pred, lang_score).  Ties break lexicographically
+    (deterministic)."""
+    spark = df.sparkSession
+    lex = spark.createDataFrame(
+        [(lang, w) for lang, ws in _LANG_MARKERS.items() for w in ws],
+        "cand_lang string, marker string",
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    scores = (
+        toks.join(F.broadcast(lex), toks.token == lex.marker)
+        .groupBy("id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("hits").desc(), F.col("cand_lang").asc())
+    return (
+        scores.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", F.col("cand_lang").alias("lang_pred"), F.col("hits").alias("lang_score"))
+    )
+
+
+def doc_fingerprint(col) -> Column:
+    """Stable 64-bit-hex content fingerprint: first 16 hex chars of
+    sha256 of the normalized text.  Engine-portable (DuckDB:
+    ``substring(sha256(...), 1, 16)``)."""
+    return F.substring(F.sha2(normalize_text(col), 256), 1, 16)
+
+
+def rolling_shingle_fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """Winnowing-style fingerprint: minimum crc32 over n-gram shingles
+    (the document's 'rarest window').  Near-dup docs share it with high
+    probability; used as a cheap blocking key.  Output: (id, fp)."""
+    arr = tokenize(F.col(text_col))
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(arr) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
+    )
+    fp = F.array_min(F.transform(shingles, lambda s: F.crc32(s)))
+    return df.select(F.col(id_col).alias("id"), fp.alias("fp"))
+
+
+def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """L9: relational TF-IDF — tf from per-doc token counts, idf =
+    ln(N/df) via a broadcast of the (vocab-sized) document-frequency
+    table.  Output: (id, token, tf, df_docs, tfidf)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "token",
+            "tf",
+            "df_docs",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs"))).alias("tfidf"),
+        )
+    )
+
+
+def lexicon_score(
+    df: DataFrame, id_col: str, text_col: str, lexicon: dict[str, int]
+) -> DataFrame:
+    """L10: per-doc lexicon scoring (sentiment-style, EDBT'16 pattern):
+    explode tokens ⋈ broadcast lexicon → per-doc weight sum.  Docs with
+    no lexicon hit score 0 (left join semantics)."""
+    spark = df.sparkSession
+    lex = spark.createDataFrame(list(lexicon.items()), "word string, weight int")
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    hits = (
+        toks.join(F.broadcast(lex), toks.token == lex.word)
+        .groupBy("id")
+        .agg(F.sum("weight").alias("score"), F.count(F.lit(1)).alias("n_hits"))
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("score", F.lit(0)).alias("score"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+    )

@@ -1,1 +1,258 @@
-"""Declared queries — placeholder, populated in this round."""
+"""Aggregation queries (SURVEY.md §2.4, A1–A10).
+
+Every groupBy here compiles to Spark's partial+final hash aggregate —
+the map-side combiner MR programmers hand-write is automatic, so the
+shuffle carries only per-partition partial states (cardinality of the
+group keys, not the input).  That property is exactly what makes these
+plans 100 TB-safe: shuffle volume is O(groups), not O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projectmapreduce_spark.functions import dround
+from projectmapreduce_spark.io import scan
+from projectmapreduce_spark.queries.registry import query
+
+
+@query(
+    "a1_groupby_agg",
+    oracle="""
+SELECT l_returnflag,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    survey="A1",
+    category="aggregate",
+)
+def a1_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/count/avg/min/max per key — the canonical reduce+combiner."""
+    return (
+        scan(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dround(F.avg("l_quantity"), 2).alias("avg_qty"),
+            dround(F.min("l_extendedprice"), 2).alias("min_price"),
+            dround(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "a2_global_agg",
+    oracle="""
+SELECT count(*)                     AS n_orders,
+       count(DISTINCT o_custkey)    AS n_customers,
+       round(sum(o_totalprice), 2)  AS total,
+       round(avg(o_totalprice), 2)  AS avg_price,
+       round(min(o_totalprice), 2)  AS min_price,
+       round(max(o_totalprice), 2)  AS max_price
+FROM orders
+""",
+    survey="A2,A3",
+    category="aggregate",
+)
+def a2_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless global aggregate — single-row output."""
+    return scan(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        dround(F.sum("o_totalprice"), 2).alias("total"),
+        dround(F.avg("o_totalprice"), 2).alias("avg_price"),
+        dround(F.min("o_totalprice"), 2).alias("min_price"),
+        dround(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "a3_count_distinct",
+    oracle="""
+SELECT c_mktsegment,
+       count(DISTINCT c_nationkey) AS n_nations,
+       count(*)                    AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+""",
+    survey="A3",
+    category="aggregate",
+)
+def a3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct per group (expand+two-phase agg under the hood)."""
+    return (
+        scan(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query("a4_approx_count_distinct", oracle=None, survey="A4", category="aggregate")
+def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch distinct (rows-only: sketch estimates are
+    engine-specific).  At 100 TB this replaces A3's expand+shuffle with
+    a constant-size mergeable sketch per partition — the only way a
+    distinct over billions of keys stays in memory.  Accuracy vs the
+    exact count is asserted in tests/test_operators.py."""
+    return (
+        scan(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"))
+    )
+
+
+@query(
+    "a5_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    survey="A5",
+    category="aggregate",
+)
+def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical multi-level aggregate — one pass, no multi-job chain."""
+    return (
+        scan(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "a5b_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    survey="A5",
+    category="aggregate",
+)
+def a5b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two dimensions."""
+    return (
+        scan(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "a6_having",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 15 AND sum(o_totalprice) > 1500000.0
+""",
+    survey="A6",
+    category="aggregate",
+)
+def a6_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    return (
+        scan(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("__spend_raw"),
+        )
+        .filter((F.col("n_orders") >= 15) & (F.col("__spend_raw") > 1500000.0))
+        .select("o_custkey", "n_orders", dround("__spend_raw", 2).alias("spend"))
+    )
+
+
+@query(
+    "a8_collect_sorted",
+    oracle="""
+SELECT o_orderpriority,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+    survey="A8",
+    category="aggregate",
+)
+def a8_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group set materialization, sorted for determinism and
+    serialized to a string so the value-hash is representation-stable."""
+    return (
+        scan(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "a9_percentile",
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    survey="A9",
+    category="aggregate",
+)
+def a9_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group.  (The sketch-based
+    scale path is `approx_percentile` — see tests/test_operators.py —
+    exact percentile requires a per-group sort and is the small-group
+    tool; at 100 TB use the KLL/GK sketch variant.)"""
+    return (
+        scan(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            dround(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+            dround(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+        )
+    )
+
+
+@query(
+    "a10_pivot",
+    oracle="""
+SELECT date_trunc('day', ts) AS day,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'error')    AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'view')     AS view
+FROM events
+GROUP BY date_trunc('day', ts)
+""",
+    survey="A10",
+    category="aggregate",
+)
+def a10_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into columns (explicit value list: an
+    unconstrained pivot needs an extra distinct pass — never at scale)."""
+    return (
+        scan(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )

@@ -1,1 +1,211 @@
-"""Declared queries — placeholder, populated in this round."""
+"""Streaming-shaped operators in batch form (SURVEY.md §2.9, T1–T6).
+
+Each query here is the batch-equivalent of a Structured Streaming
+operator — semantically identical to the `readStream` form (the
+streaming wrappers live in ``projectmapreduce_spark.streaming`` and
+share this code), but DuckDB-checkable.  Time arithmetic is exact
+integer microseconds throughout (FIXTURES.md: ts is µs-precision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from projectmapreduce_spark.functions import dround
+from projectmapreduce_spark.io import scan
+from projectmapreduce_spark.queries.registry import query
+
+
+@query(
+    "t1_tumbling_window",
+    oracle="""
+SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start,
+       event_type,
+       count(*)                          AS n_events,
+       round(sum(value), 2)              AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    survey="T1",
+    category="events",
+)
+def t1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate via ``F.window`` — identical
+    code runs under Structured Streaming with a watermark; shuffle is
+    on (window, type), cardinality-bounded."""
+    ev = scan(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "t2_sliding_window",
+    oracle="""
+SELECT time_bucket(INTERVAL '15 minutes', ts::TIMESTAMP)
+         - k.k * INTERVAL '15 minutes' AS window_start,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+CROSS JOIN (SELECT unnest(range(4)) AS k) k
+GROUP BY 1
+""",
+    survey="T2",
+    category="events",
+)
+def t2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 15 min slide): each event lands in 4
+    overlapping windows — Spark's ``window`` explodes them natively."""
+    ev = scan(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "t3_session_window",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(ts)              AS session_start,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    survey="T3",
+    category="events",
+)
+def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window (30 min gap) per user via ``F.session_window`` —
+    the oracle reproduces the exact merge rule with the islands
+    technique (new session when gap >= 30 min)."""
+    ev = scan(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "t4_watermark_filter",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS max_ts FROM events)
+SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start,
+       count(*)                          AS n_events
+FROM events, mx
+WHERE epoch_us(ts) >= epoch_us(mx.max_ts) - 259200000000
+GROUP BY 1
+""",
+    survey="T4",
+    category="events",
+)
+def t4_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics in batch: drop rows older than
+    max(ts) − 3 days, then window-aggregate — what
+    ``withWatermark('ts', '3 days')`` enforces incrementally."""
+    ev = scan(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.unix_micros("ts") >= F.unix_micros("max_ts") - 259_200_000_000)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "t5_stateful_dedup",
+    oracle="""
+SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    survey="T5",
+    category="events",
+)
+def t5_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, type) — the deterministic form of
+    streaming ``dropDuplicates`` state (keep-first by event time)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        scan(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "t6_stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment,
+       e.event_type,
+       count(*)               AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+    survey="T6",
+    category="events",
+)
+def t6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (events ⋈ customer dim) — under
+    streaming the static side is broadcast per micro-batch."""
+    ev = scan(spark, sf_dir, "events")
+    c = scan(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -1,1 +1,283 @@
-"""Declared queries — placeholder, populated in this round."""
+"""Scalar-function family queries (SURVEY.md §2.8, F1–F8).
+
+One declared query per family proves the oracle contract; the engine
+exposes the whole of ``pyspark.sql.functions`` — all JVM-side,
+whole-stage-codegen'd expressions (no Python in any of these paths).
+
+Cross-engine gotchas handled here (documented because they bite at any
+scale): DuckDB ``CAST(double AS INT)`` rounds while Spark truncates
+(use explicit trunc); libm functions (sqrt/log/exp/pow) can differ in
+the last ulp (round to 6 decimals); Spark ``pmod`` has no DuckDB
+twin (emulate with ``((a % b) + b) % b``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from projectmapreduce_spark.functions import dround
+from projectmapreduce_spark.io import scan
+from projectmapreduce_spark.queries.registry import query
+
+
+@query(
+    "f1_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       lower(p_name)                                   AS name_lower,
+       upper(p_brand)                                  AS brand_upper,
+       length(p_name)                                  AS name_len,
+       substring(p_name, 1, 5)                         AS name_head,
+       concat(p_brand, ':', p_type)                    AS brand_type,
+       trim(concat(' ', p_type, ' '))                  AS type_trim,
+       regexp_extract(p_type, '([A-Z]+)$', 1)          AS type_last_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g')          AS name_devoweled,
+       lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded,
+       instr(p_type, 'BRASS')                          AS brass_pos,
+       len(string_split(p_name, ' '))                  AS n_words
+FROM part
+""",
+    survey="F1",
+    category="functions",
+)
+def f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, length, substring, concat, trim, regex
+    extract/replace, pad, find, split."""
+    p = scan(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit(" "), F.col("p_type"), F.lit(" "))).alias("type_trim"),
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.instr("p_type", "BRASS").alias("brass_pos"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+    )
+
+
+@query(
+    "f2_datetime_funcs",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate)                                  AS order_year,
+       month(o_orderdate)                                 AS order_month,
+       dayofmonth(o_orderdate)                            AS order_day,
+       date_trunc('month', o_orderdate)                   AS month_start,
+       datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+       (CAST(o_orderdate AS DATE) + 30)::TIMESTAMP       AS due_date,
+       CAST(epoch(o_orderdate) AS BIGINT)                 AS unix_secs,
+       date_trunc('day', o_orderdate)                     AS order_date_only
+FROM orders
+""",
+    survey="F2",
+    category="functions",
+)
+def f2_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extraction, truncation, arithmetic, epoch."""
+    o = scan(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_epoch_start"
+        ),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("due_date"),
+        F.unix_timestamp("o_orderdate").alias("unix_secs"),
+        F.date_trunc("day", "o_orderdate").alias("order_date_only"),
+    )
+
+
+@query(
+    "f3_math_funcs",
+    oracle="""
+SELECT s_suppkey,
+       abs(s_acctbal)                        AS abs_bal,
+       ceil(s_acctbal)                       AS ceil_bal,
+       floor(s_acctbal)                      AS floor_bal,
+       round(sqrt(abs(s_acctbal)), 6)        AS sqrt_bal,
+       round(pow(s_acctbal / 1000.0, 2), 6)  AS pow_bal,
+       round(ln(abs(s_acctbal) + 1.0), 6)    AS log_bal,
+       round(exp(s_acctbal / 10000.0), 6)    AS exp_bal,
+       ((s_suppkey % 7) + 7) % 7             AS pmod7,
+       sign(s_acctbal)                       AS bal_sign
+FROM supplier
+""",
+    survey="F3",
+    category="functions",
+)
+def f3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (libm outputs rounded to 6 dp for ulp stability)."""
+    s = scan(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.abs("s_acctbal").alias("abs_bal"),
+        F.ceil("s_acctbal").alias("ceil_bal"),
+        F.floor("s_acctbal").alias("floor_bal"),
+        dround(F.sqrt(F.abs(F.col("s_acctbal"))), 6).alias("sqrt_bal"),
+        dround(F.pow(F.col("s_acctbal") / 1000.0, 2), 6).alias("pow_bal"),
+        dround(F.log(F.abs(F.col("s_acctbal")) + 1.0), 6).alias("log_bal"),
+        dround(F.exp(F.col("s_acctbal") / 10000.0), 6).alias("exp_bal"),
+        F.pmod("s_suppkey", F.lit(7)).alias("pmod7"),
+        F.signum("s_acctbal").cast("double").alias("bal_sign"),
+    )
+
+
+@query(
+    "f4_conditional_funcs",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'rich' END                     AS bal_tier,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+       greatest(c_acctbal, 0.0)                 AS bal_floor0,
+       least(c_nationkey, 10)                   AS nat_capped
+FROM customer
+""",
+    survey="F4",
+    category="functions",
+)
+def f4_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE WHEN, coalesce, nullif, greatest, least."""
+    c = scan(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("bal_tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor0"),
+        F.least("c_nationkey", F.lit(10)).alias("nat_capped"),
+    )
+
+
+@query(
+    "f5_array_funcs",
+    oracle="""
+SELECT vec_id,
+       len(embedding)                                                  AS dim,
+       round(embedding[1]::DOUBLE, 6)                                  AS first_val,
+       round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 6)   AS vec_sum,
+       len(list_filter(embedding, x -> x > 0))                         AS n_positive,
+       round(list_sort(list_transform(embedding, x -> x::DOUBLE))[64], 6) AS max_val,
+       len(list_filter(embedding, x -> x > 0.3)) > 0                   AS has_big
+FROM embeddings
+""",
+    survey="F5",
+    category="functions",
+)
+def f5_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order transform/filter/aggregate over
+    the 64-dim embedding column — the JVM-side vector toolkit that
+    keeps L3/L4 similarity math out of Python."""
+    e = scan(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        dround(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        dround(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("vec_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        dround(F.element_at(F.sort_array(as_double), 64), 6).alias("max_val"),
+        (F.size(F.filter("embedding", lambda x: x > 0.3)) > 0).alias("has_big"),
+    )
+
+
+@query(
+    "f6_map_funcs",
+    oracle="""
+SELECT event_id,
+       CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 1
+                       WHEN 'signup' THEN 5 WHEN 'purchase' THEN 10
+                       WHEN 'error' THEN 0 END AS type_weight,
+       5 AS n_weights
+FROM events
+""",
+    survey="F6",
+    category="functions",
+)
+def f6_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: literal map construction, lookup, keys — the lookup
+    is a broadcast-free dimension join for tiny static mappings."""
+    weights = F.create_map(
+        F.lit("click"), F.lit(1),
+        F.lit("view"), F.lit(1),
+        F.lit("signup"), F.lit(5),
+        F.lit("purchase"), F.lit(10),
+        F.lit("error"), F.lit(0),
+    )
+    return scan(spark, sf_dir, "events").select(
+        "event_id",
+        F.element_at(weights, F.col("event_type")).alias("type_weight"),
+        F.size(F.map_keys(weights)).alias("n_weights"),
+    )
+
+
+@query(
+    "f7_json_funcs",
+    oracle="""
+SELECT event_id,
+       json_extract(props, '$.k')::INT        AS k_value,
+       concat('{"k":', json_extract(props, '$.k'), '}') AS rebuilt_json
+FROM events
+WHERE json_extract(props, '$.k')::INT >= 50
+""",
+    survey="F7",
+    category="functions",
+)
+def f7_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: path extraction, schema-full parse, re-serialize
+    (`events.props` is the JSON-string column, FIXTURES.md)."""
+    ev = scan(spark, sf_dir, "events")
+    parsed = F.from_json("props", StructType([StructField("k", IntegerType())]))
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+            F.to_json(parsed).alias("rebuilt_json"),
+        )
+        .filter(F.col("k_value") >= 50)
+    )
+
+
+@query(
+    "f8_cast_funcs",
+    oracle="""
+SELECT o_orderkey,
+       trunc(o_totalprice)::BIGINT             AS price_int,
+       CAST(o_orderkey AS VARCHAR)             AS key_str,
+       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+       o_custkey::DOUBLE                       AS cust_dbl,
+       printf('%012d', o_orderkey)             AS key_padded
+FROM orders
+""",
+    survey="F8",
+    category="functions",
+)
+def f8_cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast/conversion family.  Note: Spark double→int truncates while
+    DuckDB rounds — the oracle uses explicit trunc to pin semantics."""
+    o = scan(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("o_custkey").cast("double").alias("cust_dbl"),
+        F.format_string("%012d", F.col("o_orderkey")).alias("key_padded"),
+    )

@@ -1,1 +1,146 @@
-"""Declared queries — placeholder, populated in this round."""
+"""Source/sink round-trip queries (SURVEY.md §2.1, S2–S6).
+
+The oracle trick: write a driver table to format X under
+``.scratch/``, read it back with an explicit schema, aggregate — the
+result must hash-match aggregating the original table in DuckDB.  That
+checks BOTH directions of each connector with a full value oracle.
+
+Writes stay inside the repo (``/root/repo/.scratch``), overwrite mode,
+so repeated driver runs are idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projectmapreduce_spark.functions import dround
+from projectmapreduce_spark.io import (
+    scan,
+    scan_csv,
+    scan_jsonl,
+    scan_text,
+    sink_csv,
+    sink_jsonl,
+    sink_parquet,
+    sink_partitioned,
+)
+from projectmapreduce_spark.queries.registry import query
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _p(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, name)
+
+
+@query(
+    "s2_csv_roundtrip",
+    oracle="""
+SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+FROM nation GROUP BY n_regionkey
+""",
+    survey="S2",
+    category="io",
+)
+def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → schema-explicit CSV scan → aggregate == source table."""
+    n = scan(spark, sf_dir, "nation")
+    path = _p("nation_csv")
+    sink_csv(n, path)
+    back = scan_csv(spark, path, "n_nationkey int, n_name string, n_regionkey int")
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name")
+    )
+
+
+@query(
+    "s3_jsonl_roundtrip",
+    oracle="""
+SELECT s_nationkey, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+FROM supplier GROUP BY s_nationkey
+""",
+    survey="S3",
+    category="io",
+)
+def s3_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → schema-explicit scan → aggregate == source."""
+    s = scan(spark, sf_dir, "supplier")
+    path = _p("supplier_jsonl")
+    sink_jsonl(s, path)
+    back = scan_jsonl(
+        spark, path, "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        dround(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@query(
+    "s4_text_roundtrip",
+    oracle="""
+SELECT count(*) AS n_lines, sum(length(text)) AS total_chars
+FROM documents
+""",
+    survey="S4",
+    category="io",
+)
+def s4_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text sink (one line per doc) → line scan (the MR TextInputFormat
+    shape) → line count + char mass == source."""
+    d = scan(spark, sf_dir, "documents").select("text")
+    path = _p("documents_text")
+    d.write.mode("overwrite").text(path)
+    back = scan_text(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"), F.sum(F.length("value")).alias("total_chars")
+    )
+
+
+@query(
+    "s5_parquet_roundtrip",
+    oracle="""
+SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_quantity >= 25.0 GROUP BY l_returnflag
+""",
+    survey="S5",
+    category="io",
+)
+def s5_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink of a filtered projection → re-scan → aggregate."""
+    li = scan(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 25.0)
+    path = _p("lineitem_parquet")
+    sink_parquet(li.select("l_returnflag", "l_quantity"), path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"), dround(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@query(
+    "s6_partitioned_sink",
+    oracle="""
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+""",
+    survey="S6",
+    category="io",
+)
+def s6_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink (partitionBy event_type) → partition-pruned
+    scan of two partitions → aggregate.  The read plan prunes to the
+    two named partition directories (PartitionFilters) — the layout a
+    100 TB events table needs for type-selective queries."""
+    ev = scan(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = _p("events_partitioned")
+    sink_partitioned(ev, path, ["event_type"])
+    back = spark.read.parquet(path).filter(F.col("event_type").isin("click", "purchase"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dround(F.sum("value"), 2).alias("total_value")
+    )

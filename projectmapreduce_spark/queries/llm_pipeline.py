@@ -1,1 +1,423 @@
-"""Declared queries — placeholder, populated in this round."""
+"""LLM-data-pipeline queries (SURVEY.md §2.11, L1–L12 + dedup/ANN/
+multimodal extras) over ``documents`` and ``embeddings``.
+
+SQL-oracle'd where exactly reproducible in DuckDB (exact dedup, exact
+Jaccard, double-precision cosine, TF-IDF, text stats, lexicon score,
+centroids); rows-only where the operator is hash-based by nature
+(MinHash-LSH, SimHash, hyperplane ANN) — those are instead verified
+against their exact counterparts in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from projectmapreduce_spark.functions import dround
+from projectmapreduce_spark.io import scan
+from projectmapreduce_spark.operators.dedup import (
+    exact_dedup,
+    near_dup_minhash,
+    ngram_jaccard_join,
+    simhash,
+    simhash_candidates,
+)
+from projectmapreduce_spark.operators.multimodal import attach_payload, extract_features
+from projectmapreduce_spark.operators.similarity import (
+    brute_force_topk,
+    centroids,
+    cosine_pairs,
+    lsh_ann_topk,
+)
+from projectmapreduce_spark.operators.text import (
+    doc_fingerprint,
+    language_id,
+    lexicon_score,
+    normalize_text,
+    text_stats,
+    tf_idf,
+    tokenize,
+)
+from projectmapreduce_spark.queries.registry import query
+
+_SENTIMENT_LEXICON = {"fast": 2, "big": 1, "small": 1, "slow": -2, "dup": -1, "spark": 2}
+
+
+@query(
+    "l1_exact_dedup",
+    oracle="""
+SELECT doc_id, content_hash
+FROM (
+  SELECT doc_id, sha256(text) AS content_hash,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+    survey="L1",
+    category="llm",
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by sha256, deterministic keep-lowest-id.  (The
+    fixture corpus has no natural dups — injected-dup behavior is
+    pinned in tests/test_operators.py.)"""
+    d = scan(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").select("doc_id", "content_hash")
+
+
+@query("l2_minhash_lsh", oracle=None, survey="L2", category="llm")
+def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (64 hashes, 16 bands, unigram
+    shingles) verified to exact Jaccard ≥ 0.5.  Rows-only: minhash
+    values are engine-specific; candidate-recall vs the exact join is
+    asserted in tests/test_operators.py."""
+    d = scan(spark, sf_dir, "documents")
+    out = near_dup_minhash(d, "doc_id", "text", threshold=0.5, shingle_n=3)
+    return out.select("id_a", "id_b", dround("jaccard", 4).alias("jaccard"))
+
+
+@query(
+    "l2b_ngram_jaccard",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter::DOUBLE / (sa.n_tok + sb.n_tok - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter::DOUBLE / (sa.n_tok + sb.n_tok - n_inter) >= 0.8
+""",
+    survey="L2",
+    category="llm",
+)
+def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join (the verifier LSH feeds):
+    inverted-index self-join, fully SQL-checkable."""
+    d = scan(spark, sf_dir, "documents")
+    out = ngram_jaccard_join(d, "doc_id", "text", threshold=0.8, n=1)
+    return out.select("id_a", "id_b", dround("jaccard", 4).alias("jaccard"))
+
+
+@query("l2c_simhash", oracle=None, survey="L2", category="llm")
+def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (64-bit signature, 4×16-bit bands,
+    Hamming ≤ 3).  Rows-only; signature algebra pinned in unit tests."""
+    d = scan(spark, sf_dir, "documents")
+    sig = simhash(d, "doc_id", "text")
+    return simhash_candidates(sig, max_hamming=3)
+
+
+@query(
+    "l3_cosine_pairs",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+         AS cos_sim
+FROM e a
+JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.2
+""",
+    survey="L3",
+    category="llm",
+)
+def l3_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity join (≥ 0.2) blocked on label — exact double
+    math, JVM-side zip_with/aggregate.  At scale the block key becomes
+    an LSH bucket (l4b) instead of a label."""
+    e = scan(spark, sf_dir, "embeddings")
+    out = cosine_pairs(e, "vec_id", "embedding", threshold=0.2, block_col="label")
+    return out.select("id_a", "id_b", dround("cos_sim", 6).alias("cos_sim"))
+
+
+@query(
+    "l4_topk_nn",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE q_id < 8),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS c
+  FROM q JOIN e ON e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, round(c, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) AS nn_rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cos_sim, nn_rank FROM ranked WHERE nn_rank <= 5
+""",
+    survey="L4",
+    category="llm",
+)
+def l4_topk_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 nearest neighbors for 8 query vectors — brute-force
+    cosine baseline (broadcast queries, one pass over vectors)."""
+    e = scan(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    out = brute_force_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    return out.select("q_id", "neighbor_id", dround("cos_sim", 6).alias("cos_sim"), "nn_rank")
+
+
+@query("l4b_ann_lsh", oracle=None, survey="L4", category="llm")
+def l4b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH buckets (the 100 TB
+    path: equi-join on bucket instead of cross join).  Rows-only;
+    recall vs l4 exact is measured in tests/test_operators.py."""
+    e = scan(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    out = lsh_ann_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5, n_planes=6)
+    return out.select("q_id", "neighbor_id", dround("cos_sim", 6).alias("cos_sim"), "nn_rank")
+
+
+@query(
+    "l5_normalize",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9_ \\t\\n]', ' ', 'g'),
+                           '\\s+', ' ', 'g')) AS norm_text
+FROM documents WHERE doc_id < 100
+""",
+    survey="L5",
+    category="llm",
+)
+def l5_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization chain (lower, strip punct, collapse ws)."""
+    d = scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", normalize_text(F.col("text")).alias("norm_text"))
+
+
+@query(
+    "l6_tokenize",
+    oracle="""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+'))  AS n_tokens,
+       string_split_regex(trim(text), '\\s+')[1]    AS first_token,
+       string_split_regex(trim(text), '\\s+')[-1]   AS last_token
+FROM documents
+""",
+    survey="L6",
+    category="llm",
+)
+def l6_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization surface: count + boundary tokens."""
+    d = scan(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+    )
+
+
+@query(
+    "l7_language_routing",
+    oracle="""
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents
+WHERE lang IN ('en', 'fr', 'de')
+GROUP BY lang
+""",
+    survey="L7",
+    category="llm",
+)
+def l7_language_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language filter/routing on the lang column (the partition key a
+    100 TB corpus would be hive-partitioned by — see S6)."""
+    return (
+        scan(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin("en", "fr", "de"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query("l7b_language_id", oracle=None, survey="L7,L8", category="llm")
+def l7b_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID via marker-lexicon scoring (rows-only:
+    the synthetic corpus shares one vocabulary across langs, so this
+    checks the machinery, not linguistic accuracy)."""
+    d = scan(spark, sf_dir, "documents")
+    return language_id(d, "doc_id", "text")
+
+
+@query(
+    "l8_text_quality",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS solid_chars,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> list_contains(['a','the','of','and','is'], t))) AS n_stop,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(solid_chars::DOUBLE / n_tokens, 6) AS mean_token_len,
+       round(n_stop::DOUBLE / n_tokens, 6)      AS stopword_ratio,
+       round(n_alpha::DOUBLE / n_chars, 6)      AS alpha_ratio
+FROM t
+""",
+    survey="L8",
+    category="llm",
+)
+def l8_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality heuristics (length/stopword/alpha ratios)."""
+    d = scan(spark, sf_dir, "documents")
+    s = text_stats(d, "doc_id", "text")
+    return s.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        dround("mean_token_len", 6).alias("mean_token_len"),
+        dround("stopword_ratio", 6).alias("stopword_ratio"),
+        dround("alpha_ratio", 6).alias("alpha_ratio"),
+    )
+
+
+@query(
+    "l9_tfidf",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+),
+tf AS (SELECT doc_id AS id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df_docs FROM tok GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.id, tf.token, tf.tf, dfreq.df_docs,
+       round(tf.tf * ln(n.n_docs::DOUBLE / dfreq.df_docs), 6) AS tfidf
+FROM tf JOIN dfreq USING (token) CROSS JOIN n
+WHERE tf.id < 50
+""",
+    survey="L9",
+    category="llm",
+)
+def l9_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational TF-IDF (df table broadcast — vocabulary-sized)."""
+    d = scan(spark, sf_dir, "documents")
+    out = tf_idf(d, "doc_id", "text").filter(F.col("id") < 50)
+    return out.select("id", "token", "tf", "df_docs", dround("tfidf", 6).alias("tfidf"))
+
+
+@query(
+    "l10_lexicon_score",
+    oracle="""
+WITH lex(word, weight) AS (
+  VALUES ('fast', 2), ('big', 1), ('small', 1), ('slow', -2), ('dup', -1), ('spark', 2)
+),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+),
+hits AS (
+  SELECT doc_id AS id, sum(weight) AS score, count(*) AS n_hits
+  FROM tok JOIN lex ON tok.token = lex.word
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       coalesce(h.score, 0)  AS score,
+       coalesce(h.n_hits, 0) AS n_hits
+FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+""",
+    survey="L10",
+    category="llm",
+)
+def l10_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword lexicon scoring (sentiment-analysis pattern: broadcast
+    lexicon join + per-doc sum)."""
+    d = scan(spark, sf_dir, "documents")
+    return lexicon_score(d, "doc_id", "text", _SENTIMENT_LEXICON)
+
+
+@query(
+    "l11_multimodal_join",
+    oracle="""
+SELECT d.doc_id,
+       d.lang,
+       e.label,
+       len(e.embedding)                         AS dim,
+       octet_length(encode(d.text))             AS payload_bytes,
+       substring(sha256(trim(regexp_replace(regexp_replace(lower(d.text),
+                 '[^a-z0-9_ \\t\\n]', ' ', 'g'), '\\s+', ' ', 'g'))), 1, 16) AS fingerprint
+FROM documents d
+JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+    survey="L11",
+    category="llm",
+)
+def l11_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row assembly: text ⋈ embedding by id with an opaque
+    binary payload carried through relational ops (its byte length and
+    content fingerprint prove the payload survives)."""
+    d = scan(spark, sf_dir, "documents")
+    e = scan(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "label",
+            F.size("embedding").alias("dim"),
+            F.octet_length(F.encode("text", "utf-8")).alias("payload_bytes"),
+            doc_fingerprint(F.col("text")).alias("fingerprint"),
+        )
+    )
+
+
+@query("l11b_media_features", oracle=None, survey="L11,X2", category="llm")
+def l11b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature extraction through the Arrow mapInPandas path with
+    the deterministic fake decoder (codec libs absent — SURVEY.md §2.11
+    multimodal stub mandate).  Returns (media_id, kind, n_bytes, dim,
+    feat_sum)."""
+    d = scan(spark, sf_dir, "documents")
+    media = attach_payload(d, "doc_id", "text", kind="image")
+    feats = extract_features(media, dim=16, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.size("features").alias("dim"),
+        dround(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
+    )
+
+
+@query(
+    "l12_embedding_centroids",
+    oracle="""
+SELECT label, pos, round(avg(v), 6) AS centroid_val
+FROM (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE             AS v
+  FROM embeddings
+)
+GROUP BY label, pos
+""",
+    survey="L12",
+    category="llm",
+)
+def l12_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors, one row per (label, dim): posexplode
+    → partial-agg; shuffle is labels × 64 rows regardless of corpus
+    size."""
+    e = scan(spark, sf_dir, "embeddings")
+    out = centroids(e, "label", "embedding")
+    return out.select("label", "pos", dround("centroid_val", 6).alias("centroid_val"))

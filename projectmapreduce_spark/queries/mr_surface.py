@@ -1,1 +1,195 @@
-"""Declared queries — placeholder, populated in this round."""
+"""MapReduce-heritage functional surface (SURVEY.md §2.10, M1–M8).
+
+The reference's core verbs (public MR model, Dean & Ghemawat OSDI'04)
+re-expressed over DataFrames: map→select, flatMap→explode,
+combiner+reduce→groupBy.agg (partial agg automatic), partitioner→
+repartition, secondary sort→window/sortWithinPartitions.  The point:
+every canonical MR job (word count, inverted index, grep) is a 3-line
+declarative plan that Catalyst optimizes — no job chaining, no
+intermediate materialization.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from projectmapreduce_spark.io import scan
+from projectmapreduce_spark.queries.registry import query
+
+
+@query(
+    "m1_flatmap_tokens",
+    oracle="""
+SELECT doc_id, unnest(string_split(text, ' ')) AS token
+FROM documents
+WHERE lang = 'en'
+""",
+    survey="M1",
+    category="mr",
+)
+def m1_flatmap_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatMap (1→N): tokenize each doc into (doc_id, token) pairs."""
+    d = scan(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+@query(
+    "m2_mappartitions",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       n_chars % 7                  AS chars_mod7
+FROM documents
+""",
+    survey="M2,X2",
+    category="mr",
+)
+def m2_mappartitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapPartitions as ``mapInPandas``: the Arrow-batched per-partition
+    escape hatch.  The fn is deterministic and SQL-equivalent, so this
+    rows+values-checks the Python boundary itself.  At 100 TB each
+    batch is one Arrow record batch — no per-row Python overhead."""
+    d = scan(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+
+    def per_batch(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["text"].str.split(" ").str.len().astype("int32"),
+                    "chars_mod7": (pdf["n_chars"] % 7).astype("int64"),
+                }
+            )
+
+    return d.mapInPandas(per_batch, "doc_id long, n_tokens int, chars_mod7 long")
+
+
+@query(
+    "m3_reduce_by_key",
+    oracle="""
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents
+GROUP BY lang, source
+""",
+    survey="M3",
+    category="mr",
+)
+def m3_reduce_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduceByKey/combineByKey ≡ groupBy.agg — Spark inserts the
+    map-side combine (partial aggregate) automatically."""
+    return (
+        scan(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "m4_secondary_sort",
+    oracle="""
+SELECT user_id, event_id, ts,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events
+WHERE user_id < 20
+""",
+    survey="M4",
+    category="mr",
+)
+def m4_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary sort (order within key groups).  The MR pattern
+    (composite key + grouping comparator) is one window — or, for
+    pure ordering without numbering, ``repartition(k).
+    sortWithinPartitions(k, s)`` with zero extra pass."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        scan(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "event_id", "ts", F.row_number().over(w).alias("seq"))
+    )
+
+
+@query("m5_partition_by", oracle=None, survey="M5", category="mr")
+def m5_partition_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom key partitioning (MR partitioner): hash-repartition events
+    by user_id and report the partition histogram (rows-only — the
+    assignment is config-dependent by design).  The invariant that all
+    rows of one key land in one partition is asserted in
+    tests/test_operators.py."""
+    ev = scan(spark, sf_dir, "events").repartition(8, "user_id")
+    return (
+        ev.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "m6_word_count",
+    oracle="""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+""",
+    survey="M6",
+    category="mr",
+)
+def m6_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical MR job: tokenize → explode → count.  Explode then
+    partial-agg means the shuffle carries (token, partial_count), i.e.
+    vocabulary-sized, not corpus-sized."""
+    d = scan(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "m7_inverted_index",
+    oracle="""
+SELECT token,
+       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids,
+       count(DISTINCT doc_id)                                 AS doc_freq
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+""",
+    survey="M7,A8",
+    category="mr",
+)
+def m7_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: token → sorted posting list (serialized to a
+    string for hash stability).  At 100 TB posting lists for stop-words
+    explode — production form shards hot tokens (salt on token,
+    hierarchical merge); noted here, exercised on the natural vocab."""
+    d = scan(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return tokens.groupBy("token").agg(
+        F.concat_ws(
+            ",", F.transform(F.sort_array(F.collect_set("doc_id")), lambda x: x.cast("string"))
+        ).alias("doc_ids"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+
+
+@query(
+    "m8_distributed_grep",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE regexp_matches(text, 'join (filter|scan)')
+""",
+    survey="M8,P5",
+    category="mr",
+)
+def m8_distributed_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep: regex scan over the corpus, fully parallel,
+    no shuffle at all (map-only job)."""
+    return (
+        scan(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike("join (filter|scan)"))
+        .select("doc_id", "lang", "source")
+    )

@@ -1,1 +1,109 @@
-"""Declared queries — placeholder, populated in this round."""
+"""Sort / limit / top-k queries (SURVEY.md §2.6, O1–O4).
+
+Scale notes: Spark's global ``orderBy`` is a range-partitioned sort
+(sampled split points — the TeraSort pattern), so O1 scales without a
+single-reducer bottleneck.  ``orderBy().limit(k)`` compiles to
+TakeOrdered — each partition keeps its local top-k heap and only k rows
+per partition reach the driver-side merge, never the full sort (O3).
+The driver's hash is row-order-insensitive, so sort queries encode the
+order into a ``row_number`` column computed from a unique total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from projectmapreduce_spark.io import scan
+from projectmapreduce_spark.queries.registry import query
+
+
+@query(
+    "o1_global_sort",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS sort_pos
+FROM orders
+WHERE o_orderstatus = 'F'
+""",
+    survey="O1",
+    category="sort",
+)
+def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total order (multi-key, desc + asc tiebreak) made
+    hash-checkable by materializing the position.  The sort itself is
+    range-partitioned; the verification window is the test artifact,
+    not the scale path."""
+    o = scan(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).select(
+        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("sort_pos")
+    )
+
+
+@query(
+    "o2_sort_limit",
+    oracle="""
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+ORDER BY o_orderdate ASC, o_orderkey ASC
+LIMIT 100
+""",
+    survey="O2",
+    category="sort",
+)
+def o2_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First N of a total order (unique tiebreak → deterministic set)."""
+    return (
+        scan(spark, sf_dir, "orders")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@query(
+    "o3_topk_global",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+    survey="O3",
+    category="sort",
+)
+def o3_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k without a total sort — plans as TakeOrderedAndProject
+    (per-partition heaps, k rows shuffled per partition)."""
+    return (
+        scan(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "o4_topk_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) WHERE rn <= 5
+""",
+    survey="O4",
+    category="sort",
+)
+def o4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per key via ranking window — one shuffle on the group key;
+    the 100 TB formulation of 'k best rows per entity'."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        scan(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )

@@ -1,1 +1,133 @@
-"""Declared queries — placeholder, populated in this round."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.12, X1–X4).
+
+The deliberate slow path: every query here crosses the executor→Python
+boundary.  X1 is the row-at-a-time anti-pattern (documented, measured
+~10–100× slower than X2 at scale); X2/X3 are Arrow-batched.  Each UDF
+is deterministic and SQL-reproducible so even the Python boundary gets
+a full value-hash check.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
+
+from projectmapreduce_spark.functions import dround
+from projectmapreduce_spark.io import scan
+from projectmapreduce_spark.queries.registry import query
+
+
+@query(
+    "x1_scalar_udf",
+    oracle="""
+SELECT o_orderkey,
+       length(o_orderpriority) + (o_orderkey % 10) AS mixed_score
+FROM orders
+WHERE o_orderkey < 2000
+""",
+    survey="X1",
+    category="udf",
+)
+def x1_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the documented perf cliff — one
+    serialize/deserialize per ROW; kept off every hot path and here
+    only to prove the capability)."""
+
+    @F.udf(returnType=LongType())
+    def mixed_score(priority: str, key: int) -> int:
+        return len(priority) + (key % 10)
+
+    o = scan(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey", mixed_score("o_orderpriority", "o_orderkey").alias("mixed_score")
+    )
+
+
+@query(
+    "x2_pandas_udf",
+    oracle="""
+SELECT vec_id,
+       round(sqrt(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+                                   list_transform(embedding, x -> x::DOUBLE))), 6) AS l2_norm
+FROM embeddings
+""",
+    survey="X2",
+    category="udf",
+)
+def x2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF: L2 norm per embedding — one Arrow
+    batch per serialization, NumPy math inside (this is the shape real
+    embedding kernels take when JVM expressions can't express them)."""
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def l2_norm(vecs: pd.Series) -> pd.Series:
+        return vecs.apply(lambda v: float(np.sqrt(np.dot(np.asarray(v, dtype="float64"),
+                                                         np.asarray(v, dtype="float64")))))
+
+    e = scan(spark, sf_dir, "embeddings")
+    return e.select("vec_id", dround(l2_norm("embedding"), 6).alias("l2_norm"))
+
+
+@query(
+    "x3_grouped_udaf",
+    oracle="""
+SELECT label,
+       count(*)                                   AS n_vecs,
+       round(avg(embedding[1]::DOUBLE), 6)        AS mean_first_dim,
+       round(min(embedding[1]::DOUBLE), 6)        AS min_first_dim
+FROM embeddings
+GROUP BY label
+""",
+    survey="X3",
+    category="udf",
+)
+def x3_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped pandas UDAF via ``applyInPandas``: whole group → one
+    pandas frame → one result row.  At 100 TB group sizes must be
+    bounded (a single group materializes in one worker's memory) —
+    which is why the relational form is preferred when expressible."""
+
+    def per_label(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf["embedding"].apply(lambda v: float(v[0]))
+        return pd.DataFrame(
+            {
+                "label": [pdf["label"].iloc[0]],
+                "n_vecs": [len(pdf)],
+                "mean_first_dim": [first.mean()],
+                "min_first_dim": [first.min()],
+            }
+        )
+
+    e = scan(spark, sf_dir, "embeddings")
+    out = e.groupBy("label").applyInPandas(
+        per_label, "label int, n_vecs long, mean_first_dim double, min_first_dim double"
+    )
+    return out.select(
+        "label",
+        "n_vecs",
+        dround("mean_first_dim", 6).alias("mean_first_dim"),
+        dround("min_first_dim", 6).alias("min_first_dim"),
+    )
+
+
+@query(
+    "x4_udtf_explode",
+    oracle="""
+SELECT doc_id,
+       generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+       unnest(string_split(text, ' '))                     AS token
+FROM documents
+WHERE doc_id < 20
+""",
+    survey="X4",
+    category="udf",
+)
+def x4_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-function (1 row → N rows) surface via posexplode — the
+    declarative UDTF form; arbitrary-Python generators take the
+    ``mapInPandas`` path (M2) with the same contract."""
+    d = scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))

@@ -1,1 +1,182 @@
-"""Declared queries — placeholder, populated in this round."""
+"""Window-function queries (SURVEY.md §2.5, W1–W5).
+
+A window is one hash-partition shuffle + an in-partition sort; at
+100 TB the partition key choice (user_id, custkey — high cardinality)
+keeps groups small, and AQE splits stragglers.  Every ORDER BY below
+carries a unique tiebreaker (PK) so ranks are deterministic and
+hash-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from projectmapreduce_spark.functions import dround
+from projectmapreduce_spark.io import scan
+from projectmapreduce_spark.queries.registry import query
+
+
+@query(
+    "w1_ranking",
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment,
+       row_number()  OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
+       rank()        OVER (PARTITION BY c_mktsegment ORDER BY floor(c_acctbal / 1000) DESC) AS rnk,
+       dense_rank()  OVER (PARTITION BY c_mktsegment ORDER BY floor(c_acctbal / 1000) DESC) AS drnk,
+       ntile(4)      OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+       round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY floor(c_acctbal / 1000) DESC), 6) AS prank,
+       round(cume_dist()    OVER (PARTITION BY c_mktsegment ORDER BY floor(c_acctbal / 1000) DESC), 6) AS cdist
+FROM customer
+""",
+    survey="W1",
+    category="window",
+)
+def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six ranking functions; tie-sensitive ones rank over a
+    bucketed key (ties share ranks → deterministic), row_number/ntile
+    over a unique ordering."""
+    unique_w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    tie_w = Window.partitionBy("c_mktsegment").orderBy(
+        F.floor(F.col("c_acctbal") / 1000).desc()
+    )
+    return scan(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(unique_w).alias("rn"),
+        F.rank().over(tie_w).alias("rnk"),
+        F.dense_rank().over(tie_w).alias("drnk"),
+        F.ntile(4).over(unique_w).alias("quartile"),
+        dround(F.percent_rank().over(tie_w), 6).alias("prank"),
+        dround(F.cume_dist().over(tie_w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "w2_lag_lead",
+    oracle="""
+SELECT event_id,
+       user_id,
+       lag(event_type)  OVER w AS prev_type,
+       lead(event_type) OVER w AS next_type,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS us_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    survey="W2",
+    category="window",
+)
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset access: previous/next event and inter-event gap in exact
+    integer microseconds (no float epoch)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = scan(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("us_since_prev"),
+    )
+
+
+@query(
+    "w3_running_sum",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       round(avg(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)         AS avg_last3
+FROM orders
+""",
+    survey="W3",
+    category="window",
+)
+def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative + trailing ROWS-frame aggregates.  Frame order fixes
+    the summation order, so both engines sum identically."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = w.rowsBetween(-2, Window.currentRow)
+    return scan(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        dround(F.sum("o_totalprice").over(cum), 2).alias("running_spend"),
+        dround(F.avg("o_totalprice").over(last3), 2).alias("avg_last3"),
+    )
+
+
+@query(
+    "w4_range_frame",
+    oracle="""
+SELECT event_id,
+       user_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW), 2) AS rolling_7d_value,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS rolling_7d_events
+FROM events
+""",
+    survey="W4",
+    category="window",
+)
+def w4_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range (7-day) rolling frame over exact µs epoch — the
+    time-series rolling aggregate without self-join blow-up."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, Window.currentRow)
+    )
+    return scan(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        dround(F.sum("value").over(w), 2).alias("rolling_7d_value"),
+        F.count(F.lit(1)).over(w).alias("rolling_7d_events"),
+    )
+
+
+@query(
+    "w5_first_last",
+    oracle="""
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type)  OVER w AS last_type,
+       round(first_value(value) OVER w, 2) AS first_value_amt,
+       round(last_value(value)  OVER w, 2) AS last_value_amt
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    survey="W5",
+    category="window",
+)
+def w5_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition first/last over an unbounded frame, reduced to one
+    row per user."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        scan(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            dround(F.first("value").over(w), 2).alias("first_value_amt"),
+            dround(F.last("value").over(w), 2).alias("last_value_amt"),
+        )
+        .distinct()
+    )
