@@ -41,6 +41,15 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def normalized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """All columns of ``emb`` plus ``vn`` = unit-normalized double vector
+    (computed once per vector — prerequisite for dot-only cosine)."""
+    v = as_double(F.col(vec_col))
+    return emb.withColumn("__n", norm(v)).withColumn(
+        "vn", F.transform(v, lambda x: x / F.col("__n"))
+    ).drop("__n")
+
+
 def cosine_pairs(
     emb: DataFrame,
     id_col: str,
@@ -54,20 +63,25 @@ def cosine_pairs(
     cross join into an equi-join — mandatory at scale; None is the
     small-N exact mode.
     """
-    a = emb.select(
+    # Normalize ONCE per vector before the join: cosine degenerates to
+    # a plain dot product, saving two norm computations per PAIR (the
+    # dominant cost — pairs >> vectors).  The oracle must use the same
+    # normalize-then-dot formula for bit-identical floats.
+    unit = normalized(emb, id_col, vec_col)
+    a = unit.select(
         F.col(id_col).alias("id_a"),
-        as_double(F.col(vec_col)).alias("va"),
+        F.col("vn").alias("va"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
-    b = emb.select(
+    b = unit.select(
         F.col(id_col).alias("id_b"),
-        as_double(F.col(vec_col)).alias("vb"),
+        F.col("vn").alias("vb"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
     j = a.join(b, on="blk") if block_col else a.crossJoin(b)
     return (
         j.filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select("id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -137,14 +151,21 @@ def lsh_ann_topk(
     dim: int = 64,
     n_planes: int = 8,
     seed: int = 7,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: bucket both sides by hyperplane signature,
     equi-join on bucket, exact cosine re-rank inside the bucket.
 
+    ``multiprobe`` additionally probes, per query, every bucket at
+    Hamming distance 1 from its own (flip each of the n_planes sign
+    bits) — (1+n_planes)× the candidate volume for a large recall gain
+    on borderline vectors that straddle a hyperplane.
+
     Recall < 1 by design (measured in tests/test_operators.py against
     ``brute_force_topk``); raise recall with fewer planes (bigger
     buckets) or multiprobe.  At 100 TB the bucket join replaces the
-    O(Q·N) scan with O(Q·N/2^planes) expected comparisons.
+    O(Q·N) scan with O(Q·N·(1+planes)/2^planes) expected comparisons;
+    only the (small) query side is expanded, then broadcast.
     """
     n = emb.select(
         F.col(id_col).alias("neighbor_id"),
@@ -156,6 +177,12 @@ def lsh_ann_topk(
         as_double(F.col(q_vec_col)).alias("qv"),
         lsh_bucket(F.col(q_vec_col), dim, n_planes, seed).alias("bucket"),
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        q = q.select("q_id", "qv", F.explode(probes).alias("bucket"))
     scored = (
         n.join(F.broadcast(q), on="bucket")
         .filter(F.col("q_id") != F.col("neighbor_id"))

@@ -1,0 +1,20 @@
+"""Plan-inspection helpers (SURVEY.md §4): verify that the physical
+plan Catalyst picked is the one the 100 TB design calls for."""
+
+from projectmapreduce_spark.plans.inspect import (
+    explain_str,
+    has_broadcast_hash_join,
+    has_cartesian,
+    has_partition_filters,
+    has_pushed_filters,
+    has_wholestage_codegen,
+)
+
+__all__ = [
+    "explain_str",
+    "has_broadcast_hash_join",
+    "has_cartesian",
+    "has_partition_filters",
+    "has_pushed_filters",
+    "has_wholestage_codegen",
+]

@@ -120,15 +120,17 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH e AS (
   SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, label,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+  FROM e
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-         AS cos_sim
-FROM e a
-JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.2
+       round(list_dot_product(a.vn, b.vn), 6) AS cos_sim
+FROM n a
+JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.vn, b.vn) >= 0.2
 """,
     survey="L3",
     category="llm",

@@ -1,0 +1,66 @@
+"""Plan-shape assertions (SURVEY.md §5 layer 5): the strategies the
+100 TB design depends on must actually appear in the physical plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projectmapreduce_spark.io import scan
+from projectmapreduce_spark.plans import (
+    explain_str,
+    has_broadcast_hash_join,
+    has_cartesian,
+    has_partition_filters,
+    has_pushed_filters,
+    has_wholestage_codegen,
+)
+from projectmapreduce_spark.queries import QUERIES
+from tests.conftest import SF_CORRECT
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["p2_filter_compare"](spark, SF_CORRECT)
+    assert has_pushed_filters(df), explain_str(df)
+
+
+def test_column_pruning(spark):
+    df = QUERIES["p2_filter_compare"](spark, SF_CORRECT)
+    s = explain_str(df)
+    # only the three selected columns reach the scan schema
+    assert "ReadSchema" in s
+    read_schema = [ln for ln in s.splitlines() if "ReadSchema" in ln][0]
+    assert "l_quantity" not in read_schema and "o_orderpriority" not in read_schema
+
+
+def test_broadcast_join_for_dims(spark):
+    for name in ("j2_broadcast_dims", "j10_star_join", "t6_stream_static_join"):
+        df = QUERIES[name](spark, SF_CORRECT)
+        assert has_broadcast_hash_join(df), f"{name} lost its broadcast join"
+
+
+def test_band_join_is_not_cartesian(spark):
+    df = QUERIES["j7_band_join"](spark, SF_CORRECT)
+    assert not has_cartesian(df), "band join degenerated into a cartesian plan"
+
+
+def test_interval_join_is_not_cartesian(spark):
+    df = QUERIES["j9_interval_overlap"](spark, SF_CORRECT)
+    assert not has_cartesian(df)
+
+
+def test_partition_pruning_on_hive_layout(spark, tmp_path):
+    ev = scan(spark, SF_CORRECT, "events").select("event_id", "event_type", "value")
+    path = str(tmp_path / "ev_part")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    assert has_partition_filters(back), explain_str(back)
+
+
+def test_wholestage_codegen_on_flagship(spark):
+    df = QUERIES["flagship_pricing_summary"](spark, SF_CORRECT)
+    assert has_wholestage_codegen(df)
+
+
+def test_topk_plans_take_ordered(spark):
+    df = QUERIES["o3_topk_global"](spark, SF_CORRECT)
+    assert "TakeOrderedAndProject" in explain_str(df, "simple")
