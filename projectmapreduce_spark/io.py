@@ -52,6 +52,23 @@ def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Widen a pathologically narrow input before CPU-heavy per-row work.
+
+    Small fixture files are a single parquet row group → a single scan
+    task, which serializes interpreted-expression operators (shingling,
+    vector math) on one core.  This helper repartitions ONLY when the
+    observed scan parallelism is below ``defaultParallelism × factor``
+    — at 100 TB a scan yields thousands of splits and this is a no-op,
+    so no shuffle is ever added on the at-scale path.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Scan several tables at once; defaults to every table."""
     use = names or TABLES

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from projectmapreduce_spark.io import fan_out
+
 _MERSENNE = (1 << 31) - 1  # fits: a*x < 2^62 in long arithmetic
 
 
@@ -68,7 +70,7 @@ def tokens_of(
             F.sequence(F.lit(0), F.size(arr) - n),
             lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
         )
-    out = df.select(F.col(id_col).alias("id"), F.explode(arr).alias("token"))
+    out = fan_out(df).select(F.col(id_col).alias("id"), F.explode(arr).alias("token"))
     return out.distinct() if distinct else out
 
 
@@ -130,10 +132,12 @@ def minhash_signatures(
     shuffle volume; measured 13 s → ~3 s at sf0.1 for the LSH query.)
     """
     params = _hash_params(num_hashes, seed)
-    x = F.crc32("token") % F.lit(_MERSENNE)
-    withx = tok.withColumn("__x", x)
+    # Expressions are built as SQL strings: one Py4J round trip per
+    # column instead of ~8, which keeps driver-side plan construction
+    # fast for the 64-wide aggregate.
+    withx = tok.withColumn("__x", F.expr(f"crc32(token) % {_MERSENNE}L"))
     mins = [
-        F.min((F.lit(a) * F.col("__x") + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh_{j}")
+        F.expr(f"min(({a}L * __x + {b}L) % {_MERSENNE}L) as mh_{j}")
         for j, (a, b) in enumerate(params)
     ]
     return withx.groupBy("id").agg(*mins)
@@ -165,30 +169,38 @@ def minhash_lsh_candidates(
     # Band b = hash slots [b*r, (b+1)*r); key = sha256 of that slice.
     # Built map-side from the wide signature, then melted to
     # (id, band, bkey) with a single explode of `bands` structs.
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.sha2(
-                F.concat_ws(
-                    ",", *[F.col(f"mh_{j}").cast("string") for j in range(b * r, (b + 1) * r)]
-                ),
-                256,
-            ).alias("bkey"),
+    band_structs = F.expr(
+        "array(%s)"
+        % ",".join(
+            "struct(%d as band, sha2(concat_ws(',',%s), 256) as bkey)"
+            % (b, ",".join(f"cast(mh_{j} as string)" for j in range(b * r, (b + 1) * r)))
+            for b in range(bands)
         )
-        for b in range(bands)
-    ])
+    )
     band_key = sig.select("id", F.explode(band_structs).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
-    sized = band_key.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
-    ).filter(F.col("bucket_n") <= max_bucket)
-    left = sized.select("band", "bkey", F.col("id").alias("id_a"))
-    right = sized.select("band", "bkey", F.col("id").alias("id_b"))
+    # ONE shuffle: hash-aggregate each bucket's members, then generate
+    # the C(n,2) pairs map-side from the sorted member array (replaces
+    # a window-count shuffle + an equi-self-join shuffle).  Sorting the
+    # array makes id_a < id_b structural.
+    buckets = (
+        band_key.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids").between(2, max_bucket))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        left.join(right, on=["band", "bkey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 

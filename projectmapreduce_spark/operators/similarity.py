@@ -21,31 +21,48 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from projectmapreduce_spark.io import fan_out
+
 
 def as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def dot(a, b) -> Column:
-    """Sequential-order double dot product (bit-stable across engines)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+def dot(a, b, dim: int | None = None) -> Column:
+    """Sequential-order double dot product (bit-stable across engines).
+
+    With ``dim`` statically known the sum is unrolled into a flat
+    left-fold expression ``((0 + a0·b0) + a1·b1) + …`` — identical
+    float semantics to the ``aggregate`` fold, but whole-stage
+    codegen-able (Spark interprets higher-order functions per element).
+    Caveat measured at sf0.1: the ~200-term generated function costs
+    ~2 s of janino compilation per fresh plan, so unrolling only pays
+    on long-running jobs (100 TB) where compile time amortizes; the
+    default interpreted fold is faster for short interactive queries.
+    """
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i].cast("double") * b[i].cast("double")
+    return acc
 
 
-def norm(a) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a, b) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a, b, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
-def normalized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def normalized(emb: DataFrame, id_col: str, vec_col: str, dim: int | None = None) -> DataFrame:
     """All columns of ``emb`` plus ``vn`` = unit-normalized double vector
     (computed once per vector — prerequisite for dot-only cosine)."""
     v = as_double(F.col(vec_col))
-    return emb.withColumn("__n", norm(v)).withColumn(
+    return emb.withColumn("__n", norm(F.col(vec_col), dim)).withColumn(
         "vn", F.transform(v, lambda x: x / F.col("__n"))
     ).drop("__n")
 
@@ -56,6 +73,7 @@ def cosine_pairs(
     vec_col: str,
     threshold: float,
     block_col: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """All (blocked) pairs with cosine ≥ threshold.
 
@@ -63,25 +81,40 @@ def cosine_pairs(
     cross join into an equi-join — mandatory at scale; None is the
     small-N exact mode.
     """
-    # Normalize ONCE per vector before the join: cosine degenerates to
-    # a plain dot product, saving two norm computations per PAIR (the
-    # dominant cost — pairs >> vectors).  The oracle must use the same
-    # normalize-then-dot formula for bit-identical floats.
-    unit = normalized(emb, id_col, vec_col)
+    # Compute each vector's norm ONCE before the join and carry it as a
+    # scalar; per PAIR the cosine is then Σ (aᵢ/‖a‖)·(bᵢ/‖b‖) — the
+    # exact same float ops as normalize-then-dot (and as the DuckDB
+    # oracle's list_transform + list_dot_product), but with no
+    # intermediate normalized array to rebuild on the pair side.
+    unit = fan_out(emb).withColumn("__n", norm(F.col(vec_col), dim))
     a = unit.select(
         F.col(id_col).alias("id_a"),
-        F.col("vn").alias("va"),
+        F.col(vec_col).alias("va"),
+        F.col("__n").alias("na"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
     b = unit.select(
         F.col(id_col).alias("id_b"),
-        F.col("vn").alias("vb"),
+        F.col(vec_col).alias("vb"),
+        F.col("__n").alias("nb"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
+    if dim is None:
+        sim = dot(
+            F.transform(F.col("va"), lambda x: x.cast("double") / F.col("na")),
+            F.transform(F.col("vb"), lambda x: x.cast("double") / F.col("nb")),
+        )
+    else:
+        acc: Column = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + (F.col("va")[i].cast("double") / F.col("na")) * (
+                F.col("vb")[i].cast("double") / F.col("nb")
+            )
+        sim = acc
     j = a.join(b, on="blk") if block_col else a.crossJoin(b)
     return (
         j.filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -94,6 +127,7 @@ def brute_force_topk(
     q_id_col: str,
     q_vec_col: str,
     k: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector.
 
@@ -102,14 +136,19 @@ def brute_force_topk(
     window on q_id — shuffle bounded by Q·N candidate rows.  Output:
     (q_id, neighbor_id, cos_sim, nn_rank).
     """
-    q = queries.select(
-        F.col(q_id_col).alias("q_id"), as_double(F.col(q_vec_col)).alias("qv")
+    # Raw (un-cast) vectors through the join: the unrolled dot casts
+    # per element, so no array-valued `transform` ever sits under a
+    # getItem (projection collapse would re-evaluate it per element —
+    # O(dim²) interpreted work per pair).
+    cast_side = (lambda c: F.col(c)) if dim is not None else (lambda c: as_double(F.col(c)))
+    q = queries.select(F.col(q_id_col).alias("q_id"), cast_side(q_vec_col).alias("qv"))
+    n = fan_out(emb).select(
+        F.col(id_col).alias("neighbor_id"), cast_side(vec_col).alias("nv")
     )
-    n = emb.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv"))
     scored = (
         n.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("neighbor_id"))
-        .select("q_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cos_sim"))
+        .select("q_id", "neighbor_id", cosine(F.col("qv"), F.col("nv"), dim).alias("cos_sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.select(
@@ -117,23 +156,23 @@ def brute_force_topk(
     ).filter(F.col("nn_rank") <= k)
 
 
-def _planes_expr(dim: int, n_planes: int, seed: int) -> Column:
-    """Deterministic pseudo-random hyperplanes as a literal
-    array<array<double>> — coefficient (p, d) = crc32(f"{seed}:{p}:{d}")
-    mapped to [−1, 1).  Engine-stable, no RNG state."""
-    return F.array(*[
-        F.array(*[
-            (F.crc32(F.lit(f"{seed}:{p}:{d}")) % 100_000) / 50_000.0 - 1.0
-            for d in range(dim)
-        ])
-        for p in range(n_planes)
-    ])
-
-
 def lsh_bucket(vec_col, dim: int, n_planes: int = 12, seed: int = 7) -> Column:
-    """Random-hyperplane signature: bit p = sign(v · plane_p)."""
+    """Random-hyperplane signature: bit p = sign(v · plane_p).
+
+    Plane coefficients are literal arrays (coefficient (p,d) =
+    crc32(f"{seed}:{p}:{d}") mapped to [−1,1) — engine-stable, no RNG
+    state); signing is O(vectors), never the hot path, so the
+    interpreted higher-order eval is fine.
+    """
+    import zlib
+
+    def coeff(p: int, d: int) -> float:
+        return (zlib.crc32(f"{seed}:{p}:{d}".encode()) % 100_000) / 50_000.0 - 1.0
+
     v = as_double(vec_col)
-    planes = _planes_expr(dim, n_planes, seed)
+    planes = F.array(*[
+        F.array(*[F.lit(coeff(p, d)) for d in range(dim)]) for p in range(n_planes)
+    ])
     bits = F.transform(planes, lambda pl: F.when(dot(v, pl) > 0, F.lit(1)).otherwise(F.lit(0)))
     return F.aggregate(
         bits, F.lit(0).cast("long"), lambda acc, bit: acc * 2 + bit
@@ -167,14 +206,14 @@ def lsh_ann_topk(
     O(Q·N) scan with O(Q·N·(1+planes)/2^planes) expected comparisons;
     only the (small) query side is expanded, then broadcast.
     """
-    n = emb.select(
+    n = fan_out(emb).select(
         F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("nv"),
+        F.col(vec_col).alias("nv"),
         lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
     )
     q = queries.select(
         F.col(q_id_col).alias("q_id"),
-        as_double(F.col(q_vec_col)).alias("qv"),
+        F.col(q_vec_col).alias("qv"),
         lsh_bucket(F.col(q_vec_col), dim, n_planes, seed).alias("bucket"),
     )
     if multiprobe:
@@ -186,7 +225,7 @@ def lsh_ann_topk(
     scored = (
         n.join(F.broadcast(q), on="bucket")
         .filter(F.col("q_id") != F.col("neighbor_id"))
-        .select("q_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cos_sim"))
+        .select("q_id", "neighbor_id", cosine(F.col("qv"), F.col("nv"), dim).alias("cos_sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.select(

@@ -25,6 +25,10 @@ from pyspark.sql import SparkSession
 _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
+    # Per-DataFrame-call Python stack capture for error enrichment costs
+    # ~0.5 s on wide plan builds (profiled: _capture_call_site); the
+    # engine's own errors carry enough context.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
@@ -66,6 +70,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
