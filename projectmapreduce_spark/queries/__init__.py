@@ -21,6 +21,7 @@ from projectmapreduce_spark.queries import (  # noqa: F401
     projections,
     setops,
     sort_topk,
+    streaming_forms,
     udf_surface,
     windows,
 )

@@ -60,6 +60,6 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-query("flagship_pricing_summary", oracle=_ORACLE, survey="A1,A7,P2,O1", category="flagship")(
+query("flagship_pricing_summary", oracle=_ORACLE, survey="S1,A1,A7,P2,O1", category="flagship")(
     pricing_summary
 )

@@ -1,0 +1,110 @@
+"""Declared queries for the Structured Streaming wrappers (SURVEY.md
+§2.9 streaming forms).
+
+Each query drains the finite events fixture through a REAL streaming
+plan (readStream → stateful op → memory sink, availableNow trigger)
+and returns the sink contents.  Complete/update-mode drains over a
+finite source equal their batch twins exactly, so these carry full
+SQL oracles — the streaming path is hash-checked, not just smoke-run.
+
+The events fixture ships sub-second timestamps; windows bucket on the
+microsecond-truncated value both here and in the oracle.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projectmapreduce_spark.queries.registry import query
+from projectmapreduce_spark.streaming import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_available_now,
+    running_user_totals,
+    session_counts,
+    tumbling_counts,
+    with_watermark,
+)
+
+
+def _drain(spark: SparkSession, out: DataFrame, mode: str) -> DataFrame:
+    name = "pmrs_" + uuid.uuid4().hex[:12]
+    run_available_now(out, f"/tmp/pmr_stream_ckpt/{name}", output_mode=mode, query_name=name)
+    return spark.table(name)
+
+
+@query(
+    "t1s_stream_tumbling",
+    oracle="""
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    survey="T1,T4",
+    category="streaming",
+)
+def t1s_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 streaming form, complete-mode drain — hash-equal to the batch
+    tumbling aggregate (and to DuckDB date_trunc buckets)."""
+    stream = with_watermark(read_events_stream(spark, sf_dir))
+    return _drain(spark, tumbling_counts(stream), "complete")
+
+
+@query(
+    "t3s_stream_session",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, session_no
+""",
+    survey="T3,T4",
+    category="streaming",
+)
+def t3s_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 streaming form — native session-window state, checked against
+    the portable gap-and-islands SQL."""
+    stream = with_watermark(read_events_stream(spark, sf_dir))
+    return _drain(spark, session_counts(stream), "complete")
+
+
+@query("t5s_stream_dedup", oracle=None, survey="T5", category="streaming")
+def t5s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 streaming form — dropDuplicatesWithinWatermark.  Rows-only:
+    which physical row survives depends on arrival order; the KEY SET
+    equality is asserted in tests/test_streaming.py."""
+    stream = with_watermark(read_events_stream(spark, sf_dir), "1 day")
+    out = dedup_within_watermark(stream).select("user_id", "event_type")
+    return _drain(spark, out, "append")
+
+
+@query(
+    "x5s_stateful_totals",
+    oracle="""
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+""",
+    survey="T6,X3",
+    category="streaming",
+)
+def x5s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom applyInPandasWithState operator: the fixture is one file →
+    one micro-batch → the single update per key equals the batch
+    aggregate, so the custom stateful path is fully hash-checked."""
+    stream = read_events_stream(spark, sf_dir)
+    return _drain(spark, running_user_totals(stream), "update")

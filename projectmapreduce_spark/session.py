@@ -29,6 +29,12 @@ _RUNTIME_CONF = {
     # ~0.5 s on wide plan builds (profiled: _capture_call_site); the
     # engine's own errors carry enough context.
     "spark.python.sql.dataFrameDebugging.enabled": "false",
+    # Streaming stateful operators key their state store on the shuffle
+    # partition count and AQE does not coalesce them — 200 near-empty
+    # state tasks per micro-batch on local fixtures.  Batch plans are
+    # unaffected (AQE re-coalesces).  On a real cluster this is sized
+    # to cores × ~2 by the deployment, not left at the 200 default.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

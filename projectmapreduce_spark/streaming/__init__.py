@@ -1,0 +1,32 @@
+"""Structured Streaming surface (SURVEY.md §2.9 streaming forms +
+custom stateful operators).  Batch equivalents of every operator here
+live in projectmapreduce_spark/queries/events.py and are the
+oracle-checked forms; these wrappers are the live-topic path."""
+
+from projectmapreduce_spark.streaming.core import (
+    EVENTS_DDL,
+    dedup_within_watermark,
+    read_events_stream,
+    run_available_now,
+    session_counts,
+    sink_stream_parquet,
+    sliding_counts,
+    stream_static_join,
+    tumbling_counts,
+    with_watermark,
+)
+from projectmapreduce_spark.streaming.stateful import running_user_totals
+
+__all__ = [
+    "EVENTS_DDL",
+    "dedup_within_watermark",
+    "read_events_stream",
+    "run_available_now",
+    "running_user_totals",
+    "session_counts",
+    "sink_stream_parquet",
+    "sliding_counts",
+    "stream_static_join",
+    "tumbling_counts",
+    "with_watermark",
+]

@@ -1,0 +1,137 @@
+"""Structured Streaming wrappers (SURVEY.md §2.9, streaming forms).
+
+Each §2.9 batch operator gets its exact streaming twin: the same
+`groupBy(window/session_window)` / `dropDuplicates` / stream-static
+join expression applied to a ``readStream`` DataFrame with an event-
+time watermark.  Because the transformations are identical DataFrame
+expressions, streaming output over a finite input (``availableNow``
+trigger) must equal the batch result — tests/test_streaming.py asserts
+exactly that equivalence against the driver fixtures.
+
+Scale design: watermarks bound state (late rows beyond the delay are
+dropped, closed windows are evicted); `dropDuplicatesWithinWatermark`
+keeps only in-horizon keys; the stream-static join broadcasts the
+static dim per micro-batch.  On a real cluster add
+``spark.sql.streaming.statefulOperator.stateRebalancing.enabled`` and
+RocksDB state store for 100 TB-day topics; both are config, not code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The events fixture schema, declared explicitly: a streaming source
+# cannot infer schema.  ``ts`` is parquet TIMESTAMP(NANOS); with the
+# nanosAsLong legacy conf it surfaces as bigint and is converted to a
+# microsecond timestamp with exact integer arithmetic (same as io.scan).
+EVENTS_DDL = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture directory.
+
+    ``maxFilesPerTrigger=1`` keeps micro-batches bounded; with the
+    ``availableNow`` trigger the stream drains the directory and stops,
+    which is how the equivalence tests replay fixtures deterministically.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source wants a DIRECTORY; the fixture is a single file,
+    # so scope the directory listing down with pathGlobFilter.
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def with_watermark(stream: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """T4 — declare the event-time watermark that bounds all stateful
+    operators downstream (late rows beyond ``delay`` are dropped)."""
+    return stream.withWatermark("ts", delay)
+
+
+def tumbling_counts(stream: DataFrame, width: str = "1 hour") -> DataFrame:
+    """T1 streaming form — same expression as the batch query."""
+    return (
+        stream.groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(stream: DataFrame, width: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    """T2 streaming form."""
+    return (
+        stream.groupBy(F.window("ts", width, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """T3 streaming form — native session windows (gap-merged state)."""
+    return (
+        stream.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """T5 streaming form — state-bounded exact dedup: a key's state is
+    dropped once the watermark passes it, so state size tracks the
+    watermark horizon, not the stream's lifetime key cardinality."""
+    return stream.dropDuplicatesWithinWatermark(keys or ["user_id", "event_type"])
+
+
+def stream_static_join(stream: DataFrame, static_dim: DataFrame, on_expr) -> DataFrame:
+    """T6 — stream⋈static: the static side is (re)broadcast per
+    micro-batch; no state is kept for it."""
+    return stream.join(F.broadcast(static_dim), on_expr, "inner")
+
+
+def run_available_now(
+    out: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    query_name: str = "pmr_stream",
+) -> None:
+    """Drain the finite source into an in-memory sink and stop — the
+    deterministic replay harness for equivalence tests.  Results land
+    in the ``query_name`` temp view."""
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def sink_stream_parquet(
+    out: DataFrame, path: str, checkpoint_dir: str, output_mode: str = "append"
+):
+    """Production-shaped sink: exactly-once parquet append via the
+    checkpointed file sink.  Returns the StreamingQuery handle."""
+    return (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

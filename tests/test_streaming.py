@@ -1,0 +1,104 @@
+"""Streaming-equals-batch equivalence (SURVEY.md §2.9): each streaming
+wrapper drains the finite events fixture with availableNow and must
+reproduce its batch twin exactly — the strongest check available for
+streaming semantics without a live topic."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from projectmapreduce_spark.io import scan
+from projectmapreduce_spark.streaming import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_available_now,
+    running_user_totals,
+    session_counts,
+    stream_static_join,
+    tumbling_counts,
+    with_watermark,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _drain(spark, out, mode="append"):
+    name = "s" + uuid.uuid4().hex[:12]
+    run_available_now(out, f"/tmp/pmr_ckpt/{name}", output_mode=mode, query_name=name)
+    return spark.table(name)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark):
+    # complete mode: append would hold back the last (never-closed)
+    # window at end-of-stream; complete emits every window, matching batch.
+    stream = with_watermark(read_events_stream(spark, SF_SMOKE))
+    got = _drain(spark, tumbling_counts(stream), mode="complete")
+    ev = scan(spark, SF_SMOKE, "events")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+    cols = ["win_start", "event_type", "n", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_stream_equals_batch(spark):
+    stream = with_watermark(read_events_stream(spark, SF_SMOKE))
+    got = _drain(spark, session_counts(stream), mode="complete")
+    ev = scan(spark, SF_SMOKE, "events")
+    want = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("session_window.start").alias("session_start"), "n_events")
+    )
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_dedup_keys_match_batch(spark):
+    """dropDuplicatesWithinWatermark keeps exactly one row per in-horizon
+    key; over the finite fixture the surviving KEY SET must equal the
+    batch distinct (which row survives is arrival-order-dependent)."""
+    stream = with_watermark(read_events_stream(spark, SF_SMOKE), "1 day")
+    got = _drain(spark, dedup_within_watermark(stream).select("user_id", "event_type"))
+    ev = scan(spark, SF_SMOKE, "events")
+    want = ev.select("user_id", "event_type").distinct()
+    cols = ["user_id", "event_type"]
+    assert _rows(got.distinct(), cols) == _rows(want, cols)
+
+
+def test_stream_static_join_equals_batch(spark):
+    cust = scan(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment")
+    stream = read_events_stream(spark, SF_SMOKE)
+    joined = stream_static_join(
+        stream, cust, stream["user_id"] == cust["c_custkey"]
+    ).select("event_id", "c_mktsegment")
+    got = _drain(spark, joined)
+    ev = scan(spark, SF_SMOKE, "events")
+    want = ev.join(cust, ev["user_id"] == cust["c_custkey"]).select(
+        "event_id", "c_mktsegment"
+    )
+    cols = ["event_id", "c_mktsegment"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stateful_running_totals_converge_to_batch(spark):
+    """The custom applyInPandasWithState operator's final update per key
+    must equal the global batch aggregate."""
+    stream = read_events_stream(spark, SF_SMOKE)
+    got = _drain(spark, running_user_totals(stream), mode="update")
+    # One source file → one micro-batch → exactly one update per key.
+    ev = scan(spark, SF_SMOKE, "events")
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
