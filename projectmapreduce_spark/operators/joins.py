@@ -127,6 +127,40 @@ def asof_join(
     return matched.filter(F.col("__side") == 1).select(*out_cols)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-buster equi-join (SURVEY.md §4 salting recipe).
+
+    A hot key sends all its rows to one reducer; AQE's skew-join split
+    handles moderate cases, but pathological keys (one key = 10% of
+    100 TB) still bottleneck.  Salting shards each hot key
+    deterministically-in-result: the big/skewed ``left`` adds a salt in
+    [0, n_salts) per row; the smaller ``right`` is replicated once per
+    salt value; the join key becomes (key, salt), spreading each key
+    over ``n_salts`` reducers.  The result set is identical to the
+    plain join for any salt assignment — salt only changes
+    partitioning, so the per-row salt source (row id) being
+    nondeterministic across runs is harmless.
+
+    Cost: right side shuffles n_salts× its size — use for
+    big-skewed ⋈ moderate, never for two huge sides (pre-aggregate or
+    split hot keys explicitly instead).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    l = left.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(n_salts)]))
+    )
+    return l.join(r, on=keys + ["__salt"], how=how).drop("__salt")
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

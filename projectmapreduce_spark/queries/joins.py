@@ -380,3 +380,37 @@ def j10_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "j11_salted_skew_join",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS n,
+       round(sum(l.l_extendedprice), 2) AS total_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    survey="J1,M5",
+    category="join",
+)
+def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈fact join (SURVEY.md §4 salting recipe): the
+    join key becomes (orderkey, salt) with the orders side replicated
+    per salt — result-identical to the plain join (this oracle IS the
+    plain join), partition-load-balanced under pathological key skew
+    that AQE's splitter can't fix."""
+    from projectmapreduce_spark.operators.joins import salted_join
+
+    l = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        l.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        on="k",
+        n_salts=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
