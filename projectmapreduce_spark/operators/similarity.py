@@ -233,6 +233,117 @@ def lsh_ann_topk(
     ).filter(F.col("nn_rank") <= k)
 
 
+def _centroid_scores_sql(vec_sql: str, cents: list[list[float]]) -> str:
+    """SQL for array<struct<s,c>> of per-centroid scores v·c − ‖c‖²/2
+    (argmax of which ⇔ argmin euclidean distance).  Built as ONE SQL
+    string — k×dim literals via column-by-column Py4J construction was
+    the plan-build bottleneck (~1000 round trips per assignment)."""
+    structs = []
+    for i, c in enumerate(cents):
+        arr = "array(" + ",".join(f"{x!r}D" for x in c) + ")"
+        dotp = f"aggregate(zip_with({vec_sql}, {arr}, (x,y)->x*y), 0.0D, (a,x)->a+x)"
+        off = sum(x * x for x in c) / 2.0
+        structs.append(f"named_struct('s', {dotp} - {off!r}D, 'c', {i})")
+    return "array(" + ",".join(structs) + ")"
+
+
+def _nearest_centroid(vec_sql: str, cents: list[list[float]]) -> Column:
+    """argmin_c ‖v − c‖² ; ``vec_sql`` is a SQL expression for an
+    array<double> vector (e.g. "cast(embedding as array<double>)")."""
+    return F.expr(f"array_max({_centroid_scores_sql(vec_sql, cents)}).c")
+
+
+def ivf_fit(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_clusters: int = 16,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Tiny Lloyd's k-means for the IVF coarse quantizer.
+
+    Deterministic init (first k vectors by id) + ``iters`` refinement
+    passes.  Each pass is one map-only assignment (centroids are
+    expression literals — k×dim doubles, driver-resident at ANY corpus
+    scale) plus one (cluster, pos) mean aggregation whose shuffle is
+    k×dim rows, independent of corpus size.  That is the textbook
+    MapReduce k-means cost profile — fine at 100 TB.
+    """
+    init = emb.orderBy(id_col).limit(k_clusters).select(vec_col).collect()
+    cents = [[float(x) for x in r[0]] for r in init]
+    vec_sql = f"cast(`{vec_col}` as array<double>)"
+    for _ in range(iters):
+        assigned = emb.select(
+            _nearest_centroid(vec_sql, cents).alias("cluster"),
+            F.col(vec_col).alias("__v"),
+        ).select("cluster", F.posexplode(as_double(F.col("__v"))).alias("pos", "val"))
+        rows = (
+            assigned.groupBy("cluster", "pos").agg(F.avg("val").alias("m")).collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
+        cents = [
+            [by_cluster[c][p] for p in sorted(by_cluster[c])] if c in by_cluster else cents[c]
+            for c in range(k_clusters)
+        ]
+    return cents
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+    k: int,
+    k_clusters: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse k-means quantizer, inverted
+    lists per cluster, queries probe their ``n_probe`` nearest
+    centroids, exact cosine re-rank inside the probed lists.
+
+    Expected comparisons: Q·N·(n_probe/k_clusters) — the standard IVF
+    recall/cost dial.  Versus LSH buckets: data-adaptive partitions
+    (tighter lists when the corpus is clustered), at the price of the
+    k-means fit passes.
+    """
+    cents = ivf_fit(emb, id_col, vec_col, k_clusters, iters)
+    vec_sql = f"cast(`{vec_col}` as array<double>)"
+    q_vec_sql = f"cast(`{q_vec_col}` as array<double>)"
+    n = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        _nearest_centroid(vec_sql, cents).alias("cluster"),
+    )
+    # Query side: rank ALL centroids per query, keep n_probe best.
+    probes = F.expr(
+        f"transform(slice(reverse(array_sort({_centroid_scores_sql(q_vec_sql, cents)}"
+        f")), 1, {n_probe}), t -> t.c)"
+    )
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).alias("qv"),
+        probes.alias("__probes"),
+    ).select("q_id", "qv", F.explode("__probes").alias("cluster"))
+    scored = (
+        n.join(F.broadcast(q), on="cluster")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            cosine(as_double(F.col("qv")), as_double(F.col("nv"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.select(
+        "q_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("nn_rank")
+    ).filter(F.col("nn_rank") <= k)
+
+
 def centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """Per-label mean vector via posexplode → (label, pos) partial-agg —
     shuffle is labels × dim rows, never the vectors themselves.

@@ -28,6 +28,7 @@ from projectmapreduce_spark.operators.similarity import (
     brute_force_topk,
     centroids,
     cosine_pairs,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
 from projectmapreduce_spark.operators.text import (
@@ -184,6 +185,20 @@ def l4b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = scan(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     out = lsh_ann_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5, n_planes=6)
+    return out.select("q_id", "neighbor_id", dround("cos_sim", 6).alias("cos_sim"), "nn_rank")
+
+
+@query("l4c_ann_ivf", oracle=None, survey="L4", category="llm")
+def l4c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via an IVF coarse quantizer (tiny Lloyd k-means,
+    inverted lists per cluster, n_probe nearest lists re-ranked
+    exactly).  Data-adaptive counterpart to l4b's LSH buckets.
+    Rows-only; recall vs l4 exact is measured in tests."""
+    e = scan(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    out = ivf_ann_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding", k=5, k_clusters=16, n_probe=2
+    )
     return out.select("q_id", "neighbor_id", dround("cos_sim", 6).alias("cos_sim"), "nn_rank")
 
 
