@@ -256,3 +256,31 @@ def a10_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+@query(
+    "a5c_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    survey="A5",
+    category="aggregate",
+)
+def a5c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets — the general form rollup/cube are sugar
+    for; expressed via SQL on a temp view (groupingSets has no direct
+    DataFrame method pre-Spark-4.1 connect API)."""
+    scan(spark, sf_dir, "lineitem").createOrReplaceTempView("pmr_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*)                  AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM pmr_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

@@ -117,6 +117,43 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l2d_embedding_neardup",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, label,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+  FROM e
+),
+dup_ids AS (
+  SELECT DISTINCT b.vec_id
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.vn, b.vn) >= 0.2
+)
+SELECT e.vec_id, e.label FROM e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM dup_ids)
+""",
+    survey="L2,L3",
+    category="llm",
+)
+def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup: drop every vector whose cosine to a
+    LOWER-id vector in its label block is ≥ 0.2 (keep-first semantics,
+    same survivor rule as exact dedup).  The pair join is the blocked
+    cosine join (l3); the survivor step is a left-anti join — both
+    shuffle-bounded, no cross join."""
+    e = scan(spark, sf_dir, "embeddings")
+    dups = (
+        cosine_pairs(e, "vec_id", "embedding", threshold=0.2, block_col="label")
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return e.select("vec_id", "label").join(dups, on="vec_id", how="left_anti")
+
+
+@query(
     "l3_cosine_pairs",
     oracle="""
 WITH e AS (
