@@ -80,28 +80,71 @@ def ngram_jaccard_join(
     text_col: str,
     threshold: float,
     n: int = 1,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact Jaccard similarity join via the inverted-index pattern.
+    """EXACT Jaccard similarity join.  Output: (id_a, id_b, jaccard)
+    with id_a < id_b and jaccard ≥ threshold.
 
-    |A∩B| comes from self-joining the (id, token) relation on token —
-    an equi-join, so only ids sharing a token are ever compared
-    (blocking for free); |A∪B| = |A|+|B|−|A∩B|.  Output: (id_a, id_b,
-    jaccard) with id_a < id_b and jaccard ≥ threshold.
+    ``prefix_filter=True`` (default) applies the All-Pairs/PPJoin
+    prefix-filtering principle [Bayardo et al. WWW'07; Xiao et al.
+    WWW'08 — public algorithms]: order tokens globally rarest-first;
+    a doc of size s only indexes its first ``s − ⌈t·s⌉ + 1`` tokens.
+    Any pair with J ≥ t must share an indexed token (if A∩B misses A's
+    prefix, the whole intersection fits in A's suffix of ⌈t·s⌉−1 <
+    t·s ≤ |A∩B| — contradiction), so candidate generation is exact-
+    complete while hot tokens (highest frequency = last in the order)
+    almost never get indexed.  That removes the quadratic hot-token
+    blow-up of the naive inverted-index self-join — the difference
+    between O(candidates) and O(Σ posting²) at corpus scale.  (On the
+    sf0.1 fixture the wall time is dominated by its ~3M genuinely
+    similar output pairs — an output-bound cost no exact algorithm
+    avoids; the filter's win is the hot-token asymptotics, verified
+    output-identical to the naive join in tests.)
 
-    This is the exact verifier; at corpus scale the candidate set must
-    come from LSH first (``near_dup_minhash``) because hot tokens make
-    the token self-join quadratic in the worst case.
+    ``prefix_filter=False`` is the naive inverted-index join kept for
+    differential testing.
     """
     tok = tokens_of(df, id_col, text_col, n)
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
-    a = tok.select(F.col("id").alias("id_a"), "token")
-    b = tok.select(F.col("id").alias("id_b"), "token")
-    inter = (
-        a.join(b, on="token")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    if prefix_filter:
+        freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+        ranked = (
+            tok.join(freq, "token")
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(F.col("tf").asc(), F.col("token").asc())
+                ),
+            )
+            .join(sizes, "id")
+        )
+        plen = F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1
+        pref = ranked.filter(F.col("rnk") <= plen).select("id", "token")
+        pa = pref.select(F.col("id").alias("id_a"), "token")
+        pb = pref.select(F.col("id").alias("id_b"), "token")
+        cands = (
+            pa.join(pb, on="token")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        ta = tok.select(F.col("id").alias("id_a"), "token")
+        tb = tok.select(F.col("id").alias("id_b"), "token")
+        inter = (
+            cands.join(ta, "id_a")
+            .join(tb, ["id_b", "token"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a = tok.select(F.col("id").alias("id_a"), "token")
+        b = tok.select(F.col("id").alias("id_b"), "token")
+        inter = (
+            a.join(b, on="token")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
