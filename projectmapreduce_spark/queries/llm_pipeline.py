@@ -475,3 +475,30 @@ def l12_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = scan(spark, sf_dir, "embeddings")
     out = centroids(e, "label", "embedding")
     return out.select("label", "pos", dround("centroid_val", 6).alias("centroid_val"))
+
+
+@query(
+    "l11c_frame_sampling",
+    oracle="""
+SELECT doc_id AS media_id,
+       generate_subscripts(range((length(text) + 63) // 64), 1) - 1 AS frame_idx,
+       least(64, length(text) - (generate_subscripts(range((length(text) + 63) // 64), 1) - 1) * 64) AS frame_bytes
+FROM documents
+WHERE doc_id < 50 AND length(text) > 0
+""",
+    survey="L11,M2",
+    category="llm",
+)
+def l11c_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (1 payload → N frames) through the
+    stubbed mapInPandas kernel — asserts the real Spark-side contract
+    (schema, Arrow batching, 1→N expansion) with a deterministic fake;
+    frame sizes are SQL-checkable from payload length."""
+    from projectmapreduce_spark.operators.multimodal import sample_frames
+
+    d = scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = attach_payload(d, "doc_id", "text", kind="video")
+    frames = sample_frames(media, every_n_bytes=64, fake=True)
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame_payload").alias("frame_bytes")
+    )

@@ -131,3 +131,40 @@ def x4_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mapInPandas`` path (M2) with the same contract."""
     d = scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     return d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+
+
+@query(
+    "x4b_python_udtf",
+    oracle="""
+SELECT doc_id,
+       generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+       unnest(string_split(text, ' '))                     AS token
+FROM documents
+WHERE doc_id < 20
+""",
+    survey="X4",
+    category="udf",
+)
+def x4b_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Python UDTF (Spark 4 ``@udtf`` class): a per-row generator
+    yielding N output rows, invoked via SQL LATERAL — the
+    arbitrary-Python table function x4 expresses declaratively.
+    Hash-matches the same oracle as x4, proving the two paths agree.
+    Row-at-a-time Python: keep off hot paths (the declarative
+    posexplode form is the 100 TB shape)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string")
+    class SplitTokens:
+        def eval(self, doc_id: int, text: str):
+            for i, t in enumerate(text.split(" ")):
+                yield doc_id, i, t
+
+    spark.udtf.register("pmr_split_tokens", SplitTokens)
+    scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView(
+        "pmr_docs_udtf"
+    )
+    return spark.sql(
+        "SELECT s.doc_id, s.pos, s.token "
+        "FROM pmr_docs_udtf d, LATERAL pmr_split_tokens(d.doc_id, d.text) s"
+    )
