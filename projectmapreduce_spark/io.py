@@ -117,6 +117,28 @@ def sink_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def sink_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) managed table — the
+    pre-partitioning story for repeated co-located joins at 100 TB:
+    two tables bucketed on the same key with the same bucket count
+    join with NO exchange on either side (asserted in
+    tests/test_bucketing.py), and bucket-sorted data upgrades the join
+    to a zero-sort merge.  Worth one up-front shuffle when a fact table
+    is joined on the same key by many downstream queries.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
 def sink_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """CSV sink (round-trip support for S2)."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
