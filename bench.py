@@ -31,6 +31,7 @@ HEADLINE = [
     "j7_band_join",
     "j8_asof_join",
     "j10_star_join",
+    "j11_salted_skew_join",
     "a5_rollup",
     "a10_pivot",
     "w1_ranking",
@@ -42,8 +43,10 @@ HEADLINE = [
     "m7_inverted_index",
     "l1_exact_dedup",
     "l2_minhash_lsh",
+    "l2d_embedding_neardup",
     "l3_cosine_pairs",
     "l4_topk_nn",
+    "l4c_ann_ivf",
     "l8_text_quality",
     "l9_tfidf",
     "l12_embedding_centroids",
