@@ -25,6 +25,7 @@ from projectmapreduce_spark.streaming import (
     run_available_now,
     running_user_totals,
     session_counts,
+    sliding_counts,
     tumbling_counts,
     with_watermark,
 )
@@ -81,6 +82,28 @@ def t3s_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     the portable gap-and-islands SQL."""
     stream = with_watermark(read_events_stream(spark, sf_dir))
     return _drain(spark, session_counts(stream), "complete")
+
+
+@query(
+    "t2s_stream_sliding",
+    oracle="""
+SELECT time_bucket(INTERVAL '15 minutes', ts::TIMESTAMP)
+         - k.k * INTERVAL '15 minutes' AS win_start,
+       event_type,
+       count(*) AS n
+FROM events
+CROSS JOIN (SELECT unnest(range(4)) AS k) k
+GROUP BY 1, 2
+""",
+    survey="T2,T4",
+    category="streaming",
+)
+def t2s_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 streaming form — overlapping 1h/15min windows maintained as
+    streaming state, complete-mode drain hash-equal to the batch
+    window explosion."""
+    stream = with_watermark(read_events_stream(spark, sf_dir))
+    return _drain(spark, sliding_counts(stream), "complete")
 
 
 @query("t5s_stream_dedup", oracle=None, survey="T5", category="streaming")
