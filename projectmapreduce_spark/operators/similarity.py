@@ -62,7 +62,8 @@ def normalized(emb: DataFrame, id_col: str, vec_col: str, dim: int | None = None
     """All columns of ``emb`` plus ``vn`` = unit-normalized double vector
     (computed once per vector — prerequisite for dot-only cosine)."""
     v = as_double(F.col(vec_col))
-    return emb.withColumn("__n", norm(F.col(vec_col), dim)).withColumn(
+    norm_in = v if dim is None else F.col(vec_col)
+    return emb.withColumn("__n", norm(norm_in, dim)).withColumn(
         "vn", F.transform(v, lambda x: x / F.col("__n"))
     ).drop("__n")
 
@@ -86,7 +87,12 @@ def cosine_pairs(
     # exact same float ops as normalize-then-dot (and as the DuckDB
     # oracle's list_transform + list_dot_product), but with no
     # intermediate normalized array to rebuild on the pair side.
-    unit = fan_out(emb).withColumn("__n", norm(F.col(vec_col), dim))
+    # dim=None: norm over the DOUBLE-cast array — zip_with on the raw
+    # float32 column would multiply in float32 and diverge from the
+    # all-double oracle in the last ulp (caught by the sf0.001 sweep).
+    # The unrolled path casts per element inside dot() already.
+    norm_in = as_double(F.col(vec_col)) if dim is None else F.col(vec_col)
+    unit = fan_out(emb).withColumn("__n", norm(norm_in, dim))
     a = unit.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
@@ -225,7 +231,11 @@ def lsh_ann_topk(
     scored = (
         n.join(F.broadcast(q), on="bucket")
         .filter(F.col("q_id") != F.col("neighbor_id"))
-        .select("q_id", "neighbor_id", cosine(F.col("qv"), F.col("nv"), dim).alias("cos_sim"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            cosine(as_double(F.col("qv")), as_double(F.col("nv"))).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.select(
