@@ -408,7 +408,7 @@ def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.withColumnRenamed("l_orderkey", "k"),
         o.withColumnRenamed("o_orderkey", "k"),
         on="k",
-        n_salts=8,
+        n_salts=4,
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
