@@ -234,7 +234,7 @@ def a9_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a10_pivot",
     oracle="""
-SELECT date_trunc('day', ts) AS day,
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
        count(*) FILTER (event_type = 'click')    AS click,
        count(*) FILTER (event_type = 'error')    AS error,
        count(*) FILTER (event_type = 'purchase') AS purchase,

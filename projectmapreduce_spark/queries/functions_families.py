@@ -69,11 +69,11 @@ SELECT o_orderkey,
        year(o_orderdate)                                  AS order_year,
        month(o_orderdate)                                 AS order_month,
        dayofmonth(o_orderdate)                            AS order_day,
-       date_trunc('month', o_orderdate)                   AS month_start,
+       date_trunc('month', o_orderdate)::TIMESTAMP        AS month_start,
        datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
        (CAST(o_orderdate AS DATE) + 30)::TIMESTAMP       AS due_date,
        CAST(epoch(o_orderdate) AS BIGINT)                 AS unix_secs,
-       date_trunc('day', o_orderdate)                     AS order_date_only
+       date_trunc('day', o_orderdate)::TIMESTAMP          AS order_date_only
 FROM orders
 """,
     survey="F2",
@@ -102,14 +102,14 @@ def f2_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT s_suppkey,
        abs(s_acctbal)                        AS abs_bal,
-       ceil(s_acctbal)                       AS ceil_bal,
-       floor(s_acctbal)                      AS floor_bal,
+       ceil(s_acctbal)::BIGINT               AS ceil_bal,
+       floor(s_acctbal)::BIGINT              AS floor_bal,
        round(sqrt(abs(s_acctbal)), 6)        AS sqrt_bal,
        round(pow(s_acctbal / 1000.0, 2), 6)  AS pow_bal,
        round(ln(abs(s_acctbal) + 1.0), 6)    AS log_bal,
        round(exp(s_acctbal / 10000.0), 6)    AS exp_bal,
        ((s_suppkey % 7) + 7) % 7             AS pmod7,
-       sign(s_acctbal)                       AS bal_sign
+       sign(s_acctbal)::DOUBLE               AS bal_sign
 FROM supplier
 """,
     survey="F3",

@@ -83,7 +83,7 @@ def s3_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s4_text_roundtrip",
     oracle="""
-SELECT count(*) AS n_lines, sum(length(text)) AS total_chars
+SELECT count(*) AS n_lines, sum(length(text))::BIGINT AS total_chars
 FROM documents
 """,
     survey="S4",

@@ -113,8 +113,8 @@ def j3_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j3b_full_outer",
     oracle="""
 SELECT coalesce(a.k, b.k) AS status_key,
-       a.n_f              AS n_f,
-       b.n_o              AS n_o
+       a.n_f::DOUBLE      AS n_f,
+       b.n_o::DOUBLE      AS n_o
 FROM (SELECT o_orderstatus AS k, count(*) AS n_f FROM orders WHERE o_orderstatus <> 'O' GROUP BY 1) a
 FULL OUTER JOIN (SELECT o_orderstatus AS k, count(*) AS n_o FROM orders WHERE o_orderstatus <> 'F' GROUP BY 1) b
   ON a.k = b.k
@@ -135,8 +135,14 @@ def j3b_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderstatus").alias("k"))
         .agg(F.count(F.lit(1)).alias("n_o"))
     )
+    # Nullable counts are pinned to double on BOTH sides: pandas coerces a
+    # null-bearing int64 to float64 anyway, but that coercion depends on the
+    # fixture actually producing a dangling key — cast so the dtype is
+    # deterministic, not data-dependent.
     return a.join(b, a.k == b.k, "full").select(
-        F.coalesce(a.k, b.k).alias("status_key"), "n_f", "n_o"
+        F.coalesce(a.k, b.k).alias("status_key"),
+        F.col("n_f").cast("double").alias("n_f"),
+        F.col("n_o").cast("double").alias("n_o"),
     )
 
 
@@ -255,8 +261,8 @@ purchases AS (
 SELECT p.purchase_id,
        p.user_id,
        round(p.value, 2) AS purchase_value,
-       c.click_id        AS last_click_id,
-       c.click_value     AS last_click_value
+       c.click_id::DOUBLE AS last_click_id,
+       c.click_value      AS last_click_value
 FROM purchases p
 ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.ts >= c.ts
@@ -289,7 +295,14 @@ def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="user_id",
         ts="ts",
         right_cols={"click_id": "last_click_id", "click_value": "last_click_value"},
-    ).select("purchase_id", "user_id", "purchase_value", "last_click_id", "last_click_value")
+    ).select(
+        "purchase_id",
+        "user_id",
+        "purchase_value",
+        # Left-join-nullable id pinned to double on both sides (see j3b note).
+        F.col("last_click_id").cast("double").alias("last_click_id"),
+        "last_click_value",
+    )
 
 
 @query(

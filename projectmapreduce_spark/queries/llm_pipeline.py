@@ -284,7 +284,7 @@ def l6_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "l7_language_routing",
     oracle="""
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM documents
 WHERE lang IN ('en', 'fr', 'de')
 GROUP BY lang
@@ -387,8 +387,8 @@ hits AS (
   GROUP BY doc_id
 )
 SELECT d.doc_id AS id,
-       coalesce(h.score, 0)  AS score,
-       coalesce(h.n_hits, 0) AS n_hits
+       coalesce(h.score, 0)::BIGINT  AS score,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits
 FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
 """,
     survey="L10",

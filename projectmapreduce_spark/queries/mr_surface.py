@@ -70,7 +70,7 @@ def m2_mappartitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "m3_reduce_by_key",
     oracle="""
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM documents
 GROUP BY lang, source
 """,

@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 
 import __spark_entry__ as entrymod
-from oracle_utils import _canon_frame  # reuse the strict canonicalizer
+from oracle_utils import _canon_frame, dtype_families  # strict, type-sensitive canon
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -78,14 +78,20 @@ def main() -> int:
             du = con.execute(oracles[name]).fetchdf()
             ok_schema = sorted(sp.columns) == sorted(du.columns)
             ok_count = len(sp) == len(du)
-            ok_vals = ok_schema and ok_count and _canon_frame(sp) == _canon_frame(du)
+            # The driver's value-hash is type-sensitive (int != float), so
+            # pandas dtype families must match, not just canonical values.
+            ok_dtype = ok_schema and dtype_families(sp) == dtype_families(du)
+            ok_vals = (
+                ok_schema and ok_count and ok_dtype and _canon_frame(sp) == _canon_frame(du)
+            )
             if ok_vals:
                 n_pass += 1
                 print(f"[PASS] {name}: {len(sp)} rows ({time.time()-t0:.1f}s)")
             else:
                 n_fail += 1
                 print(
-                    f"[FAIL] {name}: schema_ok={ok_schema} count={len(sp)}vs{len(du)}"
+                    f"[FAIL] {name}: schema_ok={ok_schema} dtype_ok={ok_dtype} "
+                    f"count={len(sp)}vs{len(du)}"
                 )
         except Exception as e:  # noqa: BLE001
             n_fail += 1
