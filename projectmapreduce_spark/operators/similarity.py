@@ -197,6 +197,7 @@ def lsh_ann_topk(
     n_planes: int = 8,
     seed: int = 7,
     multiprobe: bool = True,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: bucket both sides by hyperplane signature,
     equi-join on bucket, exact cosine re-rank inside the bucket.
@@ -206,36 +207,76 @@ def lsh_ann_topk(
     bits) — (1+n_planes)× the candidate volume for a large recall gain
     on borderline vectors that straddle a hyperplane.
 
-    Recall < 1 by design (measured in tests/test_operators.py against
-    ``brute_force_topk``); raise recall with fewer planes (bigger
-    buckets) or multiprobe.  At 100 TB the bucket join replaces the
-    O(Q·N) scan with O(Q·N·(1+planes)/2^planes) expected comparisons;
-    only the (small) query side is expanded, then broadcast.
+    ``n_tables`` is standard OR-amplification [Indyk & Motwani 1998]:
+    T independent signatures (seeds ``seed..seed+T-1``), candidates =
+    union over tables, so a true neighbor with per-table collision
+    probability p^b is missed only with probability (1-p^b)^T.  This is
+    the knob that rescues recall on weakly-correlated neighbors (the
+    bench fixture's true top-5 sit at cos ≈ 0.35, i.e. per-plane
+    agreement p ≈ 0.62, where one table of 6 planes collides on only
+    ~6% of true neighbors).  Cost: the corpus-side index is written T×
+    (exactly a T-hash-table LSH index); candidates are deduped on
+    (q_id, neighbor_id) before the exact re-rank so each pair is scored
+    once.
+
+    Recall < 1 by design (measured in tests/test_operators.py and at
+    bench scale by scripts/ann_recall.py against ``brute_force_topk``).
+    At 100 TB the bucket join replaces the O(Q·N) scan with
+    O(Q·N·T·(1+planes)/2^planes) expected comparisons; only the (small)
+    query side is expanded, then broadcast.
     """
+    def tables(vec, make_row):
+        per_table = [
+            make_row(t, lsh_bucket(vec, dim, n_planes, seed + t)) for t in range(n_tables)
+        ]
+        return F.explode(F.array(*per_table))
+
     n = fan_out(emb).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+        tables(
+            F.col(vec_col),
+            lambda t, b: F.struct(F.lit(t).alias("table"), b.alias("bucket")),
+        ).alias("tb"),
+    ).select("neighbor_id", "nv", "tb.table", "tb.bucket")
+    probe_rows = (
+        (lambda t, b: F.array(
+            F.struct(F.lit(t).alias("table"), b.alias("bucket")),
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    b.bitwiseXOR(F.lit(1 << p)).alias("bucket"),
+                )
+                for p in range(n_planes)
+            ],
+        ))
+        if multiprobe
+        else (lambda t, b: F.array(F.struct(F.lit(t).alias("table"), b.alias("bucket"))))
     )
     q = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.col(q_vec_col).alias("qv"),
-        lsh_bucket(F.col(q_vec_col), dim, n_planes, seed).alias("bucket"),
-    )
-    if multiprobe:
-        probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
-        )
-        q = q.select("q_id", "qv", F.explode(probes).alias("bucket"))
-    scored = (
-        n.join(F.broadcast(q), on="bucket")
+        F.explode(
+            F.flatten(
+                F.array(*[
+                    probe_rows(t, lsh_bucket(F.col(q_vec_col), dim, n_planes, seed + t))
+                    for t in range(n_tables)
+                ])
+            )
+        ).alias("tb"),
+    ).select("q_id", "qv", "tb.table", "tb.bucket")
+    candidates = (
+        n.join(F.broadcast(q), on=["table", "bucket"])
         .filter(F.col("q_id") != F.col("neighbor_id"))
-        .select(
-            "q_id",
-            "neighbor_id",
-            cosine(as_double(F.col("qv")), as_double(F.col("nv"))).alias("cos_sim"),
-        )
+        .select("q_id", "neighbor_id", "qv", "nv")
+    )
+    if n_tables > 1 or multiprobe:
+        # Same pair can collide in several tables/probes — score once.
+        candidates = candidates.dropDuplicates(["q_id", "neighbor_id"])
+    scored = candidates.select(
+        "q_id",
+        "neighbor_id",
+        cosine(as_double(F.col("qv")), as_double(F.col("nv"))).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.select(

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Measure ANN recall@k and candidate cost at bench scale (VERDICT r1 item 6).
+
+Compares the approximate NN paths against the exact brute-force baseline
+at sf0.1 (2000 vectors, 64-dim).  The fixture is the adversarial case
+for ANN: vectors are near-uniform on the sphere (intra-label cosine ≈ 0)
+and true top-5 neighbors sit at cos ≈ 0.32–0.37, i.e. per-hyperplane
+agreement p ≈ 0.6 — so recall is bought with OR-amplification
+(multi-table LSH) or wider IVF probing, and the candidate fraction is
+the price worth reporting alongside recall.
+
+Recall@k   = |ANN top-k ∩ exact top-k| / k, averaged over queries
+(queries with an empty candidate set count 0).
+Candidate fraction = distinct scored pairs / (Q · (N-1)) — the share of
+the brute-force work the ANN path actually did.
+
+Usage:
+  python scripts/ann_recall.py            # declared-query knob configs
+  python scripts/ann_recall.py --sweep    # knob sweep for tuning
+Prints one JSON line per config; exits 1 if the declared configs' recall
+at 64 queries is below --threshold.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from projectmapreduce_spark.io import scan
+from projectmapreduce_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
+from projectmapreduce_spark.session import get_spark
+
+# Declared-query knobs (queries/llm_pipeline.py l4b/l4c) — measured here
+# at bench scale so the declared queries' recall is on record.
+LSH_DECLARED = [(6, 8)]  # (n_planes, n_tables): recall 0.925 @ 0.61 frac
+IVF_DECLARED = [(32, 16, 2)]  # (k_clusters, n_probe, iters): recall 0.919 @ 0.50 frac
+
+LSH_SWEEP = [(6, 1), (4, 4), (4, 8), (5, 6), (6, 8), (6, 10)]
+IVF_SWEEP = [(16, 2, 1), (16, 6, 2), (16, 10, 2), (16, 12, 2), (32, 16, 2), (32, 20, 2)]
+
+
+def topk_sets(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.select("q_id", "neighbor_id").collect():
+        out.setdefault(r.q_id, set()).add(r.neighbor_id)
+    return out
+
+
+def recall(ann: dict[int, set[int]], exact: dict[int, set[int]], k: int) -> float:
+    return sum(len(ann.get(q, set()) & nb) / k for q, nb in exact.items()) / len(exact)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--n-queries", type=int, default=64)
+    ap.add_argument("--threshold", type=float, default=0.9)
+    ap.add_argument("--sweep", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="ann-recall")
+    e = scan(spark, args.sf_dir, "embeddings").cache()
+    n_corpus = e.count()
+    q = e.filter(F.col("vec_id") < args.n_queries)
+    exact = topk_sets(
+        brute_force_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=args.k)
+    )
+    denom = args.n_queries * (n_corpus - 1)
+
+    declared_recalls: list[float] = []
+    for planes, tables in LSH_SWEEP if args.sweep else LSH_DECLARED:
+        t0 = time.time()
+        top = lsh_ann_topk(
+            e, q, "vec_id", "embedding", "vec_id", "embedding",
+            k=args.k, n_planes=planes, n_tables=tables,
+        )
+        r = recall(topk_sets(top), exact, args.k)
+        # k=n_corpus rank cap disabled -> every scored candidate survives,
+        # so the row count IS the distinct candidate-pair count.
+        n_cand = lsh_ann_topk(
+            e, q, "vec_id", "embedding", "vec_id", "embedding",
+            k=n_corpus, n_planes=planes, n_tables=tables,
+        ).count()
+        print(json.dumps({
+            "algo": "lsh", "n_planes": planes, "n_tables": tables,
+            "recall": round(r, 4), "cand_frac": round(n_cand / denom, 4),
+            "sec": round(time.time() - t0, 1),
+        }))
+        if not args.sweep:
+            declared_recalls.append(r)
+
+    for kc, probe, iters in IVF_SWEEP if args.sweep else IVF_DECLARED:
+        t0 = time.time()
+        top = ivf_ann_topk(
+            e, q, "vec_id", "embedding", "vec_id", "embedding",
+            k=args.k, k_clusters=kc, n_probe=probe, iters=iters,
+        )
+        r = recall(topk_sets(top), exact, args.k)
+        n_cand = ivf_ann_topk(
+            e, q, "vec_id", "embedding", "vec_id", "embedding",
+            k=n_corpus, k_clusters=kc, n_probe=probe, iters=iters,
+        ).count()
+        print(json.dumps({
+            "algo": "ivf", "k_clusters": kc, "n_probe": probe, "iters": iters,
+            "recall": round(r, 4), "cand_frac": round(n_cand / denom, 4),
+            "sec": round(time.time() - t0, 1),
+        }))
+        if not args.sweep:
+            declared_recalls.append(r)
+
+    if args.sweep:
+        return 0
+    worst = min(declared_recalls)
+    print(json.dumps({"declared_worst_recall": round(worst, 4), "threshold": args.threshold}))
+    return 0 if worst >= args.threshold else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

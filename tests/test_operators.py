@@ -106,10 +106,11 @@ def test_simhash_near_dups_have_small_hamming(spark):
 
 
 def test_ann_lsh_recall(spark):
-    """Bucketed ANN must recover a reasonable fraction of true top-5
-    neighbors (4 planes / 16 buckets + 1-bit multiprobe on 500 mostly
-    random vectors — measured recall 0.52; random-hyperplane LSH is
-    inherently weak when neighbors are near-orthogonal)."""
+    """Declared l4b knobs (6 planes × 8 OR-amplified tables) must hold
+    a 0.85 recall floor on the near-uniform fixture (measured 0.91 at
+    sf0.01, 0.925 at sf0.1 — scripts/ann_recall.py).  The fixture's
+    true NNs sit at cos ≈ 0.35, so single-table LSH bottoms out near
+    0.28; multi-table union is what buys the recall."""
     e = scan(spark, SF_CORRECT, "embeddings")
     q = e.filter(F.col("vec_id") < 20)
     exact = {
@@ -119,16 +120,57 @@ def test_ann_lsh_recall(spark):
     approx = {
         (r.q_id, r.neighbor_id)
         for r in lsh_ann_topk(
-            e, q, "vec_id", "embedding", "vec_id", "embedding", 5, n_planes=4
+            e, q, "vec_id", "embedding", "vec_id", "embedding", 5, n_planes=6, n_tables=8
         ).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"ANN recall collapsed: {recall}"
+    assert recall >= 0.85, f"ANN recall below declared floor: {recall}"
 
 
-def test_ann_ivf_recall_beats_lsh_floor(spark):
-    """IVF (data-adaptive lists) on the same workload: measured 0.76
-    recall at n_probe=2 of 16 clusters — hold a 0.5 floor."""
+def test_ann_lsh_clustered_geometry_is_sublinear(spark):
+    """The regime ANN exists for: clustered corpora (real embedding
+    collections) give high recall at a SMALL candidate fraction.  20
+    tight clusters × 25 vectors (intra-cluster cos ≈ 0.95): a 2-table
+    8-plane index must reach recall ≥ 0.9 while scoring < 25% of the
+    brute-force pairs — the sublinear scaling the uniform fixture's
+    adversarial geometry cannot show."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(20, 64))
+    rows = []
+    vid = 0
+    for c in range(20):
+        for _ in range(25):
+            v = centers[c] + 0.15 * rng.normal(size=64)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = emb.filter(F.col("vec_id") % 25 == 0)  # one query per cluster
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in brute_force_topk(emb, q, "vec_id", "embedding", "vec_id", "embedding", 5).collect()
+    }
+    approx = {
+        (r.q_id, r.neighbor_id)
+        for r in lsh_ann_topk(
+            emb, q, "vec_id", "embedding", "vec_id", "embedding", 5, n_planes=8, n_tables=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # rank cap k=corpus size -> row count == distinct candidate pairs
+    n_cand = lsh_ann_topk(
+        emb, q, "vec_id", "embedding", "vec_id", "embedding", 500, n_planes=8, n_tables=2
+    ).count()
+    frac = n_cand / (20 * 499)
+    assert recall >= 0.9, f"clustered recall collapsed: {recall}"
+    assert frac < 0.25, f"candidate fraction not sublinear: {frac}"
+
+
+def test_ann_ivf_recall(spark):
+    """Declared l4c knobs (32 clusters, 16 probed, 2 refinement passes)
+    must hold a 0.9 recall floor (measured 0.96 at sf0.01, 0.919 at
+    sf0.1 — scripts/ann_recall.py)."""
     from projectmapreduce_spark.operators.similarity import ivf_ann_topk
 
     e = scan(spark, SF_CORRECT, "embeddings")
@@ -140,11 +182,12 @@ def test_ann_ivf_recall_beats_lsh_floor(spark):
     approx = {
         (r.q_id, r.neighbor_id)
         for r in ivf_ann_topk(
-            e, q, "vec_id", "embedding", "vec_id", "embedding", 5, k_clusters=16, n_probe=2
+            e, q, "vec_id", "embedding", "vec_id", "embedding", 5,
+            k_clusters=32, n_probe=16, iters=2,
         ).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+    assert recall >= 0.9, f"IVF recall below declared floor: {recall}"
 
 
 def test_brute_force_topk_matches_numpy(spark):
