@@ -10,6 +10,9 @@ partition pruning for free.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -133,6 +136,17 @@ def sink_bucketed(
     to a zero-sort merge.  Worth one up-front shuffle when a fact table
     is joined on the same key by many downstream queries.
     """
+    # Idempotence across SESSIONS: the in-memory catalog dies with the
+    # session but the managed table's warehouse directory does not, and
+    # saveAsTable refuses to create over an existing location it has no
+    # catalog entry for (LOCATION_ALREADY_EXISTS).  Drop any catalog
+    # entry, then clear the orphaned location if one survives.
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

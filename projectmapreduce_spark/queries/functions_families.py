@@ -199,6 +199,49 @@ def f5_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f5b_higher_order",
+    oracle="""
+SELECT vec_id,
+       round(list_sum(list_transform(list_zip(embedding, list_reverse(embedding)),
+                                     t -> t[1]::DOUBLE * t[2]::DOUBLE)), 6)  AS dot_rev,
+       len(list_filter(embedding, x -> abs(x) > 0.25))                       AS n_large,
+       list_bool_or(list_transform(embedding, x -> x > 0.45))                AS has_hot,
+       list_bool_and(list_transform(embedding, x -> abs(x) < 10))            AS all_bounded,
+       round(list_reduce(list_transform(embedding, x -> abs(x)::DOUBLE),
+                         (a, b) -> greatest(a, b)), 6)                       AS max_abs
+FROM embeddings
+""",
+    survey="F5",
+    category="functions",
+)
+def f5b_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a named family row: zip_with
+    (pairwise combine), aggregate (fold), filter, exists, forall — the
+    JVM-side toolkit that keeps vector/array logic out of Python UDFs
+    (operators/similarity.py builds its dot products from exactly
+    these).  All in double before arithmetic: zip_with on the raw
+    float32 column would multiply in float32 and diverge from the
+    all-double oracle in the last ulp."""
+    e = scan(spark, sf_dir, "embeddings")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        dround(
+            F.aggregate(
+                F.zip_with(emb_d, F.reverse(emb_d), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("dot_rev"),
+        F.size(F.filter("embedding", lambda x: F.abs(x) > 0.25)).alias("n_large"),
+        F.exists("embedding", lambda x: x > 0.45).alias("has_hot"),
+        F.forall("embedding", lambda x: F.abs(x) < 10).alias("all_bounded"),
+        dround(F.array_max(F.transform(emb_d, lambda x: F.abs(x))), 6).alias("max_abs"),
+    )
+
+
+@query(
     "f6_map_funcs",
     oracle="""
 SELECT event_id,

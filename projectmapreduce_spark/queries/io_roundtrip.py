@@ -144,3 +144,37 @@ def s6_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"), dround(F.sum("value"), 2).alias("total_value")
     )
+
+
+@query(
+    "s7_bucketed_join",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    survey="S5,J1",
+    category="io",
+)
+def s7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-sink co-located join: both sides written as managed
+    tables bucketed (and bucket-sorted) on the join key, then joined as
+    ``spark.table()``s — the bucketed scan satisfies the join's
+    distribution requirement so the plan has NO shuffle exchange on
+    either side (asserted in tests/test_bucketing.py and
+    tests/test_plans.py).  The 100 TB story: one up-front bucketed
+    write amortizes the fact-table shuffle across every downstream
+    join on that key."""
+    from projectmapreduce_spark.io import sink_bucketed
+
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    sink_bucketed(li, "pmr_s7_lineitem", ["l_orderkey"], n_buckets=8, sort_cols=["l_orderkey"])
+    sink_bucketed(o, "pmr_s7_orders", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"])
+    j = spark.table("pmr_s7_lineitem").join(
+        spark.table("pmr_s7_orders"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dround(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )

@@ -40,6 +40,22 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
+def test_s7_declared_query_join_has_no_exchange(spark):
+    """The declared s7_bucketed_join query's join must read the bucketed
+    scans directly: the only Exchange in the plan is the final groupBy's
+    — neither join input is shuffled."""
+    from projectmapreduce_spark.queries import QUERIES
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["s7_bucketed_join"](spark, SF_SMOKE)
+        plan = explain_str(df, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Exchange") <= 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
 def test_bucketed_join_result_matches_plain(spark, bucketed_tables):
     li_t, o_t = bucketed_tables
     got = (
