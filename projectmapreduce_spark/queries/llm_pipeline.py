@@ -514,3 +514,161 @@ def l11c_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "frame_idx", F.length("frame_payload").alias("frame_bytes")
     )
 
+# ---------- L13–L16: training-data pipeline verbs (round 2) ----------
+
+
+@query(
+    "l13_deterministic_split",
+    oracle="""
+WITH s AS (
+  SELECT source, n_chars,
+         CASE WHEN ((doc_id * 2654435761 + 0) % 4294967296) % 100 < 80 THEN 'train'
+              WHEN ((doc_id * 2654435761 + 0) % 4294967296) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+       sum(n_chars)::BIGINT AS total_chars
+FROM s GROUP BY split
+""",
+    survey="L13",
+    category="llm",
+)
+def l13_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test split by multiplicative id
+    hash (operators/pipeline.py): a pure projection — no shuffle, no
+    rand(), the same doc lands in the same split on every engine and
+    every rebuild (the leak-free data-recipe contract)."""
+    from projectmapreduce_spark.operators.pipeline import deterministic_split
+
+    d = scan(spark, sf_dir, "documents")
+    return (
+        deterministic_split(d, "doc_id", train_pct=80, val_pct=10)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "l14_sequence_packing",
+    oracle="""
+WITH packed AS (
+  SELECT source, n_chars,
+         floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_chars) / 16384)::BIGINT AS chunk_id
+  FROM documents
+)
+SELECT source, chunk_id, count(*) AS n_docs, sum(n_chars)::BIGINT AS chunk_chars
+FROM packed GROUP BY source, chunk_id
+""",
+    survey="L14",
+    category="llm",
+)
+def l14_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing of each source's documents (doc_id
+    order) into 16 KiB-budget chunks — the context-window packing shape:
+    one hash shuffle per stream + an in-partition running sum
+    (operators/pipeline.py:pack_sequences), then a per-chunk rollup."""
+    from projectmapreduce_spark.operators.pipeline import pack_sequences
+
+    d = scan(spark, sf_dir, "documents")
+    packed = pack_sequences(d, "source", "doc_id", "n_chars", budget=16384)
+    return packed.groupBy("source", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chunk_chars")
+    )
+
+
+@query(
+    "l15_mixture_sampling",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         CASE (substr(source, 4)::BIGINT % 4)
+           WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25 ELSE 10 END AS keep_pct
+  FROM documents
+)
+SELECT source, count(*) AS n_kept, sum(n_chars)::BIGINT AS kept_chars
+FROM w
+WHERE ((doc_id * 2654435761 + 1) % 4294967296) % 100 < keep_pct
+GROUP BY source
+""",
+    survey="L15",
+    category="llm",
+)
+def l15_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture downsampling: per-source keep
+    rates (100/50/25/10 % by source shard) applied as a hash filter —
+    exact reproducible rates with no rand() and no extra counting pass;
+    a pushed-down filter, zero shuffle
+    (operators/pipeline.py:mixture_sample)."""
+    from projectmapreduce_spark.operators.pipeline import mixture_sample
+
+    d = scan(spark, sf_dir, "documents")
+    keep_pct = (
+        F.when(F.substring("source", 4, 10).cast("bigint") % 4 == 0, 100)
+        .when(F.substring("source", 4, 10).cast("bigint") % 4 == 1, 50)
+        .when(F.substring("source", 4, 10).cast("bigint") % 4 == 2, 25)
+        .otherwise(10)
+    )
+    return (
+        mixture_sample(d, "doc_id", keep_pct, salt=1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
+    )
+
+
+@query(
+    "l16_pii_redaction",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com or 555-'
+              || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(t,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[REDACTED]', 'g'),
+           '[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '[REDACTED]', 'g') AS redacted,
+       len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+         + len(regexp_extract_all(
+               regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '', 'g'),
+               '[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}')) AS n_pii
+FROM aug
+""",
+    survey="L16",
+    category="llm",
+)
+def l16_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over text: email + phone patterns (Java/RE2-common
+    syntax) replaced with a redaction token, plus a per-doc match count.
+    The fixture corpus carries no PII, so each doc is augmented with a
+    deterministic doc_id-derived contact string — identically on both
+    engines — before scrubbing; the redacted text itself is the
+    value-checked output (operators/pipeline.py:redact_pii)."""
+    from projectmapreduce_spark.operators.pipeline import pii_count, redact_pii
+
+    d = scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        redact_pii("t").alias("redacted"),
+        pii_count("t").alias("n_pii"),
+    )
