@@ -50,6 +50,10 @@ HEADLINE = [
     "l8_text_quality",
     "l9_tfidf",
     "l12_embedding_centroids",
+    # round-2 additions: bucketed-sink co-located join + training-pipeline verbs
+    "s7_bucketed_join",
+    "l13_deterministic_split",
+    "l14_sequence_packing",
 ]
 
 

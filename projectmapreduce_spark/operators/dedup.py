@@ -352,3 +352,58 @@ def simhash_candidates(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 20
+) -> DataFrame:
+    """Connected components over an undirected edge list → (id, comp),
+    comp = minimum node id reachable — the dedup survivor rule (the
+    min-id doc represents each near-dup cluster), applied to the pair
+    output of the L2 joins.
+
+    BSP min-label propagation (the Pregel/GraphX pattern): each round
+    every node takes the min of its own label and its neighbors';
+    converges in O(component diameter) rounds — near-dup clusters are
+    shallow (variants of a common source), so few rounds in practice.
+    Per round: one shuffle join on dst + one hash-aggregate, with
+    lineage truncated via localCheckpoint so the iterated plan stays
+    flat instead of growing exponentially.  The driver loop is control
+    flow only — the only thing collected per round is the 1-row
+    convergence count.  At extreme diameters switch to the
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014 — public algorithm)
+    for O(log² n) rounds; plain propagation is the right default for
+    dedup-shaped graphs.
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_labels = sym.join(labels, sym.dst == labels.id).select(
+            F.col("src").alias("id"), "comp"
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "comp_new")
+            .join(labels, "id")
+            .filter(F.col("comp_new") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -672,3 +672,58 @@ def l16_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii("t").alias("redacted"),
         pii_count("t").alias("n_pii"),
     )
+
+
+@query(
+    "l17_dedup_clusters",
+    oracle="""
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS token
+  FROM words WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter::DOUBLE / (sa.n_tok + sb.n_tok - n_inter) >= 0.5
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+),
+reach(id, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, r.r FROM sym s JOIN reach r ON r.id = s.dst
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+""",
+    survey="L17",
+    category="llm",
+)
+def l17_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: exact 3-gram Jaccard ≥ 0.5
+    edges (the l2b join) closed into connected components by BSP
+    min-label propagation (operators/dedup.py:connected_components) —
+    the survivor-selection layer a production dedup needs (keep the
+    min-id doc per cluster, drop the rest).  The oracle computes the
+    same closure with a recursive CTE."""
+    from projectmapreduce_spark.operators.dedup import connected_components
+
+    d = scan(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), r"\s+")) >= 3
+    )
+    edges = ngram_jaccard_join(d, "doc_id", "text", threshold=0.5, n=3)
+    comps = connected_components(edges)
+    return comps.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))

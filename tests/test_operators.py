@@ -102,6 +102,18 @@ def test_simhash_near_dups_have_small_hamming(spark):
     assert cands == {(1, 4): 0}
 
 
+def test_connected_components_chains_and_islands(spark):
+    """Min-label propagation must close multi-hop chains (1-2-3-10),
+    leave islands separate, and label every component by its min id."""
+    from projectmapreduce_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 8), (8, 9), (3, 10)], "id_a long, id_b long"
+    )
+    got = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 7}
+
+
 # ---------- similarity ----------
 
 
