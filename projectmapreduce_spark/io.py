@@ -120,6 +120,24 @@ def sink_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving every other partition untouched — the
+    re-ingest/backfill primitive at 100 TB (rewriting one day or one
+    source out of thousands without touching the rest; static overwrite
+    mode would wipe the whole dataset).  Conf is scoped to the write
+    and restored."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def sink_bucketed(
     df: DataFrame,
     table: str,

@@ -178,3 +178,34 @@ def s7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dround(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+@query(
+    "s8_dynamic_overwrite",
+    oracle="""
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
+""",
+    survey="S6",
+    category="io",
+)
+def s8_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (the backfill primitive): write the
+    full partitioned dataset, then RE-write only the 'click' partition
+    with partitionOverwriteMode=dynamic.  The aggregate over the final
+    state must equal the plain per-type aggregate — which it can only
+    do if the rewrite replaced exactly the click partition and left
+    every other partition intact (static mode would wipe them and fail
+    the value hash)."""
+    from projectmapreduce_spark.io import overwrite_partitions
+
+    ev = scan(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = _p("events_dynamic")
+    sink_partitioned(ev, path, ["event_type"])
+    overwrite_partitions(
+        ev.filter(F.col("event_type") == "click"), path, ["event_type"]
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dround(F.sum("value"), 2).alias("total_value")
+    )

@@ -131,3 +131,38 @@ def x5s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, so the custom stateful path is fully hash-checked."""
     stream = read_events_stream(spark, sf_dir)
     return _drain(spark, running_user_totals(stream), "update")
+
+
+@query(
+    "l13s_stream_split",
+    oracle="""
+WITH s AS (
+  SELECT source, n_chars,
+         CASE WHEN ((doc_id * 2654435761 + 0) % 4294967296) % 100 < 80 THEN 'train'
+              WHEN ((doc_id * 2654435761 + 0) % 4294967296) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM s GROUP BY split
+""",
+    survey="L13,T1",
+    category="streaming",
+)
+def l13s_stream_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L13 on a LIVE ingest stream: the deterministic split is a
+    stateless projection, so it composes with readStream unchanged —
+    documents entering a continuously-fed corpus get their final
+    train/val/test assignment at ingest time (hash of doc_id; no state,
+    no rand()), here rolled up per split in complete mode and
+    hash-checked against the batch oracle."""
+    from projectmapreduce_spark.operators.pipeline import deterministic_split
+    from projectmapreduce_spark.streaming import read_documents_stream
+
+    stream = read_documents_stream(spark, sf_dir)
+    out = (
+        deterministic_split(stream, "doc_id", train_pct=80, val_pct=10)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+    return _drain(spark, out, "complete")

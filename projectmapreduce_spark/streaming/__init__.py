@@ -6,6 +6,7 @@ oracle-checked forms; these wrappers are the live-topic path."""
 from projectmapreduce_spark.streaming.core import (
     EVENTS_DDL,
     dedup_within_watermark,
+    read_documents_stream,
     read_events_stream,
     run_available_now,
     session_counts,
@@ -20,6 +21,7 @@ from projectmapreduce_spark.streaming.stateful import running_user_totals
 __all__ = [
     "EVENTS_DDL",
     "dedup_within_watermark",
+    "read_documents_stream",
     "read_events_stream",
     "run_available_now",
     "running_user_totals",

@@ -47,6 +47,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+DOCUMENTS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents fixture — the ingest shape
+    of a continuously-arriving corpus (each new file = one micro-batch
+    of documents entering the training pipeline)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def with_watermark(stream: DataFrame, delay: str = "10 minutes") -> DataFrame:
     """T4 — declare the event-time watermark that bounds all stateful
     operators downstream (late rows beyond ``delay`` are dropped)."""

@@ -126,3 +126,66 @@ def test_union_distinct_is_set_union(spark, rows):
     ).selectExpr("cast(id as int) k", "cast(id as int) v")
     got = {(r.k, r.v) for r in a.unionByName(b).distinct().collect()}
     assert got == set(rows)
+
+
+# ---------- L13–L15 pipeline verbs (round 2) ----------
+
+
+@given(ids=st.lists(st.integers(0, 100_000), min_size=1, max_size=25, unique=True))
+@settings(**_SETTINGS)
+def test_deterministic_split_matches_python_mirror(spark, ids):
+    """Split is a pure function of the id: equal to the Python-side
+    hash fold, covers only the three labels, and is rerun-stable."""
+    from projectmapreduce_spark.operators.pipeline import deterministic_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r.id: r.split for r in deterministic_split(df, "id").collect()}
+    for i in ids:
+        b = ((i * 2654435761) % 4294967296) % 100
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert got[i] == want
+
+
+@given(
+    sizes=st.lists(st.integers(1, 500), min_size=1, max_size=25),
+    budget=st.integers(50, 800),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_matches_sequential_fold(spark, sizes, budget):
+    """Each doc's chunk equals the sequential greedy fold (chunk =
+    preceding running total // budget) and chunk ids are monotone in
+    stream order."""
+    from projectmapreduce_spark.operators.pipeline import pack_sequences
+
+    rows = [(1, pos, s) for pos, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "stream int, pos int, size long")
+    out = sorted(
+        pack_sequences(df, "stream", "pos", "size", budget).collect(),
+        key=lambda r: r.pos,
+    )
+    cum = 0
+    for r in out:
+        assert r.chunk_id == cum // budget
+        cum += r.size
+    ids = [r.chunk_id for r in out]
+    assert ids == sorted(ids)
+
+
+@given(
+    ids=st.lists(st.integers(0, 100_000), min_size=1, max_size=25, unique=True),
+    w_lo=st.integers(0, 50),
+    w_hi=st.integers(50, 100),
+)
+@settings(**_SETTINGS)
+def test_mixture_sample_is_monotone_in_weight(spark, ids, w_lo, w_hi):
+    """Raising a keep-rate only ADDS rows (nested samples — the
+    property that lets mixture ratios be retuned without reshuffling
+    which docs are in)."""
+    from pyspark.sql import functions as F
+
+    from projectmapreduce_spark.operators.pipeline import mixture_sample
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    lo = {r.id for r in mixture_sample(df, "id", F.lit(w_lo)).collect()}
+    hi = {r.id for r in mixture_sample(df, "id", F.lit(w_hi)).collect()}
+    assert lo <= hi
