@@ -136,6 +136,25 @@ def distributed_grep(df: DataFrame, text_col: str, pattern: str) -> DataFrame:
     return df.filter(F.col(text_col).rlike(pattern))
 
 
+def job_counters(df: DataFrame, **predicates: Column) -> DataFrame:
+    """M9: MR job counters — named record counts collected in the same
+    pass as the job.  One row, one column per counter.
+
+    Deliberately NOT Spark accumulators: accumulators have
+    at-least-once update semantics (task retries and speculative
+    execution double-count), which is acceptable for profiling but
+    wrong for the exact record counters MR jobs report.  A conditional
+    aggregate is exactly-once by construction, costs one map-side
+    partial per partition (the same profile as an MR counter), and
+    stays in the optimized plan.
+    """
+    aggs = [
+        F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(name)
+        for name, p in predicates.items()
+    ]
+    return df.agg(F.count(F.lit(1)).cast("long").alias("records_in"), *aggs)
+
+
 def pipe(df: DataFrame, *stages: Callable[[DataFrame], DataFrame]) -> DataFrame:
     """Chained-jobs ergonomics: MR pipelines materialize between jobs;
     here the stages fuse into ONE Catalyst plan with no intermediate
@@ -170,6 +189,7 @@ __all__ = [
     "flat_map_explode",
     "inverted_index",
     "job",
+    "job_counters",
     "map_columns",
     "map_partitions",
     "map_records",

@@ -193,3 +193,33 @@ def m8_distributed_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").rlike("join (filter|scan)"))
         .select("doc_id", "lang", "source")
     )
+
+
+@query(
+    "m9_job_counters",
+    oracle="""
+SELECT count(*)::BIGINT                                          AS records_in,
+       count(*) FILTER (value IS NULL OR value < 0)::BIGINT      AS malformed,
+       count(*) FILTER (event_type = 'click')::BIGINT            AS clicks,
+       count(*) FILTER (value > 90)::BIGINT                      AS high_value
+FROM events
+""",
+    survey="M9",
+    category="mr",
+)
+def m9_job_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MR job counters, Spark-first: named record counts collected in
+    the SAME single pass as the job (one map-side partial per
+    partition).  Implemented as conditional aggregates rather than
+    Spark accumulators — accumulators are at-least-once under task
+    retry/speculation, which is wrong for exact counters
+    (operators/mr.py:job_counters documents the trade)."""
+    from projectmapreduce_spark.operators.mr import job_counters
+
+    ev = scan(spark, sf_dir, "events")
+    return job_counters(
+        ev,
+        malformed=F.col("value").isNull() | (F.col("value") < 0),
+        clicks=F.col("event_type") == "click",
+        high_value=F.col("value") > 90,
+    )

@@ -7,8 +7,8 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 90 operator rows across 12 categories
-# (85 round-1 rows + L13–L17 added in round 2).
+# The full §2 inventory: 91 operator rows across 12 categories
+# (85 round-1 rows + L13–L17 and M9 added in round 2).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "S1", "S2", "S3", "S4", "S5", "S6",
@@ -30,6 +30,7 @@ SURVEY_IDS = {
     "T1", "T2", "T3", "T4", "T5", "T6",
     # §2.10 MR-heritage surface
     "M1", "M2", "M3", "M4", "M5", "M6", "M7", "M8",
+    "M9",  # round-2: job counters
     # §2.11 LLM-data-pipeline
     "L1", "L2", "L3", "L4", "L5", "L6", "L7", "L8", "L9", "L10", "L11", "L12",
     "L13", "L14", "L15", "L16", "L17",  # round-2 training-pipeline verbs
