@@ -26,6 +26,7 @@ from projectmapreduce_spark.streaming import (
     running_user_totals,
     session_counts,
     sliding_counts,
+    stream_stream_interval_join,
     tumbling_counts,
     with_watermark,
 )
@@ -131,6 +132,48 @@ def x5s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, so the custom stateful path is fully hash-checked."""
     stream = read_events_stream(spark, sf_dir)
     return _drain(spark, running_user_totals(stream), "update")
+
+
+@query(
+    "t7s_stream_stream_join",
+    oracle="""
+SELECT v.user_id AS user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       epoch_us(c.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS lag_us
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 6 HOUR
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+""",
+    survey="T7,T4",
+    category="streaming",
+)
+def t7s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 stream⋈stream: view→click attribution — each view joined to
+    the same user's clicks within the following 6 hours, BOTH sides
+    live streams.  The watermark + time-range predicate bound the join
+    state to the 6h horizon (the only way a stream-stream join survives
+    at topic scale).  Append-mode drain over the finite fixture equals
+    the batch interval join, so the streaming join is fully
+    hash-checked; lag is exact integer microseconds (no float)."""
+    views = with_watermark(
+        read_events_stream(spark, sf_dir).filter(F.col("event_type") == "view"),
+        "6 hours",
+    )
+    clicks = with_watermark(
+        read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click"),
+        "6 hours",
+    )
+    out = stream_stream_interval_join(views, clicks, "user_id", within="6 hours").select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("click_id"),
+        (F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts"))).alias("lag_us"),
+    )
+    return _drain(spark, out, "append")
 
 
 @query(

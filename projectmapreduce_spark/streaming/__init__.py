@@ -13,6 +13,7 @@ from projectmapreduce_spark.streaming.core import (
     sink_stream_parquet,
     sliding_counts,
     stream_static_join,
+    stream_stream_interval_join,
     tumbling_counts,
     with_watermark,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "sink_stream_parquet",
     "sliding_counts",
     "stream_static_join",
+    "stream_stream_interval_join",
     "tumbling_counts",
     "with_watermark",
 ]

@@ -117,6 +117,38 @@ def stream_static_join(stream: DataFrame, static_dim: DataFrame, on_expr) -> Dat
     return stream.join(F.broadcast(static_dim), on_expr, "inner")
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str = "6 hours",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """T7 — stream⋈stream interval join: for each left row, the right
+    rows with the same ``key`` whose timestamp falls in
+    ``[left.ts, left.ts + within]``.
+
+    Both inputs MUST carry event-time watermarks: the time-range
+    predicate plus the watermarks is what lets Spark BOUND the join
+    state — each side buffers only rows inside the watermark horizon
+    (≈ ``within`` + watermark delay), then evicts, so state size tracks
+    the time window, not the stream's lifetime.  Without the range
+    condition a stream-stream join must keep every row forever — the
+    classic unbounded-state trap this operator exists to avoid.
+
+    Inputs are aliased ``l``/``r``; output columns must be selected by
+    the caller from those aliases (the key is deduplicated).
+    """
+    la, ra = left.alias("l"), right.alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    return la.join(ra, cond, "inner")
+
+
 def run_available_now(
     out: DataFrame,
     checkpoint_dir: str,

@@ -7,8 +7,8 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 91 operator rows across 12 categories
-# (85 round-1 rows + L13–L17 and M9 added in round 2).
+# The full §2 inventory: 92 operator rows across 12 categories
+# (85 round-1 rows + L13–L17, M9, T7 added in round 2).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "S1", "S2", "S3", "S4", "S5", "S6",
@@ -28,6 +28,7 @@ SURVEY_IDS = {
     "F1", "F2", "F3", "F4", "F5", "F6", "F7", "F8",
     # §2.9 streaming-shaped (batch forms)
     "T1", "T2", "T3", "T4", "T5", "T6",
+    "T7",  # round-2: stream-stream interval join
     # §2.10 MR-heritage surface
     "M1", "M2", "M3", "M4", "M5", "M6", "M7", "M8",
     "M9",  # round-2: job counters

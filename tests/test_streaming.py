@@ -102,3 +102,38 @@ def test_stateful_running_totals_converge_to_batch(spark):
     )
     cols = ["user_id", "n_events", "total_value"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    from projectmapreduce_spark.streaming import stream_stream_interval_join
+
+    def sides(read):
+        v = read.filter(F.col("event_type") == "view")
+        c = read.filter(F.col("event_type") == "click")
+        return v, c
+
+    sv, sc = sides(read_events_stream(spark, SF_SMOKE))
+    out = stream_stream_interval_join(
+        with_watermark(sv, "6 hours"), with_watermark(sc, "6 hours"), "user_id", "6 hours"
+    ).select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("click_id"),
+        (F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts"))).alias("lag_us"),
+    )
+    got = _drain(spark, out, mode="append")
+
+    bv, bc = sides(scan(spark, SF_SMOKE, "events"))
+    la, ra = bv.alias("l"), bc.alias("r")
+    want = la.join(
+        ra,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 6 hours")),
+    ).select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("click_id"),
+        (F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts"))).alias("lag_us"),
+    )
+    cols = ["view_id", "click_id", "lag_us"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
