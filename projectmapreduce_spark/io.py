@@ -171,6 +171,22 @@ def sink_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def scan_orc(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    """S9 — ORC read (schema-explicit when known).  ORC is the other
+    columnar format Spark ships natively (vectorized reader, predicate
+    pushdown, column pruning — same scan properties as parquet), common
+    in Hive-heritage warehouses feeding training pipelines."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def sink_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (round-trip support for S9)."""
+    df.write.mode(mode).orc(path)
+
+
 def sink_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """CSV sink (round-trip support for S2)."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)

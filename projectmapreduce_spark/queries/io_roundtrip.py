@@ -21,9 +21,11 @@ from projectmapreduce_spark.io import (
     scan,
     scan_csv,
     scan_jsonl,
+    scan_orc,
     scan_text,
     sink_csv,
     sink_jsonl,
+    sink_orc,
     sink_parquet,
     sink_partitioned,
 )
@@ -153,7 +155,7 @@ SELECT o_orderpriority, count(*) AS n_items, round(sum(l_extendedprice), 2) AS r
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """,
-    survey="S5,J1",
+    survey="S7,S5,J1",
     category="io",
 )
 def s7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,12 +183,35 @@ def s7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s9_orc_roundtrip",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+FROM customer GROUP BY c_mktsegment
+""",
+    survey="S9",
+    category="io",
+)
+def s9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → schema-explicit ORC scan → aggregate == source table.
+    Exercises Spark's second native columnar format end-to-end (write
+    then vectorized read with column pruning)."""
+    c = scan(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    path = _p("customer_orc")
+    sink_orc(c, path)
+    back = scan_orc(spark, path, "c_custkey long, c_mktsegment string, c_acctbal double")
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dround(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@query(
     "s8_dynamic_overwrite",
     oracle="""
 SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY event_type
 """,
-    survey="S6",
+    survey="S8,S6",
     category="io",
 )
 def s8_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -7,11 +7,12 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 92 operator rows across 12 categories
-# (85 round-1 rows + L13–L17, M9, T7 added in round 2).
+# The full §2 inventory: 95 operator rows across 12 categories
+# (85 round-1 rows + L13–L17, M9, T7, S7–S9 added in round 2).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "S1", "S2", "S3", "S4", "S5", "S6",
+    "S7", "S8", "S9",  # round-2: bucketed sink, dynamic overwrite, ORC
     # §2.2 projection / filter
     "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
     # §2.3 joins
