@@ -139,3 +139,44 @@ def redact_sql(text_expr: str, token: str = "[REDACTED]") -> str:
         f"regexp_replace(regexp_replace({text_expr}, '{_EMAIL_RE}', '{token}', 'g'),"
         f" '{_PHONE_RE}', '{token}', 'g')"
     )
+
+
+def contamination_check(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    max_frac: float = 0.05,
+) -> DataFrame:
+    """L19: benchmark-contamination detection — flag training documents
+    sharing token n-grams with a held-out benchmark/eval set (the
+    decontamination step every serious pretraining corpus runs; GPT-3
+    and PaLM papers describe the same n-gram-overlap method — public
+    knowledge).
+
+    Scale shape: the benchmark side is SMALL (eval sets are thousands
+    of docs, not billions) — its distinct shingle set is broadcast, so
+    the training corpus is never shuffled for the match; the only
+    shuffles are the per-doc distinct + count aggregates, keyed by
+    doc id.  Output: (id, n_grams, n_overlap, contamination_frac,
+    contaminated), one row per training doc with ≥1 n-gram.
+    """
+    from projectmapreduce_spark.operators.dedup import tokens_of
+
+    train_sh = tokens_of(train, id_col, text_col, n)
+    bench_sh = tokens_of(benchmark, id_col, text_col, n).select("token").distinct()
+    tot = train_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    ov = (
+        train_sh.join(F.broadcast(bench_sh), "token")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frac = F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_grams")
+    return tot.join(ov, "id", "left").select(
+        "id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        frac.alias("contamination_frac"),
+        (frac > max_frac).alias("contaminated"),
+    )

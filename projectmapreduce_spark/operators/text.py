@@ -184,3 +184,69 @@ def lexicon_score(
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
         )
     )
+
+
+def _ngrams(arr: Column, n: int) -> Column:
+    """Positional token n-grams as array<string>; empty array (not a
+    descending-sequence artifact) when the doc has fewer than n tokens."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(arr) - n),
+        lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
+    )
+    return F.when(F.size(arr) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """L18: Gopher-style repetition/boilerplate metrics per document
+    [Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1 —
+    public paper], adapted to token form for corpora without line
+    structure:
+
+    - ``dup_token_frac``  — 1 − distinct/total tokens
+    - ``dup_3gram_frac``  — 1 − distinct/total 3-grams
+    - ``top_2gram_frac``  — tokens covered by the most frequent 2-gram
+
+    The two dup fractions are MAP-SIDE ONLY (``array_distinct`` inside
+    the row — no shuffle, no state).  The top-2-gram mode needs a
+    per-(doc, gram) count: that is ONE hash aggregate keyed
+    (doc_id, gram) with map-side partials, then a per-doc max — linear
+    in corpus size, never quadratic in doc length (the map-side
+    alternative, counting each distinct gram's occurrences with a
+    nested array scan, is O(distinct × len) per doc — wrong for
+    100k-token docs).  Output: (id, n_tok, dup_token_frac,
+    dup_3gram_frac, top_2gram_frac).
+    """
+    toks = tokenize(F.col(text_col))
+    g2 = _ngrams(toks, 2)
+    g3 = _ngrams(toks, 3)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        g2.alias("g2"),
+        F.size(toks).alias("n_tok"),
+        (F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks)).alias(
+            "dup_token_frac"
+        ),
+        F.when(F.size(g3) > 0, F.lit(1.0) - F.size(F.array_distinct(g3)) / F.size(g3))
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+    )
+    top2 = (
+        base.select("id", F.explode("g2").alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("max2"))
+    )
+    return (
+        base.join(top2, "id", "left")
+        .select(
+            "id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            "dup_token_frac",
+            "dup_3gram_frac",
+            F.when(F.col("n_tok") >= 2, F.lit(2.0) * F.col("max2") / F.col("n_tok"))
+            .otherwise(F.lit(0.0))
+            .alias("top_2gram_frac"),
+        )
+    )

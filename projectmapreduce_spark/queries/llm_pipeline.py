@@ -727,3 +727,119 @@ def l17_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ngram_jaccard_join(d, "doc_id", "text", threshold=0.5, n=3)
     comps = connected_components(edges)
     return comps.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
+@query(
+    "l18_repetition_filter",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, toks, len(toks) AS n_tok,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS g2,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END AS g3
+  FROM t
+),
+top2 AS (
+  SELECT doc_id, max(c) AS max2 FROM (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id, unnest(g2) AS gram FROM base) g
+    GROUP BY doc_id, gram
+  ) cc GROUP BY doc_id
+)
+SELECT b.doc_id AS doc_id,
+       b.n_tok::BIGINT AS n_tok,
+       1.0 - len(list_distinct(b.toks)) / b.n_tok AS dup_token_frac,
+       CASE WHEN len(b.g3) > 0
+            THEN 1.0 - len(list_distinct(b.g3)) / len(b.g3)
+            ELSE 0.0 END AS dup_3gram_frac,
+       CASE WHEN b.n_tok >= 2 THEN 2.0 * top2.max2 / b.n_tok ELSE 0.0 END
+         AS top_2gram_frac,
+       (CASE WHEN b.n_tok >= 2 THEN 2.0 * top2.max2 / b.n_tok ELSE 0.0 END) <= 0.18
+         AND (CASE WHEN len(b.g3) > 0
+                   THEN 1.0 - len(list_distinct(b.g3)) / len(b.g3)
+                   ELSE 0.0 END) <= 0.6 AS keep
+FROM base b LEFT JOIN top2 ON b.doc_id = top2.doc_id
+""",
+    survey="L18",
+    category="llm",
+)
+def l18_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L18: Gopher-style repetition/boilerplate gate [Rae et al. 2021
+    §A1.1 — public paper], token-adapted: dup-token and dup-3-gram
+    fractions are computed inside the row (array_distinct — zero
+    shuffle), the top-2-gram mode via ONE (doc, gram) hash aggregate;
+    ``keep`` applies the documented thresholds.  Every division is an
+    exact IEEE int/int divide, bit-identical across engines — no
+    rounding needed."""
+    from projectmapreduce_spark.operators.text import repetition_stats
+
+    d = scan(spark, sf_dir, "documents")
+    stats = repetition_stats(d, "doc_id", "text")
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "n_tok",
+        "dup_token_frac",
+        "dup_3gram_frac",
+        "top_2gram_frac",
+        ((F.col("top_2gram_frac") <= 0.18) & (F.col("dup_3gram_frac") <= 0.6)).alias(
+            "keep"
+        ),
+    )
+
+
+@query(
+    "l19_contamination_check",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 5
+                       THEN list_transform(range(1, len(t) - 3),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                                 || t[i+3] || ' ' || t[i+4])
+                       ELSE [] END) AS gram
+    FROM toks
+  ) u
+),
+bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 23 = 0),
+train AS (SELECT * FROM sh WHERE doc_id % 23 <> 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+ov AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM train JOIN bench USING (gram) GROUP BY doc_id
+)
+SELECT t.doc_id AS doc_id,
+       t.n_grams::BIGINT AS n_grams,
+       coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+       coalesce(ov.n_overlap, 0) / t.n_grams AS contamination_frac,
+       coalesce(ov.n_overlap, 0) / t.n_grams > 0.05 AS contaminated
+FROM tot t LEFT JOIN ov ON t.doc_id = ov.doc_id
+""",
+    survey="L19",
+    category="llm",
+)
+def l19_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L19: decontamination — training docs (doc_id % 23 != 0) checked
+    for distinct-5-gram overlap against a deterministic held-out
+    'benchmark' slice (doc_id % 23 == 0).  The benchmark shingle set is
+    broadcast (eval sets are small); the corpus side never shuffles for
+    the match.  Fractions are exact int/int IEEE divides — bit-identical
+    across engines."""
+    from projectmapreduce_spark.operators.pipeline import contamination_check
+
+    d = scan(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 23 == 0)
+    train = d.filter(F.col("doc_id") % 23 != 0)
+    out = contamination_check(train, bench, "doc_id", "text", n=5, max_frac=0.05)
+    return out.withColumnRenamed("id", "doc_id")

@@ -7,8 +7,8 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 95 operator rows across 12 categories
-# (85 round-1 rows + L13–L17, M9, T7, S7–S9 added in round 2).
+# The full §2 inventory: 97 operator rows across 12 categories
+# (85 round-1 rows + L13–L19, M9, T7, S7–S9 added in round 2).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "S1", "S2", "S3", "S4", "S5", "S6",
@@ -36,6 +36,7 @@ SURVEY_IDS = {
     # §2.11 LLM-data-pipeline
     "L1", "L2", "L3", "L4", "L5", "L6", "L7", "L8", "L9", "L10", "L11", "L12",
     "L13", "L14", "L15", "L16", "L17",  # round-2 training-pipeline verbs
+    "L18", "L19",  # round-2: repetition filter, contamination check
     # §2.12 UDF surface
     "X1", "X2", "X3", "X4",
 }

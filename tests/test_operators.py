@@ -355,3 +355,43 @@ def test_media_resize_and_frames_shapes(spark):
     frames = sample_frames(media, every_n_bytes=50, fake=True).collect()
     assert len(frames) > len(resized)  # 1→N expansion happened
     assert all(len(r.frame_payload) <= 50 for r in frames)
+
+
+def test_repetition_stats_edges(spark):
+    from projectmapreduce_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # one token repeated: all metrics max out
+            (2, "a b c d"),            # all distinct: all metrics floor
+            (3, "x"),                  # < 2 tokens: gram metrics must be 0, not null
+            (4, "x y"),                # exactly one 2-gram, no 3-gram
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in repetition_stats(df, "id", "text").collect()}
+    assert rows[1].dup_token_frac == 0.75 and rows[1].top_2gram_frac == 1.5
+    assert rows[2].dup_token_frac == 0.0 and rows[2].dup_3gram_frac == 0.0
+    assert rows[2].top_2gram_frac == 0.5  # max count 1, 2*1/4
+    assert rows[3].dup_3gram_frac == 0.0 and rows[3].top_2gram_frac == 0.0
+    assert rows[4].dup_3gram_frac == 0.0 and rows[4].top_2gram_frac == 1.0
+
+
+def test_contamination_check_flags_overlap(spark):
+    from projectmapreduce_spark.operators.pipeline import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a fence today"),  # shares 5-grams
+            (2, "completely different words in this training doc"),
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in contamination_check(train, bench, "id", "text").collect()}
+    assert rows[1].contaminated and rows[1].n_overlap > 0
+    assert not rows[2].contaminated and rows[2].n_overlap == 0
+    assert rows[2].contamination_frac == 0.0
