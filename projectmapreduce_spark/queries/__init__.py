@@ -11,6 +11,7 @@ queries as a side effect.
 
 from projectmapreduce_spark.queries import (  # noqa: F401
     aggregates,
+    composite,
     events,
     flagship,
     functions_families,

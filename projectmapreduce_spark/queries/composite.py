@@ -1,0 +1,116 @@
+"""Composite analytics queries (SURVEY.md §2.12, C1–C2): multi-join +
+aggregate + top-k pipelines in the classic TPC-H Q3/Q5 shapes, run over
+the driver's TPC-H-ish star schema.
+
+These exist to prove the operators COMPOSE into the plans a warehouse
+actually runs: selective dimension filters pushed to the scans, small
+sides broadcast, one shuffle for the aggregate, and a top-k that never
+globally sorts the facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projectmapreduce_spark.functions import dround
+from projectmapreduce_spark.io import scan
+from projectmapreduce_spark.queries.registry import query
+
+
+@query(
+    "c1_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1998-01-01'
+  AND l_shipdate  > DATE '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    survey="C1,J2,A1,O3",
+    category="composite",
+)
+def c1_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 (TPC-H Q3 shape): top-10 unshipped orders by revenue for one
+    market segment.  The segment filter reaches the customer scan and
+    the date filters reach the orders/lineitem scans (PushedFilters);
+    customer⋈orders broadcasts the filtered customer side; the only
+    fact shuffle is the revenue hash-aggregate; the top-10 is a
+    TakeOrdered over the (small) aggregated output, never a global
+    sort of lineitem.  Tiebreak on l_orderkey AFTER rounding makes the
+    limit boundary engine-deterministic."""
+    c = scan(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = scan(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = scan(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "c2_regional_revenue",
+    oracle="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+    survey="C2,J10,J2,A1",
+    category="composite",
+)
+def c2_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (TPC-H Q5 shape): revenue by nation where customer and
+    supplier share the nation, region-filtered.  All four dimension
+    sides (customer, supplier, nation, region) broadcast; the region
+    filter prunes nation/supplier BEFORE they reach the fact join, so
+    the lineitem⋈orders join is the only shuffle-bearing edge — the
+    plan you need when lineitem is 100 TB and everything else is
+    gigabytes."""
+    r = scan(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = scan(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = scan(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = scan(spark, sf_dir, "customer")
+    o = scan(spark, sf_dir, "orders")
+    li = scan(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )

@@ -180,3 +180,35 @@ def w5_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "w6_distribution_ranks",
+    oracle="""
+SELECT o_orderkey,
+       o_custkey,
+       ntile(4) OVER w AS price_quartile,
+       round(percent_rank() OVER w, 12) AS pct_rank,
+       round(cume_dist() OVER w, 12) AS cume,
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+    survey="W6",
+    category="window",
+)
+def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: distribution analytics — ntile / percent_rank / cume_dist
+    per priority class, the quantile-bucketing shape used to stratify
+    docs by a quality score before mixture sampling.  The order key is
+    made total with the primary key so every engine agrees on ties;
+    the fractional ranks are rounded to 12 dp (their divisions are
+    int/int but percent_rank's (rank-1)/(n-1) can hit repeating
+    binary fractions — rounding both sides keeps the hash stable)."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return scan(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        dround(F.percent_rank().over(w), 12).alias("pct_rank"),
+        dround(F.cume_dist().over(w), 12).alias("cume"),
+    )

@@ -7,8 +7,8 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 97 operator rows across 12 categories
-# (85 round-1 rows + L13–L19, M9, T7, S7–S9 added in round 2).
+# The full §2 inventory: 100 operator rows across 13 categories
+# (85 round-1 rows + L13–L19, M9, T7, S7–S9, W6, C1–C2 added in round 2).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "S1", "S2", "S3", "S4", "S5", "S6",
@@ -20,7 +20,7 @@ SURVEY_IDS = {
     # §2.4 aggregations
     "A1", "A2", "A3", "A4", "A5", "A6", "A7", "A8", "A9", "A10",
     # §2.5 windows
-    "W1", "W2", "W3", "W4", "W5",
+    "W1", "W2", "W3", "W4", "W5", "W6",
     # §2.6 sort / limit / top-k
     "O1", "O2", "O3", "O4",
     # §2.7 set ops
@@ -39,6 +39,10 @@ SURVEY_IDS = {
     "L18", "L19",  # round-2: repetition filter, contamination check
     # §2.12 UDF surface
     "X1", "X2", "X3", "X4",
+    # §2.13 composite analytics
+    "C1", "C2",
+    # §2.13 composite analytics
+    "C1", "C2",
 }
 
 

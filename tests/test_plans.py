@@ -64,3 +64,23 @@ def test_wholestage_codegen_on_flagship(spark):
 def test_topk_plans_take_ordered(spark):
     df = QUERIES["o3_topk_global"](spark, SF_CORRECT)
     assert "TakeOrderedAndProject" in explain_str(df, "simple")
+
+
+def test_composite_plans_broadcast_and_takeordered(spark):
+    c1 = QUERIES["c1_shipping_priority"](spark, SF_CORRECT)
+    s1 = explain_str(c1)
+    assert has_broadcast_hash_join(c1), s1
+    assert has_pushed_filters(c1), s1
+    assert "TakeOrderedAndProject" in s1, s1  # top-10 never globally sorts facts
+    c2 = QUERIES["c2_regional_revenue"](spark, SF_CORRECT)
+    s2 = explain_str(c2)
+    assert has_broadcast_hash_join(c2), s2
+    assert not has_cartesian(c2), s2
+    # the fact side shuffles at most twice: the l⋈o sort-merge join and
+    # the final revenue aggregate; dims must not add shuffle exchanges
+    # (count detail-section headers "(n) Exchange" — BroadcastExchange
+    # nodes have a different header and don't count as shuffles)
+    import re
+
+    n_shuffles = len(re.findall(r"^\(\d+\) Exchange$", s2, flags=re.M))
+    assert n_shuffles <= 3, s2
