@@ -180,3 +180,53 @@ def interval_overlap_join(
     """
     pred = (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
     return left.join(right, on=key, how="inner").filter(pred)
+
+
+class runtime_bloom_pruning:
+    """J12: scoped enablement of Spark's runtime bloom-filter join
+    pruning (the Catalyst ``InjectRuntimeFilter`` rule): when a
+    selective-but-too-big-to-broadcast dimension joins a huge fact, the
+    optimizer builds a bloom filter over the dim's join keys and pushes
+    a ``might_contain`` predicate into the fact scan — rows that cannot
+    match are dropped BEFORE the shuffle, cutting exchange volume by
+    the dim's selectivity.  This is exactly the 100 TB regime: the
+    broadcast path (J2) is unavailable, but shipping every fact row to
+    the join is still wasteful.
+
+    Used as a context manager; the caller must MATERIALIZE the result
+    inside the scope (e.g. ``localCheckpoint(eager=True)``) because the
+    confs matter at optimization time, not plan-construction time.  The
+    fixture-scale threshold overrides exist because the rule's defaults
+    target real cluster sizes (10 GB application-side scans).
+    """
+
+    _CONFS = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        # InjectRuntimeFilter skips creation sides it could broadcast
+        # instead — at fixture scale EVERYTHING is broadcast-able, so
+        # model the 100 TB no-broadcast regime explicitly in-scope.
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+
+    def __init__(self, spark):
+        self.spark = spark
+        self._prev: dict[str, str | None] = {}
+
+    def __enter__(self):
+        for k, v in self._CONFS.items():
+            try:
+                self._prev[k] = self.spark.conf.get(k)
+            except Exception:
+                self._prev[k] = None
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, v in self._prev.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+        return False

@@ -180,3 +180,28 @@ def contamination_check(
         frac.alias("contamination_frac"),
         (frac > max_frac).alias("contaminated"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame, id_col: str, epoch: int, seed: int = 0, key_col: str = "shuffle_key"
+) -> DataFrame:
+    """L20: epoch-reproducible global shuffle — every (epoch, seed)
+    pair induces ONE deterministic permutation of the corpus,
+    recomputable on any cluster size (the property training-data
+    loaders need for resumable, order-reproducible epochs; rand() is
+    wrong because it depends on partition layout and task replay).
+
+    The permutation key is the same multiplicative hash family as
+    deterministic_split, salted by epoch — exact bigint arithmetic,
+    portable to any engine.  Materializing the order at scale is
+    ``repartitionByRange(key).sortWithinPartitions(key)``: a range
+    shuffle, never a single-node global sort; this helper only attaches
+    the key so the caller picks when to pay that shuffle.
+    """
+    key = hash_bucket(id_col, _M32, salt=(seed * 1_000_003 + epoch))
+    return df.withColumn(key_col, key.cast("long"))
+
+
+def epoch_shuffle_sql(id_expr: str, epoch: int, seed: int = 0) -> str:
+    """Oracle-side twin of ``epoch_shuffle``'s key expression."""
+    return hash_bucket_sql(id_expr, _M32, salt=(seed * 1_000_003 + epoch))

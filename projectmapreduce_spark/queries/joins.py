@@ -404,7 +404,7 @@ FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """,
-    survey="J1,M5",
+    survey="J11,J1,M5",
     category="join",
 )
 def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,3 +427,46 @@ def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dround(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+@query(
+    "j12_bloom_pruned_join",
+    oracle="""
+SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+""",
+    survey="J12,J1",
+    category="join",
+)
+def j12_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: runtime bloom-filter join pruning — the selective orders
+    side ('1-URGENT', ~20%) is too big to broadcast at 100 TB, so the
+    optimizer builds a bloom filter of its join keys and pushes
+    might_contain into the lineitem scan: non-matching fact rows die
+    before the shuffle.  The scoped conf models the no-broadcast regime
+    at fixture scale; result is materialized inside the conf scope
+    (localCheckpoint) because injection happens at optimization time.
+    Semantics are untouched (bloom false positives only pass extra rows
+    to the exact join) — the oracle is the plain join."""
+    from projectmapreduce_spark.operators.joins import runtime_bloom_pruning
+
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+    o = (
+        scan(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    with runtime_bloom_pruning(spark):
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return out

@@ -843,3 +843,48 @@ def l19_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(F.col("doc_id") % 23 != 0)
     out = contamination_check(train, bench, "doc_id", "text", n=5, max_frac=0.05)
     return out.withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "l20_epoch_shuffle",
+    oracle="""
+WITH k AS (
+  SELECT doc_id,
+         ((doc_id * 2654435761 + 0) % 4294967296) AS key_e0,
+         ((doc_id * 2654435761 + 1) % 4294967296) AS key_e1
+  FROM documents
+)
+SELECT doc_id,
+       key_e0::BIGINT AS key_e0,
+       key_e1::BIGINT AS key_e1,
+       row_number() OVER (ORDER BY key_e0, doc_id)::BIGINT AS epoch0_pos
+FROM k
+""",
+    survey="L20",
+    category="llm",
+)
+def l20_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L20: epoch-reproducible corpus shuffle — each epoch's
+    deterministic permutation key plus the materialized position for
+    epoch 0.  Keys are exact bigint multiplicative hashes (identical in
+    any engine, any cluster size, any partition layout — the
+    reproducibility rand() cannot give).  At 100 TB the position
+    materializes via repartitionByRange on the key (range shuffle, no
+    global single-node sort); the window here is the small-fixture
+    equivalent."""
+    from projectmapreduce_spark.operators.pipeline import epoch_shuffle
+
+    d = scan(spark, sf_dir, "documents")
+    out = epoch_shuffle(
+        epoch_shuffle(d, "doc_id", epoch=0, key_col="key_e0"),
+        "doc_id",
+        epoch=1,
+        key_col="key_e1",
+    )
+    w = Window.orderBy("key_e0", "doc_id")
+    return out.select(
+        "doc_id",
+        "key_e0",
+        "key_e1",
+        F.row_number().over(w).cast("long").alias("epoch0_pos"),
+    )

@@ -7,8 +7,8 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 100 operator rows across 13 categories
-# (85 round-1 rows + L13–L19, M9, T7, S7–S9, W6, C1–C2 added in round 2).
+# The full §2 inventory: 103 operator rows across 13 categories
+# (85 round-1 rows + L13–L20, M9, T7, S7–S9, W6, C1–C2, J11–J12 added in round 2).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "S1", "S2", "S3", "S4", "S5", "S6",
@@ -17,6 +17,7 @@ SURVEY_IDS = {
     "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
     # §2.3 joins
     "J1", "J2", "J3", "J4", "J5", "J6", "J7", "J8", "J9", "J10",
+    "J11", "J12",  # round-2 rows: salted skew join, runtime bloom pruning
     # §2.4 aggregations
     "A1", "A2", "A3", "A4", "A5", "A6", "A7", "A8", "A9", "A10",
     # §2.5 windows
@@ -36,7 +37,7 @@ SURVEY_IDS = {
     # §2.11 LLM-data-pipeline
     "L1", "L2", "L3", "L4", "L5", "L6", "L7", "L8", "L9", "L10", "L11", "L12",
     "L13", "L14", "L15", "L16", "L17",  # round-2 training-pipeline verbs
-    "L18", "L19",  # round-2: repetition filter, contamination check
+    "L18", "L19", "L20",  # round-2: repetition, contamination, epoch shuffle
     # §2.12 UDF surface
     "X1", "X2", "X3", "X4",
     # §2.13 composite analytics

@@ -84,3 +84,23 @@ def test_composite_plans_broadcast_and_takeordered(spark):
 
     n_shuffles = len(re.findall(r"^\(\d+\) Exchange$", s2, flags=re.M))
     assert n_shuffles <= 3, s2
+
+
+def test_runtime_bloom_filter_is_injected(spark):
+    from projectmapreduce_spark.operators.joins import runtime_bloom_pruning
+
+    li = scan(spark, SF_CORRECT, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        scan(spark, SF_CORRECT, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    with runtime_bloom_pruning(spark):
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy().count()
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in opt or "bloom" in opt.lower(), opt
+    # and the conf scope restored itself
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        != "0"
+    )
