@@ -284,3 +284,22 @@ def a5c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@query("a11_approx_quantile_sketch", oracle=None, survey="A11", category="aggregate")
+def a11_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: mergeable quantile sketch — ``approx_percentile`` is
+    Spark's KLL/Greenwald-Khanna-family summary: each partition builds
+    a bounded-size sketch, sketches MERGE associatively at the
+    exchange, so the shuffle carries one sketch per partition instead
+    of the column itself — the only way to do percentiles over a
+    100 TB column in one pass.  Rows-only (DuckDB's approx sketch is a
+    different algorithm); the error bound vs the exact percentile is
+    asserted in tests/test_operators.py."""
+    li = scan(spark, sf_dir, "lineitem")
+    acc = 10_000  # 1/accuracy relative-rank error bound
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", 0.99, acc).alias("approx_p99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 103 operator rows across 13 categories
+# The full §2 inventory: 104 operator rows across 13 categories
 # (85 round-1 rows + L13–L20, M9, T7, S7–S9, W6, C1–C2, J11–J12 added in round 2).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
@@ -20,6 +20,7 @@ SURVEY_IDS = {
     "J11", "J12",  # round-2 rows: salted skew join, runtime bloom pruning
     # §2.4 aggregations
     "A1", "A2", "A3", "A4", "A5", "A6", "A7", "A8", "A9", "A10",
+    "A11",  # round-2: approx quantile sketch
     # §2.5 windows
     "W1", "W2", "W3", "W4", "W5", "W6",
     # §2.6 sort / limit / top-k

@@ -395,3 +395,33 @@ def test_contamination_check_flags_overlap(spark):
     assert rows[1].contaminated and rows[1].n_overlap > 0
     assert not rows[2].contaminated and rows[2].n_overlap == 0
     assert rows[2].contamination_frac == 0.0
+
+
+def test_approx_quantile_error_bound(spark):
+    # the declared A11 sketch must sit within the documented rank-error
+    # bound of the exact per-group percentile at fixture scale
+    from projectmapreduce_spark.io import scan
+    from pyspark.sql import functions as F
+
+    li = scan(spark, SF_SMOKE, "lineitem")
+    approx = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("m"),
+            F.percentile_approx("l_extendedprice", 0.99, 10_000).alias("p99"),
+        )
+        .collect()
+    }
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("m"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for k in exact:
+        assert abs(approx[k].m - exact[k].m) / exact[k].m < 0.05
+        assert abs(approx[k].p99 - exact[k].p99) / exact[k].p99 < 0.05
