@@ -54,6 +54,16 @@ HEADLINE = [
     "s7_bucketed_join",
     "l13_deterministic_split",
     "l14_sequence_packing",
+    # round-2 batch 2: composite analytics, repetition/contamination
+    # gates, bloom-pruned join.  t7s_stream_stream_join stays OUT of the
+    # headline (like l17): a streaming drain times state-store commit
+    # machinery (~10 s warm, ~40 s cold at sf0.1), not analytic
+    # throughput — it remains fully hash-checked in CORRECTNESS.
+    "c1_shipping_priority",
+    "c2_regional_revenue",
+    "l18_repetition_filter",
+    "l19_contamination_check",
+    "j12_bloom_pruned_join",
 ]
 
 
