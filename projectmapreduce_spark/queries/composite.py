@@ -114,3 +114,44 @@ def c2_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "c3_large_order_customers",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey AS big_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big
+JOIN orders   ON o_orderkey = big_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+    survey="C3,A6,J2,J4",
+    category="composite",
+)
+def c3_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (TPC-H Q18 shape): customers holding very large orders —
+    aggregate-then-semi-join.  The qty rollup is the only fact shuffle;
+    its HAVING output is a tiny set of orderkeys, so it joins INTO
+    orders and customer as the broadcast build side — the fact table
+    and the customer table are never shuffled.  At 100 TB the pattern
+    generalizes: reduce first, broadcast the reduced set, never join
+    fact⋈dim before the selective aggregate.  ``l_quantity`` is an
+    integer-valued double, so ``sum`` is exact and the >250 gate and
+    output hash are engine-deterministic with no rounding."""
+    li = scan(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+        .withColumnRenamed("l_orderkey", "big_orderkey")
+    )
+    o = scan(spark, sf_dir, "orders")
+    c = scan(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.big_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )

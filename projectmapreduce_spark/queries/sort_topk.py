@@ -107,3 +107,37 @@ def o4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 5)
     )
+
+
+@query(
+    "o5_subsample_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id * 2654435761) % 4294967296), doc_id
+         ) AS samp_rn
+  FROM documents
+) WHERE samp_rn <= 10
+""",
+    survey="O5,L15",
+    category="sort",
+)
+def o5_subsample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: deterministic k-per-group subsample — cap each source at k
+    documents, chosen by hashed-id order (reservoir-sampling semantics
+    made reproducible: the SAME k docs survive on every run, engine,
+    and cluster size — `rand()`-based reservoirs can't promise that).
+    The training-pipeline verb for per-source document caps.  One
+    shuffle on the group key; at 100 TB the window never materializes a
+    group — each partition streams its sorted run and rows rank > k are
+    dropped before any further stage."""
+    from projectmapreduce_spark.operators.pipeline import hash_bucket
+
+    d = scan(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(hash_bucket("doc_id", 4294967296), F.col("doc_id"))
+    return (
+        d.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("samp_rn"))
+        .filter(F.col("samp_rn") <= 10)
+    )

@@ -7,8 +7,8 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 104 operator rows across 13 categories
-# (85 round-1 rows + L13–L20, M9, T7, S7–S9, W6, C1–C2, J11–J12 added in round 2).
+# The full §2 inventory: 106 operator rows across 13 categories
+# (85 round-1 rows + L13–L20, M9, T7, S7–S9, W6, O5, C1–C3, J11–J12 added in round 2).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "S1", "S2", "S3", "S4", "S5", "S6",
@@ -25,6 +25,7 @@ SURVEY_IDS = {
     "W1", "W2", "W3", "W4", "W5", "W6",
     # §2.6 sort / limit / top-k
     "O1", "O2", "O3", "O4",
+    "O5",  # round-2: deterministic k-per-group subsample
     # §2.7 set ops
     "U1", "U2", "U3", "U4",
     # §2.8 scalar function families
@@ -43,8 +44,7 @@ SURVEY_IDS = {
     "X1", "X2", "X3", "X4",
     # §2.13 composite analytics
     "C1", "C2",
-    # §2.13 composite analytics
-    "C1", "C2",
+    "C3",  # round-2: large-order customers (TPC-H Q18 shape)
 }
 
 
