@@ -303,3 +303,61 @@ def a11_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.99, acc).alias("approx_p99"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "a12_count_min_sketch",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+hashed AS (
+  SELECT token,
+         list_reduce(list_prepend(0::BIGINT,
+                     list_transform(string_split(token, ''), c -> ascii(c)::BIGINT)),
+                     (acc, x) -> (acc * 31 + x) % 4294967296) AS h
+  FROM toks
+),
+cells AS (
+  SELECT j, ((h * 1540483477 + j * 1000003) % 4294967296) % 1024 AS bucket,
+         count(*)::BIGINT AS cell_count
+  FROM hashed CROSS JOIN (SELECT unnest(range(4)) AS j) js
+  GROUP BY 1, 2
+),
+counts AS (
+  SELECT token, any_value(h) AS h, count(*)::BIGINT AS true_count
+  FROM hashed GROUP BY token
+),
+probes AS (SELECT * FROM counts ORDER BY true_count DESC, token LIMIT 20)
+SELECT p.token AS token, p.true_count AS true_count,
+       min(c.cell_count)::BIGINT AS est_count
+FROM probes p
+JOIN cells c
+  ON c.bucket = ((p.h * 1540483477 + c.j * 1000003) % 4294967296) % 1024
+GROUP BY 1, 2
+""",
+    survey="A12",
+    category="aggregate",
+)
+def a12_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: count–min sketch — frequency estimates for the corpus's
+    top-20 tokens from a fixed 4×1024 counter grid.  The sketch path
+    never shuffles the vocabulary: each partition builds its grid
+    map-side and grids merge cell-wise (`operators/sketch.py`); the
+    probe join broadcasts the ≤ d×w-row grid.  The exact `true_count`
+    column exists to certify ``est ≥ true`` in the oracle hash — at
+    100 TB you would keep only the sketch side.  Hash family is
+    engine-exact bigint arithmetic, so even the estimates hash-match
+    DuckDB cell for cell."""
+    from projectmapreduce_spark.operators.sketch import cms_build, cms_estimate, poly_hash
+
+    d = scan(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    cells = cms_build(toks, "token", depth=4, width=1024)
+    probes = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("token"))
+        .limit(20)
+    )
+    return cms_estimate(probes, cells, "token", depth=4, width=1024)

@@ -7,8 +7,8 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 106 operator rows across 13 categories
-# (85 round-1 rows + L13–L20, M9, T7, S7–S9, W6, O5, C1–C3, J11–J12 added in round 2).
+# The full §2 inventory: 107 operator rows across 13 categories
+# (85 round-1 rows + L13–L20, M9, T7, S7–S9, W6, O5, A11–A12, C1–C3, J11–J12 added in round 2).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "S1", "S2", "S3", "S4", "S5", "S6",
@@ -21,6 +21,7 @@ SURVEY_IDS = {
     # §2.4 aggregations
     "A1", "A2", "A3", "A4", "A5", "A6", "A7", "A8", "A9", "A10",
     "A11",  # round-2: approx quantile sketch
+    "A12",  # round-2: count-min sketch
     # §2.5 windows
     "W1", "W2", "W3", "W4", "W5", "W6",
     # §2.6 sort / limit / top-k

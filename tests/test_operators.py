@@ -425,3 +425,46 @@ def test_approx_quantile_error_bound(spark):
     for k in exact:
         assert abs(approx[k].m - exact[k].m) / exact[k].m < 0.05
         assert abs(approx[k].p99 - exact[k].p99) / exact[k].p99 < 0.05
+
+
+# ---------- count-min sketch (A12) ----------
+
+
+def test_cms_estimate_upper_bounds_and_collisions(spark):
+    """CMS guarantees est >= true for EVERY key (counters only ever
+    over-count), and with d=4 independent rows most probes should hit
+    at least one collision-free cell at fixture vocabulary sizes."""
+    from projectmapreduce_spark.operators.sketch import cms_build, cms_estimate
+
+    d = scan(spark, SF_SMOKE, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    cells = cms_build(toks, "token", depth=4, width=1024)
+    truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    est = cms_estimate(truth, cells, "token", depth=4, width=1024).collect()
+    assert len(est) > 20  # smoke-tier vocabulary is small (~31 tokens)
+    assert all(r.est_count >= r.true_count for r in est)
+    exact = sum(1 for r in est if r.est_count == r.true_count)
+    assert exact / len(est) > 0.5
+
+    # the grid is fixed-size: never more than d*w cells, whatever the corpus
+    assert cells.count() <= 4 * 1024
+
+
+def test_cms_grids_merge_cellwise(spark):
+    """Sketch mergeability — the property that makes CMS distributable:
+    grid(A ∪ B) == cellwise_sum(grid(A), grid(B))."""
+    from projectmapreduce_spark.operators.sketch import cms_build
+
+    d = scan(spark, SF_SMOKE, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    half_a = toks.filter(F.col("doc_id") % 2 == 0).select("token")
+    half_b = toks.filter(F.col("doc_id") % 2 == 1).select("token")
+    merged = (
+        cms_build(half_a, "token")
+        .unionByName(cms_build(half_b, "token"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    whole = cms_build(toks.select("token"), "token")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
