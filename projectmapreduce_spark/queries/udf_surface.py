@@ -168,3 +168,66 @@ def x4b_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.doc_id, s.pos, s.token "
         "FROM pmr_docs_udtf d, LATERAL pmr_split_tokens(d.doc_id, d.text) s"
     )
+
+
+@query(
+    "x5_cogroup",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey AS key, count(*)::BIGINT AS n_orders,
+         sum(o_totalprice) AS spend
+  FROM orders GROUP BY 1
+),
+e AS (
+  SELECT user_id AS key, count(*)::BIGINT AS n_events,
+         sum(value) AS val
+  FROM events GROUP BY 1
+)
+SELECT coalesce(o.key, e.key) AS key,
+       coalesce(n_orders, 0)::BIGINT   AS n_orders,
+       round(coalesce(spend, 0.0), 2)  AS total_spend,
+       coalesce(n_events, 0)::BIGINT   AS n_events,
+       round(coalesce(val, 0.0), 2)    AS total_value
+FROM o FULL OUTER JOIN e ON o.key = e.key
+""",
+    survey="X5,J3",
+    category="udf",
+)
+def x5_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: cogroup + applyInPandas — TWO grouped DataFrames delivered
+    to one Python function per key (the MR-era `cogroup` primitive,
+    and the shape custom cross-dataset per-entity logic takes when it
+    can't be a join: sessionizing one stream against another's state,
+    per-user feature merges, ...).  Each side shuffles once on its
+    key; Arrow ships both groups to Python together; an absent side
+    arrives as an empty frame (full-outer semantics).  The pandas body
+    returns raw sums; rounding happens JVM-side via dround so the
+    Python boundary adds no float-discipline exceptions.  At 100 TB
+    the per-key pair of groups must fit one worker — bound group sizes
+    (here: one customer's orders/events), or use the relational form."""
+
+    def merge(key, o_pdf: pd.DataFrame, e_pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_orders": [len(o_pdf)],
+                "spend": [float(o_pdf["o_totalprice"].sum()) if len(o_pdf) else 0.0],
+                "n_events": [len(e_pdf)],
+                "val": [float(e_pdf["value"].sum()) if len(e_pdf) else 0.0],
+            }
+        )
+
+    o = scan(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    e = scan(spark, sf_dir, "events").select("user_id", "value")
+    out = (
+        o.groupBy("o_custkey")
+        .cogroup(e.groupBy("user_id"))
+        .applyInPandas(merge, "key long, n_orders long, spend double, n_events long, val double")
+    )
+    return out.select(
+        "key",
+        "n_orders",
+        dround("spend", 2).alias("total_spend"),
+        "n_events",
+        dround("val", 2).alias("total_value"),
+    )

@@ -7,8 +7,8 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 107 operator rows across 13 categories
-# (85 round-1 rows + L13–L20, M9, T7, S7–S9, W6, O5, A11–A12, C1–C3, J11–J12 added in round 2).
+# The full §2 inventory: 108 operator rows across 13 categories
+# (85 round-1 rows + L13–L20, M9, T7, S7–S9, W6, O5, A11–A12, X5, C1–C3, J11–J12 added in round 2).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "S1", "S2", "S3", "S4", "S5", "S6",
@@ -43,6 +43,7 @@ SURVEY_IDS = {
     "L18", "L19", "L20",  # round-2: repetition, contamination, epoch shuffle
     # §2.12 UDF surface
     "X1", "X2", "X3", "X4",
+    "X5",  # round-2: cogroup
     # §2.13 composite analytics
     "C1", "C2",
     "C3",  # round-2: large-order customers (TPC-H Q18 shape)
