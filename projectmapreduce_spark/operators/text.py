@@ -250,3 +250,59 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .alias("top_2gram_frac"),
         )
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    n_features: int = 1024,
+) -> DataFrame:
+    """L21: hashed-n-gram linear classifier — the fastText-style
+    quality scorer shape: feature-hash each token into a fixed bucket
+    space, look the bucket up in a (bucket, weight) model table, sum
+    weights per document, threshold on the mean.
+
+    This is the Spark deployment shape for ANY linear text model: the
+    trained weight vector is a small table (n_features rows) that
+    BROADCASTS, so scoring a 100 TB corpus is one map-side join plus
+    one per-doc aggregate — no vocabulary shuffle, no Python.  Scores
+    here use integer weights, so the per-doc sum is bigint-exact and
+    the mean is one exact int/int IEEE divide — fully hash-checkable
+    cross-engine.
+
+    Returns (id, n_tokens, score_raw, mean_weight, keep).
+    """
+    from projectmapreduce_spark.operators.sketch import cms_bucket, poly_hash
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(text_col, " ")).alias("token")
+    )
+    feat = toks.select("id", cms_bucket(poly_hash("token"), 0, n_features).alias("bucket"))
+    scored = (
+        feat.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("weight").alias("score_raw"))
+    )
+    mean = F.col("score_raw") / F.col("n_tokens")
+    return scored.select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("score_raw").cast("long").alias("score_raw"),
+        mean.alias("mean_weight"),
+        (mean > 0).alias("keep"),
+    )
+
+
+def demo_weights(spark, n_features: int = 1024) -> DataFrame:
+    """Deterministic stand-in for trained model weights: integer
+    weights in [-1000, 1000] derived from the bucket id by the same
+    multiplicative family as the rest of the repo.  A real deployment
+    swaps this table for the trained vector — the scoring plumbing
+    (broadcast join + sum) is identical."""
+    b = F.col("id")
+    w = ((b * F.lit(2654435761) + F.lit(7)) % F.lit(4294967296)) % F.lit(2001) - F.lit(1000)
+    return spark.range(n_features).select(
+        b.cast("long").alias("bucket"), w.cast("long").alias("weight")
+    )

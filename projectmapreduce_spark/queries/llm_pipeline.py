@@ -888,3 +888,53 @@ def l20_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_e1",
         F.row_number().over(w).cast("long").alias("epoch0_pos"),
     )
+
+
+@query(
+    "l21_quality_classifier",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         ((list_reduce(list_prepend(0::BIGINT,
+             list_transform(string_split(token, ''), c -> ascii(c)::BIGINT)),
+             (acc, x) -> (acc * 31 + x) % 4294967296)
+           * 1540483477) % 4294967296) % 1024 AS bucket
+  FROM toks
+),
+weights AS (
+  SELECT b AS bucket,
+         ((b * 2654435761 + 7) % 4294967296) % 2001 - 1000 AS weight
+  FROM (SELECT unnest(range(1024)) AS b)
+),
+scored AS (
+  SELECT doc_id AS id, count(*)::BIGINT AS n_tokens,
+         sum(weight)::BIGINT AS score_raw
+  FROM feat JOIN weights USING (bucket)
+  GROUP BY doc_id
+)
+SELECT id, n_tokens, score_raw,
+       score_raw / n_tokens AS mean_weight,
+       (score_raw / n_tokens > 0) AS keep
+FROM scored
+""",
+    survey="L21,L8",
+    category="llm",
+)
+def l21_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L21: hashed-n-gram linear quality classifier — the fastText-
+    style scorer every pretraining corpus runs as a quality gate,
+    expressed as pure relational ops: feature-hash tokens to a fixed
+    1024-bucket space, broadcast-join the (bucket, weight) model
+    table, one per-doc sum, threshold the mean.  Scoring a 100 TB
+    corpus is a map-side join + one keyed aggregate — the model never
+    shuffles and no Python runs.  Integer weights make the score
+    bigint-exact and the mean one exact int/int IEEE divide, so even
+    the float column hash-matches DuckDB.  The demo weight table
+    stands in for trained weights; the plumbing is what's declared."""
+    from projectmapreduce_spark.operators.text import demo_weights, hashed_linear_score
+
+    d = scan(spark, sf_dir, "documents")
+    return hashed_linear_score(d, "doc_id", "text", demo_weights(spark, 1024), 1024)

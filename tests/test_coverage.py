@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 108 operator rows across 13 categories
+# The full §2 inventory: 109 operator rows across 13 categories
 # (85 round-1 rows + L13–L20, M9, T7, S7–S9, W6, O5, A11–A12, X5, C1–C3, J11–J12 added in round 2).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
@@ -41,6 +41,7 @@ SURVEY_IDS = {
     "L1", "L2", "L3", "L4", "L5", "L6", "L7", "L8", "L9", "L10", "L11", "L12",
     "L13", "L14", "L15", "L16", "L17",  # round-2 training-pipeline verbs
     "L18", "L19", "L20",  # round-2: repetition, contamination, epoch shuffle
+    "L21",  # round-2: hashed linear quality classifier
     # §2.12 UDF surface
     "X1", "X2", "X3", "X4",
     "X5",  # round-2: cogroup
