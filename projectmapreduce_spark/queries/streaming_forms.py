@@ -209,3 +209,48 @@ def l13s_stream_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
     return _drain(spark, out, "complete")
+
+
+@query(
+    "t8s_foreachbatch_sink",
+    oracle="""
+WITH s AS (
+  SELECT source, n_chars,
+         CASE WHEN ((doc_id * 2654435761 + 0) % 4294967296) % 100 < 80 THEN 'train'
+              WHEN ((doc_id * 2654435761 + 0) % 4294967296) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM s GROUP BY split
+""",
+    survey="T8,S8,L13",
+    category="streaming",
+)
+def t8s_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: foreachBatch sink — the streaming ingest writes each
+    micro-batch to a hive-partitioned parquet lake via
+    dynamic-partition-overwrite keyed by (batch_id, split), the
+    standard idempotent-under-replay recipe for foreachBatch's
+    at-least-once contract.  The check reads the LAKE back and
+    aggregates it: the sink files, not the in-memory stream, must
+    hash-match the batch oracle — an end-to-end ingest-to-storage
+    proof.  Files are written once per batch; a crash-replayed batch
+    would rewrite exactly its own partitions."""
+    from projectmapreduce_spark.operators.pipeline import deterministic_split
+    from projectmapreduce_spark.streaming import (
+        read_documents_stream,
+        sink_stream_foreach_batch,
+    )
+
+    name = "pmrs_" + uuid.uuid4().hex[:12]
+    path = f"/tmp/pmr_stream_sink/{name}"
+    out = deterministic_split(read_documents_stream(spark, sf_dir), "doc_id")
+    q = sink_stream_foreach_batch(
+        out, path, f"/tmp/pmr_stream_ckpt/{name}", partition_cols=["split"]
+    )
+    q.awaitTermination()
+    lake = spark.read.parquet(path)
+    return lake.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )

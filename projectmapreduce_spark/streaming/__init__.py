@@ -10,6 +10,7 @@ from projectmapreduce_spark.streaming.core import (
     read_events_stream,
     run_available_now,
     session_counts,
+    sink_stream_foreach_batch,
     sink_stream_parquet,
     sliding_counts,
     stream_static_join,
@@ -27,6 +28,7 @@ __all__ = [
     "run_available_now",
     "running_user_totals",
     "session_counts",
+    "sink_stream_foreach_batch",
     "sink_stream_parquet",
     "sliding_counts",
     "stream_static_join",

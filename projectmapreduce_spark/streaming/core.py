@@ -169,6 +169,42 @@ def run_available_now(
     q.awaitTermination()
 
 
+def sink_stream_foreach_batch(
+    out: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_cols: list[str] | None = None,
+):
+    """T8 — foreachBatch escape hatch: apply an arbitrary BATCH write
+    to each micro-batch.  This is how streams reach sinks the
+    streaming engine has no native writer for (JDBC, upserts,
+    multi-sink fan-out) — and it changes the delivery contract from
+    the file sink's exactly-once to AT-LEAST-ONCE: a batch can replay
+    after a crash, so the batch write must be IDEMPOTENT.
+
+    The idempotency recipe used here is the standard one: partition
+    the output by ``batch_id`` (plus the caller's columns) and
+    dynamic-partition-overwrite — a replayed batch rewrites exactly
+    its own partitions, so duplicates cannot accumulate.  Returns the
+    StreamingQuery handle.
+    """
+    from projectmapreduce_spark.io import overwrite_partitions
+
+    cols = ["batch_id", *(partition_cols or [])]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        overwrite_partitions(
+            batch_df.withColumn("batch_id", F.lit(batch_id)), path, cols
+        )
+
+    return (
+        out.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sink_stream_parquet(
     out: DataFrame, path: str, checkpoint_dir: str, output_mode: str = "append"
 ):

@@ -7,8 +7,8 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 109 operator rows across 13 categories
-# (85 round-1 rows + L13–L20, M9, T7, S7–S9, W6, O5, A11–A12, X5, C1–C3, J11–J12 added in round 2).
+# The full §2 inventory: 110 operator rows across 13 categories
+# (85 round-1 rows + L13–L20, M9, T7, S7–S9, W6, O5, A11–A12, X5, C1–C3, J11–J12, T7–T8 added in round 2).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "S1", "S2", "S3", "S4", "S5", "S6",
@@ -34,6 +34,7 @@ SURVEY_IDS = {
     # §2.9 streaming-shaped (batch forms)
     "T1", "T2", "T3", "T4", "T5", "T6",
     "T7",  # round-2: stream-stream interval join
+    "T8",  # round-2: foreachBatch idempotent sink
     # §2.10 MR-heritage surface
     "M1", "M2", "M3", "M4", "M5", "M6", "M7", "M8",
     "M9",  # round-2: job counters
