@@ -64,6 +64,11 @@ HEADLINE = [
     "l18_repetition_filter",
     "l19_contamination_check",
     "j12_bloom_pruned_join",
+    # round-2 batch 3: Q18 composite, sketch, classifier, fingerprint
+    "c3_large_order_customers",
+    "a12_count_min_sketch",
+    "l21_quality_classifier",
+    "l22_doc_fingerprint",
 ]
 
 

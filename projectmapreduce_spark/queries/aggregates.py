@@ -361,3 +361,26 @@ def a12_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return cms_estimate(probes, cells, "token", depth=4, width=1024)
+
+
+@query("a13_hll_sketch_union", oracle=None, survey="A13", category="aggregate")
+def a13_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: persistable, mergeable distinct-count sketches — Spark's
+    Apache DataSketches HLL surface.  Unlike A4's one-shot
+    ``approx_count_distinct``, ``hll_sketch_agg`` materializes the
+    sketch itself (a few-KB binary), so per-partition/per-day sketches
+    can be STORED and later combined with ``hll_union_agg`` — the
+    incremental-analytics pattern: count distinct users per day once,
+    answer any date-range query by unioning sketches, never rescanning
+    the raw 100 TB.  Here: one sketch per market segment, plus the
+    ALL row computed by unioning the five segment sketches (not by
+    re-aggregating the input).  Rows-only: DuckDB's HLL is a different
+    algorithm; the error bound vs exact is pinned in
+    tests/test_operators.py."""
+    c = scan(spark, sf_dir, "customer")
+    per = c.groupBy("c_mktsegment").agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    seg = per.select("c_mktsegment", F.hll_sketch_estimate("sk").alias("est_distinct"))
+    union = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct")
+    ).select(F.lit("ALL").alias("c_mktsegment"), "est_distinct")
+    return seg.unionByName(union)

@@ -234,3 +234,34 @@ def s8_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"), dround(F.sum("value"), 2).alias("total_value")
     )
+
+
+@query(
+    "s10_schema_evolution",
+    oracle="""
+SELECT doc_id, n_chars,
+       CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang
+FROM documents
+""",
+    survey="S10,P6",
+    category="io",
+)
+def s10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: a lake directory whose early files were
+    written BEFORE a column existed (here: `lang` added between batch
+    v1 and v2).  ``mergeSchema=true`` unions the footers into one
+    scan schema and null-fills the missing column for old files — the
+    semantics a 100 TB append-only lake needs to keep old partitions
+    readable after every schema addition.  (Spark reconciles by NAME;
+    at scale, turn mergeSchema off once a table schema is registered
+    in a metastore and pay footer-merging only on evolution
+    boundaries.)  The read-back rows hash-match computing the same
+    null-pattern from the source table."""
+    d = scan(spark, sf_dir, "documents")
+    path = _p("docs_evolving")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
+    v2 = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "n_chars", "lang")
+    sink_parquet(v1, os.path.join(path, "batch=v1"))
+    sink_parquet(v2, os.path.join(path, "batch=v2"))
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.select("doc_id", "n_chars", "lang")

@@ -938,3 +938,49 @@ def l21_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = scan(spark, sf_dir, "documents")
     return hashed_linear_score(d, "doc_id", "text", demo_weights(spark, 1024), 1024)
+
+
+@query(
+    "l22_doc_fingerprint",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(len(toks) - 5, 0) + 1),
+                        i -> array_to_string(toks[i + 1 : i + 5], ' ')) AS shingles
+  FROM t
+)
+SELECT doc_id,
+       list_min(list_transform(shingles,
+         s -> list_reduce(list_prepend(0::BIGINT,
+                list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
+                (acc, x) -> (acc * 31 + x) % 4294967296))) AS fp
+FROM sh
+""",
+    survey="L22,F5",
+    category="llm",
+)
+def l22_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L22: winnowing-style document fingerprint — min poly-hash over
+    5-token shingles, the document's 'rarest window'.  Near-identical
+    docs share the fingerprint with high probability, making it the
+    cheap blocking key for near-dup candidate generation (a one-column
+    groupBy instead of a 64-hash MinHash signature when recall demands
+    are modest).  Entirely in-row higher-order functions — zero
+    shuffle below the project, and the hash family is the same
+    engine-exact arithmetic as A12/L21, so every fingerprint
+    hash-matches DuckDB.  (`operators/text.py:rolling_shingle_fingerprint`
+    is the crc32 twin used internally; this declared form swaps in the
+    cross-engine hash to carry a full SQL oracle.)"""
+    from projectmapreduce_spark.operators.sketch import poly_hash
+
+    d = scan(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(arr) - 5, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(arr, i + 1, 5)),
+    )
+    fp = F.array_min(F.transform(shingles, lambda s: poly_hash(s)))
+    return d.select("doc_id", fp.alias("fp"))

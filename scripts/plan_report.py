@@ -78,6 +78,25 @@ SHOWCASE = {
         "dropped before the shuffle.  Note: this plan is captured with "
         "the scoped no-broadcast confs active (the 100 TB regime)."
     ),
+    "c3_large_order_customers": (
+        "TPC-H Q18 shape, aggregate-then-semi-join: the quantity "
+        "rollup is the only lineitem shuffle; its HAVING output joins "
+        "into orders and customer as the BroadcastHashJoin build side, "
+        "so neither big table shuffles for the join."
+    ),
+    "a12_count_min_sketch": (
+        "Count-min sketch: the d x w grid aggregates with map-side "
+        "partial sums (shuffle bounded at tasks*d*w cells, never the "
+        "vocabulary), and the probe lookup broadcasts the grid — the "
+        "only vocabulary-sized shuffle is the true-count verification "
+        "column the demo carries."
+    ),
+    "l21_quality_classifier": (
+        "Hashed linear classifier: the (bucket, weight) model table is "
+        "a BroadcastHashJoin build over the map-side feature hash; the "
+        "per-doc sum is the single keyed shuffle.  Scoring never moves "
+        "the model and never leaves the JVM."
+    ),
     "l18_repetition_filter": (
         "Gopher repetition gate: dup-token/dup-3-gram fractions are "
         "computed inside the row (no exchange below the project); the "

@@ -7,12 +7,13 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 110 operator rows across 13 categories
-# (85 round-1 rows + L13–L20, M9, T7, S7–S9, W6, O5, A11–A12, X5, C1–C3, J11–J12, T7–T8 added in round 2).
+# The full §2 inventory: 113 operator rows across 13 categories
+# (85 round-1 rows + L13–L20, M9, T7, S7–S9, W6, O5, A11–A13, X5, C1–C3, J11–J12, T7–T8 added in round 2).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "S1", "S2", "S3", "S4", "S5", "S6",
     "S7", "S8", "S9",  # round-2: bucketed sink, dynamic overwrite, ORC
+    "S10",  # round-2: schema-evolution scan (mergeSchema)
     # §2.2 projection / filter
     "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
     # §2.3 joins
@@ -22,6 +23,7 @@ SURVEY_IDS = {
     "A1", "A2", "A3", "A4", "A5", "A6", "A7", "A8", "A9", "A10",
     "A11",  # round-2: approx quantile sketch
     "A12",  # round-2: count-min sketch
+    "A13",  # round-2: persistable HLL sketch union
     # §2.5 windows
     "W1", "W2", "W3", "W4", "W5", "W6",
     # §2.6 sort / limit / top-k
@@ -43,6 +45,7 @@ SURVEY_IDS = {
     "L13", "L14", "L15", "L16", "L17",  # round-2 training-pipeline verbs
     "L18", "L19", "L20",  # round-2: repetition, contamination, epoch shuffle
     "L21",  # round-2: hashed linear quality classifier
+    "L22",  # round-2: winnowing document fingerprint
     # §2.12 UDF surface
     "X1", "X2", "X3", "X4",
     "X5",  # round-2: cogroup

@@ -468,3 +468,25 @@ def test_cms_grids_merge_cellwise(spark):
     whole = cms_build(toks.select("token"), "token")
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+# ---------- HLL sketch union (A13) ----------
+
+
+def test_hll_sketch_union_error_bound(spark):
+    """Per-segment estimates and the union-of-sketches ALL row must
+    land within HLL's error envelope of the exact distinct counts —
+    and the ALL row must come out of the sketch union, not a rescan
+    (it equals neither segment estimate)."""
+    from projectmapreduce_spark.queries.registry import QUERIES
+
+    rows = {r.c_mktsegment: r.est_distinct for r in QUERIES["a13_hll_sketch_union"](spark, SF_CORRECT).collect()}
+    c = scan(spark, SF_CORRECT, "customer")
+    exact_all = c.select("c_custkey").distinct().count()
+    exact_seg = {
+        r.c_mktsegment: r.n
+        for r in c.groupBy("c_mktsegment").agg(F.countDistinct("c_custkey").alias("n")).collect()
+    }
+    assert abs(rows["ALL"] - exact_all) / exact_all < 0.05
+    for seg, n in exact_seg.items():
+        assert abs(rows[seg] - n) / n < 0.10
