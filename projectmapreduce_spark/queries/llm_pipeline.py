@@ -984,3 +984,67 @@ def l22_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = F.array_min(F.transform(shingles, lambda s: poly_hash(s)))
     return d.select("doc_id", fp.alias("fp"))
+
+
+@query(
+    "l23_passage_dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, unnest(range(0, (len(toks) + 9) // 10)) AS pos FROM t
+),
+ch AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[pos * 10 + 1 : pos * 10 + 10], ' ') AS passage
+  FROM idx
+),
+r AS (
+  SELECT doc_id, pos, passage,
+         row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
+  FROM ch
+)
+SELECT doc_id,
+       count(*)::BIGINT                          AS n_passages,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY pos), '') AS clean_text
+FROM r GROUP BY doc_id
+""",
+    survey="L23,L1",
+    category="llm",
+)
+def l23_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L23: cross-document passage dedup (the C4-style sub-document
+    verb): chunk each doc into non-overlapping 10-token passages, keep
+    only each passage's globally-FIRST occurrence (ordered by doc_id,
+    position), and reassemble documents without the repeated text —
+    boilerplate and copy-pasted passages vanish corpus-wide while one
+    canonical copy survives.  Whole-doc dedup (L1/L2) can't do this:
+    it keeps or drops entire documents.
+
+    Shape: chunking is in-row HOFs (no shuffle); the only exchanges
+    are the per-passage first-occurrence window and the per-doc
+    reassembly — both single hash shuffles.  At 100 TB, partition the
+    window by poly_hash(passage) instead of the passage string to cut
+    shuffle bytes ~10× (kept as the string here so the oracle is
+    byte-exact); reassembly collects ≤ doc-length arrays, bounded by
+    the corpus's max doc size."""
+    d = scan(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    n_chunks = ((F.size(arr) + F.lit(9)) / F.lit(10)).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(arr, (i * 10 + 1).cast("int"), 10)),
+    )
+    ch = d.select("doc_id", F.posexplode(chunks).alias("pos", "passage"))
+    w = Window.partitionBy("passage").orderBy("doc_id", "pos")
+    r = ch.select("doc_id", "pos", "passage", F.row_number().over(w).alias("rn"))
+    kept = F.array_sort(
+        F.collect_list(F.when(F.col("rn") == 1, F.struct("pos", "passage")))
+    )
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+        F.concat_ws(" ", F.transform(kept, lambda x: x["passage"])).alias("clean_text"),
+    )

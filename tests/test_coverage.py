@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 113 operator rows across 13 categories
+# The full §2 inventory: 114 operator rows across 13 categories
 # (85 round-1 rows + L13–L20, M9, T7, S7–S9, W6, O5, A11–A13, X5, C1–C3, J11–J12, T7–T8 added in round 2).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
@@ -46,6 +46,7 @@ SURVEY_IDS = {
     "L18", "L19", "L20",  # round-2: repetition, contamination, epoch shuffle
     "L21",  # round-2: hashed linear quality classifier
     "L22",  # round-2: winnowing document fingerprint
+    "L23",  # round-2: C4-style cross-doc passage dedup
     # §2.12 UDF surface
     "X1", "X2", "X3", "X4",
     "X5",  # round-2: cogroup
