@@ -212,3 +212,40 @@ def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.percent_rank().over(w), 12).alias("pct_rank"),
         dround(F.cume_dist().over(w), 12).alias("cume"),
     )
+
+
+@query(
+    "w7_windowed_distinct",
+    oracle="""
+SELECT event_id, user_id,
+       len(list_distinct(list(event_type) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)))::BIGINT AS n_types_1d
+FROM events
+""",
+    survey="W7,W4",
+    category="window",
+)
+def w7_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: distinct count over a trailing event-time RANGE frame — the
+    'distinct behaviors per entity in the last N hours' shape.  Spark
+    has no count(DISTINCT) over windows either; the portable form both
+    engines agree on is collect the frame → distinct → size.  The
+    frame is exact microseconds (unix_micros vs DuckDB's interval
+    arithmetic — no boundary truncation).  One hash shuffle on the
+    entity key + an in-partition sort; frame state is bounded by the
+    time horizon, not the partition, and high-cardinality user_id
+    keeps groups small at 100 TB."""
+    e = scan(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("long")
+        .alias("n_types_1d"),
+    )
