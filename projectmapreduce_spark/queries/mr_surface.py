@@ -223,3 +223,26 @@ def m9_job_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks=F.col("event_type") == "click",
         high_value=F.col("value") > 90,
     )
+
+
+@query("m10_pagerank", oracle=None, survey="M10", category="mr")
+def m10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: PageRank — the canonical iterative MapReduce workload
+    (chained jobs in MR; one cached DAG per iteration here), run over
+    the supplier→customer supply graph (an edge per distinct supplier
+    that shipped to a customer; customer ids offset to keep the node
+    sets disjoint).  Per iteration: one shuffle join + one aggregate,
+    both sides pre-partitioned on the join key, lineage truncated per
+    round (`operators/graph.py`).  Rows-only: iterative float
+    fixpoints are not SQL-expressible; convergence to the exact
+    numpy power iteration is pinned in tests/test_operators.py."""
+    from projectmapreduce_spark.operators.graph import pagerank
+
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+    )
+    out = pagerank(edges, n_iters=8)
+    return out.select("id", F.round("rank", 8).alias("rank"))

@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 115 operator rows across 13 categories
+# The full §2 inventory: 116 operator rows across 13 categories
 # (85 round-1 rows + L13–L20, M9, T7, S7–S9, W6–W7, O5, A11–A13, X5, C1–C3, J11–J12, T7–T8 added in round 2).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
@@ -41,6 +41,7 @@ SURVEY_IDS = {
     # §2.10 MR-heritage surface
     "M1", "M2", "M3", "M4", "M5", "M6", "M7", "M8",
     "M9",  # round-2: job counters
+    "M10",  # round-2: PageRank
     # §2.11 LLM-data-pipeline
     "L1", "L2", "L3", "L4", "L5", "L6", "L7", "L8", "L9", "L10", "L11", "L12",
     "L13", "L14", "L15", "L16", "L17",  # round-2 training-pipeline verbs

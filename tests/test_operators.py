@@ -490,3 +490,35 @@ def test_hll_sketch_union_error_bound(spark):
     assert abs(rows["ALL"] - exact_all) / exact_all < 0.05
     for seg, n in exact_seg.items():
         assert abs(rows[seg] - n) / n < 0.10
+
+
+# ---------- PageRank (M10) ----------
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """The distributed fixpoint must equal the dense numpy power
+    iteration (same damping, same dangling handling) to float
+    tolerance on a graph with a dangling node and a cycle."""
+    from projectmapreduce_spark.operators.graph import pagerank
+
+    # 0→1, 0→2, 1→2, 2→0, 3→2 ; node 4 dangling (appears as dst only)
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(edges, n_iters=12).collect()}
+
+    n, d = 5, 0.85
+    out = {}
+    for s, t in edge_list:
+        out.setdefault(s, []).append(t)
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(r[i] for i in range(n) if i not in out)
+        nxt += d * dangling / n
+        for s, ts in out.items():
+            for t in ts:
+                nxt[t] += d * r[s] / len(ts)
+        r = nxt
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
