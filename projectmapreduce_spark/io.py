@@ -64,6 +64,12 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     observed scan parallelism is below ``defaultParallelism × factor``
     — at 100 TB a scan yields thousands of splits and this is a no-op,
     so no shuffle is ever added on the at-scale path.
+
+    Cost contract: ``df.rdd`` materializes the physical plan (no job,
+    but non-trivial planning work), so call this once per pipeline on
+    the freshly scanned input — never inside an iteration loop
+    (iterative ops truncate lineage with localCheckpoint instead; see
+    operators/graph.py, operators/dedup.py:connected_components).
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism * factor
