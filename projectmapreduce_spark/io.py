@@ -201,3 +201,24 @@ def sink_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = T
 def sink_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink (round-trip support for S3)."""
     df.write.mode(mode).json(path)
+
+
+def upsert_by_rewrite(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE emulation on plain parquet (no ACID table format):
+    updated/new rows win, untouched base rows survive —
+    ``updates ∪ (base ⟕anti updates)``.
+
+    At 100 TB you never rewrite the whole table: partition the lake on
+    a key-correlated column, semi-join to find the partitions the
+    update batch touches, and rewrite ONLY those via
+    ``overwrite_partitions`` (S8) — merge cost then tracks the batch,
+    not the table.  Delta/Iceberg give the same semantics
+    transactionally; this is the engine-level primitive they compile
+    to.  The anti-join broadcasts the (small) update batch, so the
+    base table is never shuffled.
+    """
+    from pyspark.sql import functions as F
+
+    cols = base.columns
+    survivors = base.join(F.broadcast(updates.select(key)), key, "left_anti")
+    return updates.select(*cols).unionByName(survivors)

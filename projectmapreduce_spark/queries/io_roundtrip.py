@@ -265,3 +265,55 @@ def s10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_parquet(v2, os.path.join(path, "batch=v2"))
     back = spark.read.option("mergeSchema", "true").parquet(path)
     return back.select("doc_id", "n_chars", "lang")
+
+
+@query(
+    "s11_upsert_merge",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice * 1.1, 2)
+            ELSE o_totalprice END AS o_totalprice,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'P' ELSE o_orderstatus END AS o_orderstatus
+FROM orders
+UNION ALL
+SELECT o_orderkey + 10000000 AS o_orderkey,
+       100.0 AS o_totalprice,
+       'O' AS o_orderstatus
+FROM orders WHERE o_orderkey % 1000 = 0
+""",
+    survey="S11,J5",
+    category="io",
+)
+def s11_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: upsert/MERGE emulation on plain parquet — apply a change
+    batch (repriced rows + brand-new rows) to a base table:
+    updates-win anti-join union, written out and read back, so the
+    LAKE's final state is what hash-matches the oracle's CASE/UNION
+    re-expression.  The anti-join broadcasts the small change batch
+    (the base table never shuffles); at 100 TB the rewrite is scoped
+    to touched partitions via S8's dynamic overwrite — see
+    ``io.upsert_by_rewrite``.  This is the engine primitive
+    Delta/Iceberg MERGE compiles to, minus their transaction log."""
+    from projectmapreduce_spark.io import upsert_by_rewrite
+
+    base = scan(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    repriced = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            dround(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            F.lit("P").alias("o_orderstatus"),
+        )
+    )
+    inserts = (
+        base.filter(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit(100.0).alias("o_totalprice"),
+            F.lit("O").alias("o_orderstatus"),
+        )
+    )
+    merged = upsert_by_rewrite(base, repriced.unionByName(inserts), "o_orderkey")
+    path = _p("orders_merged")
+    sink_parquet(merged, path)
+    return spark.read.parquet(path)

@@ -7,13 +7,14 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 116 operator rows across 13 categories
+# The full §2 inventory: 117 operator rows across 13 categories
 # (85 round-1 rows + L13–L20, M9, T7, S7–S9, W6–W7, O5, A11–A13, X5, C1–C3, J11–J12, T7–T8 added in round 2).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "S1", "S2", "S3", "S4", "S5", "S6",
     "S7", "S8", "S9",  # round-2: bucketed sink, dynamic overwrite, ORC
     "S10",  # round-2: schema-evolution scan (mergeSchema)
+    "S11",  # round-2: upsert / MERGE emulation
     # §2.2 projection / filter
     "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
     # §2.3 joins
