@@ -39,18 +39,29 @@ BROADCAST_DIMS = ("region", "nation", "supplier", "part")
 def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1 — parquet scan of one named table from a scale-factor dir.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; it is read via the nanos-as-long legacy path and
-    converted to a microsecond TimestampType with exact integer
-    arithmetic (the fixture values carry no sub-µs digits, FIXTURES.md).
+    ``events.ts`` must surface as a session-timezone TimestampType (the
+    engine contract every events query and its oracle were verified
+    against — window math uses ``unix_micros``, which rejects NTZ).
+    Fixture generations have stored it two ways, both handled here:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read via
+      the nanos-as-long legacy conf and convert with exact integer
+      arithmetic (values carry no sub-µs digits, FIXTURES.md).
+    - TIMESTAMP(MICROS) ``isAdjustedToUTC=false``: Spark ≥3.4 infers
+      TIMESTAMP_NTZ; cast to TimestampType.  With the engine's forced
+      UTC session timezone the wall-clock values are bit-identical to
+      what DuckDB's naive TIMESTAMP yields, so oracle hashes agree.
     """
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -1040,9 +1040,9 @@ def l23_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = d.select("doc_id", F.posexplode(chunks).alias("pos", "passage"))
     w = Window.partitionBy("passage").orderBy("doc_id", "pos")
     r = ch.select("doc_id", "pos", "passage", F.row_number().over(w).alias("rn"))
-    kept = F.array_sort(
-        F.collect_list(F.when(F.col("rn") == 1, F.struct("pos", "passage")))
-    )
+    kept = F.array_sort(F.collect_list(
+        F.when(F.col("rn") == 1, F.struct("pos", "passage"))
+    ))
     return r.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_passages"),
         F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),

@@ -4,7 +4,8 @@ live in projectmapreduce_spark/queries/events.py and are the
 oracle-checked forms; these wrappers are the live-topic path."""
 
 from projectmapreduce_spark.streaming.core import (
-    EVENTS_DDL,
+    EVENTS_DDL_MICROS,
+    EVENTS_DDL_NANOS,
     dedup_within_watermark,
     read_documents_stream,
     read_events_stream,
@@ -21,7 +22,8 @@ from projectmapreduce_spark.streaming.core import (
 from projectmapreduce_spark.streaming.stateful import running_user_totals
 
 __all__ = [
-    "EVENTS_DDL",
+    "EVENTS_DDL_MICROS",
+    "EVENTS_DDL_NANOS",
     "dedup_within_watermark",
     "read_documents_stream",
     "read_events_stream",

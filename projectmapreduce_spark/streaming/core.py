@@ -22,10 +22,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # The events fixture schema, declared explicitly: a streaming source
-# cannot infer schema.  ``ts`` is parquet TIMESTAMP(NANOS); with the
-# nanosAsLong legacy conf it surfaces as bigint and is converted to a
-# microsecond timestamp with exact integer arithmetic (same as io.scan).
-EVENTS_DDL = "event_id long, ts long, user_id long, event_type string, value double, props string"
+# cannot infer schema.  ``ts`` storage differs across fixture
+# generations (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS) — see io.scan);
+# _events_ts_storage sniffs the parquet footer (metadata only, no data
+# read) so the declared DDL matches the file and the stream surfaces
+# the same session-timezone TimestampType as the batch scan.
+EVENTS_DDL_NANOS = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+EVENTS_DDL_MICROS = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
+
+def _events_ts_storage(sf_dir: str) -> str:
+    """'nanos' | 'micros' per the fixture file's parquet footer."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    return "nanos" if str(t) in ("timestamp[ns]", "int64") else "micros"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,16 +50,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``availableNow`` trigger the stream drains the directory and stops,
     which is how the equivalence tests replay fixtures deterministically.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file source wants a DIRECTORY; the fixture is a single file,
     # so scope the directory listing down with pathGlobFilter.
-    raw = (
-        spark.readStream.schema(EVENTS_DDL)
+    if _events_ts_storage(sf_dir) == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_DDL_NANOS)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(EVENTS_DDL_MICROS)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 DOCUMENTS_DDL = "doc_id long, text string, lang string, source string, n_chars long"

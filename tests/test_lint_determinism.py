@@ -21,6 +21,9 @@ EXEMPT = {
     # combine_by_key hands the collected bag to a caller-supplied fold;
     # its docstring requires the merge to be order-insensitive.
     "operators/mr.py": ["merge(F.collect_list(value))"],
+    # W7 consumes the collected frame with size(array_distinct(...)) —
+    # set cardinality is order-insensitive by construction.
+    "queries/windows.py": ["F.size(F.array_distinct(F.collect_list"],
 }
 
 
