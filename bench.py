@@ -69,6 +69,9 @@ HEADLINE = [
     "a12_count_min_sketch",
     "l21_quality_classifier",
     "l22_doc_fingerprint",
+    # round-2 batch 4: context chunking + corpus bigram stats
+    "l24_context_chunking",
+    "l25_ngram_stats",
 ]
 
 

@@ -1048,3 +1048,119 @@ def l23_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
         F.concat_ws(" ", F.transform(kept, lambda x: x["passage"])).alias("clean_text"),
     )
+
+
+@query(
+    "l24_context_chunking",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CASE WHEN len(toks) > 32
+                              THEN (len(toks) - 9) // 24 + 1
+                              ELSE 1 END)) AS chunk_id
+  FROM t
+)
+SELECT doc_id,
+       chunk_id::BIGINT AS chunk_id,
+       array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+         AS chunk_text,
+       least(32, len(toks) - chunk_id * 24)::BIGINT AS n_tokens
+FROM idx
+""",
+    survey="L24,M1",
+    category="llm",
+)
+def l24_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L24: overlapping context-window chunking — split each document
+    into windows of 32 tokens advancing by a 24-token stride (8-token
+    overlap), the tokenize-and-window precursor to sequence packing
+    (L14) and the chunk shape retrieval corpora index.  Overlap
+    preserves cross-boundary context that hard cuts (L23's passages)
+    destroy; every token lands in at least one chunk and the final
+    chunk is allowed to run short.
+
+    Shape: pure in-row higher-order functions over the token array —
+    the 1→N chunk expansion happens inside the projection, so the
+    operator is zero-shuffle and scales linearly with corpus bytes.
+    The ~33% duplication factor (window/stride) multiplies OUTPUT
+    bytes, not shuffle bytes; at 100 TB the chunk writer should
+    partition by hash(doc_id) so downstream packing reads co-located
+    chunks."""
+    d = scan(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    n = F.size(arr)
+    # ceil((n - 32) / 24) extra chunks past the first; (n-32+23) = n-9.
+    n_chunks = F.when(
+        n > 32, ((n - F.lit(9)) / F.lit(24)).cast("long") + 1
+    ).otherwise(F.lit(1).cast("long"))
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(arr, (i * 24 + 1).cast("int"), 32)),
+    )
+    ch = d.select(
+        "doc_id", n.alias("n_toks"), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        F.least(F.lit(32), F.col("n_toks") - F.col("chunk_id") * 24)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+@query(
+    "l25_ngram_stats",
+    oracle="""
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks FROM documents
+),
+b AS (
+  SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+  FROM (SELECT toks, unnest(range(0, len(toks) - 1)) AS i FROM t)
+),
+c AS (
+  SELECT w1, w2, count(*)::BIGINT AS n FROM b GROUP BY w1, w2
+),
+r AS (
+  SELECT w1, w2, n,
+         row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2 ASC) AS rnk
+  FROM c
+)
+SELECT w1, w2, n, rnk::BIGINT AS rnk FROM r WHERE rnk <= 3
+""",
+    survey="L25,A1,O4",
+    category="llm",
+)
+def l25_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L25: corpus bigram statistics — global bigram counts plus the
+    top-3 continuations per leading token, the building block for
+    n-gram language-model scoring, perplexity-based quality filters,
+    and tokenizer-vocabulary diagnostics over a training corpus.
+
+    Shape: bigrams are generated in-row by zipping the token array
+    with itself shifted one position (zero shuffle below the count),
+    then ONE hash aggregate on (w1, w2) — partial map-side counts
+    collapse duplicate bigrams before the exchange, so shuffle volume
+    is bounded by per-partition vocabulary, not corpus tokens.  The
+    per-w1 top-3 window runs on the (small) aggregated table.  Ties
+    broken by lexicographic continuation, so the rank boundary is
+    engine-deterministic."""
+    d = scan(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = d.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("w1").orderBy(F.col("n").desc(), F.col("w2").asc())
+    return (
+        counts.select("w1", "w2", "n", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )

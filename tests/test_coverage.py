@@ -50,6 +50,8 @@ SURVEY_IDS = {
     "L21",  # round-2: hashed linear quality classifier
     "L22",  # round-2: winnowing document fingerprint
     "L23",  # round-2: C4-style cross-doc passage dedup
+    "L24",  # round-2: overlapping context-window chunking
+    "L25",  # round-2: corpus n-gram statistics
     # §2.12 UDF surface
     "X1", "X2", "X3", "X4",
     "X5",  # round-2: cogroup
