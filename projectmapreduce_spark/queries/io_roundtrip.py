@@ -317,3 +317,79 @@ def s11_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _p("orders_merged")
     sink_parquet(merged, path)
     return spark.read.parquet(path)
+
+
+def _zorder_bits_spark(x, y, bits: int = 8):
+    """Morton/Z-order interleave of two ``bits``-wide non-negative ints:
+    bit i of x lands at position 2i, bit i of y at 2i+1.  Built as a
+    sum of disjoint-bit terms (+ ≡ | here), all JVM-side integer ops —
+    whole-stage codegen fuses the 2×bits terms into straight-line code.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def _zorder_bits_sql(x: str, y: str, bits: int = 8) -> str:
+    """The same interleave as DuckDB SQL (engine-exact arithmetic)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "s12_zorder_layout",
+    oracle=f"""
+WITH z AS (
+  SELECT (user_id % 256)::BIGINT AS ux,
+         day(ts)::BIGINT AS dy,
+         ({_zorder_bits_sql('(user_id % 256)', 'day(ts)')})::BIGINT AS zval
+  FROM events
+)
+SELECT (zval >> 10)::BIGINT AS zbucket,
+       count(*)::BIGINT AS n_events,
+       min(ux)::BIGINT AS min_ux, max(ux)::BIGINT AS max_ux,
+       min(dy)::BIGINT AS min_dy, max(dy)::BIGINT AS max_dy
+FROM z GROUP BY 1
+""",
+    survey="S12,S6",
+    category="io",
+)
+def s12_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: Z-order clustered data layout — the multi-dimensional
+    locality write (what Delta/Iceberg ``OPTIMIZE ZORDER BY`` compiles
+    to, expressed as engine primitives on plain parquet).  Interleave
+    the bits of two query dimensions (user bucket × day-of-month) into
+    a Morton key, partition the lake by key range, and every file's
+    parquet footer min/max becomes TIGHT IN BOTH DIMENSIONS — a filter
+    on either column alone prunes most files, which single-column sort
+    layouts only give for their leading column.  At 100 TB this is the
+    difference between scanning one machine's worth and one rack's
+    worth for point-in-rectangle queries.
+
+    The declared check writes the z-partitioned lake, reads it BACK,
+    and aggregates per z-range: the per-bucket min/max of BOTH source
+    dimensions (the footer-stats proxy) must hash-match recomputing
+    the same arithmetic in DuckDB — so the layout key, the partitioned
+    write, and the read-back all verify end-to-end."""
+    e = scan(spark, sf_dir, "events")
+    x = (F.col("user_id") % 256).cast("long")
+    y = F.dayofmonth("ts").cast("long")
+    z = _zorder_bits_spark(x, y)
+    keyed = e.select(
+        x.alias("ux"), y.alias("dy"), F.shiftright(z, 10).cast("long").alias("zbucket")
+    )
+    path = _p("events_zorder")
+    keyed.write.mode("overwrite").partitionBy("zbucket").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("zbucket").cast("long").alias("zbucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ux").cast("long").alias("min_ux"),
+        F.max("ux").cast("long").alias("max_ux"),
+        F.min("dy").cast("long").alias("min_dy"),
+        F.max("dy").cast("long").alias("max_dy"),
+    )

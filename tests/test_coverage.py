@@ -15,6 +15,7 @@ SURVEY_IDS = {
     "S7", "S8", "S9",  # round-2: bucketed sink, dynamic overwrite, ORC
     "S10",  # round-2: schema-evolution scan (mergeSchema)
     "S11",  # round-2: upsert / MERGE emulation
+    "S12",  # round-2: Z-order clustered layout
     # §2.2 projection / filter
     "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
     # §2.3 joins
