@@ -155,3 +155,39 @@ def c3_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("o_custkey") == c.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
+
+
+@query(
+    "c4_sql_subqueries",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.09)
+""",
+    survey="C4,A2,J4",
+    category="composite",
+)
+def c4_sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: the SQL-text entry point with scalar and correlated
+    subqueries — orders priced above twice the global average that
+    also contain a deep-discount line.  The query is submitted as SQL
+    over registered temp views (``spark.sql``), proving the engine's
+    second API surface end-to-end: Catalyst decorrelates the EXISTS
+    into a left-semi join and turns the scalar subquery into a
+    broadcast of its 1-row result, so the physical plan is the same
+    join/agg machinery the DataFrame queries use — no per-row
+    re-execution of the subquery (the naive-interpreter trap).  Same
+    SQL text runs on DuckDB as the oracle."""
+    scan(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    scan(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.09)
+        """
+    )

@@ -393,3 +393,44 @@ def s12_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dy").cast("long").alias("min_dy"),
         F.max("dy").cast("long").alias("max_dy"),
     )
+
+
+@query(
+    "s13_compression_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY o_orderstatus
+""",
+    survey="S13,S5,S2",
+    category="io",
+)
+def s13_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: compression-codec round-trip — the same table written as
+    zstd parquet AND gzip CSV, both read back, and their union
+    aggregated; the result must equal aggregating the source twice.
+    Codec choice is a first-class storage knob at 100 TB (zstd ≈
+    gzip-class ratio at several-times-faster decode; snappy trades
+    ratio for CPU) and a silent corruption source if any codec path
+    mis-round-trips — this check pins both directions of both codecs.
+    Parquet splits by row group so zstd files stay parallel-readable;
+    gzip CSV is NOT splittable (one task per file at scale — the
+    documented reason CSV-gzip is an ingest format, not a lake
+    format)."""
+    o = scan(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    pq_path = _p("orders_zstd_parquet")
+    csv_path = _p("orders_gzip_csv")
+    o.write.mode("overwrite").option("compression", "zstd").parquet(pq_path)
+    o.write.mode("overwrite").option("compression", "gzip").option("header", "true").csv(
+        csv_path
+    )
+    back_pq = spark.read.parquet(pq_path)
+    back_csv = scan_csv(spark, csv_path, "o_orderstatus string, o_totalprice double")
+    both = back_pq.unionByName(back_csv)
+    # Each source row appears exactly twice (once per codec); halve the
+    # count and sum so the oracle is the plain single-table aggregate.
+    return both.groupBy("o_orderstatus").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_orders"),
+        dround(F.sum("o_totalprice") / 2, 2).alias("total_price"),
+    )

@@ -16,6 +16,7 @@ SURVEY_IDS = {
     "S10",  # round-2: schema-evolution scan (mergeSchema)
     "S11",  # round-2: upsert / MERGE emulation
     "S12",  # round-2: Z-order clustered layout
+    "S13",  # round-2: compression-codec round-trip
     # §2.2 projection / filter
     "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
     # §2.3 joins
@@ -59,6 +60,7 @@ SURVEY_IDS = {
     # §2.13 composite analytics
     "C1", "C2",
     "C3",  # round-2: large-order customers (TPC-H Q18 shape)
+    "C4",  # round-2: SQL-text interface + subqueries
 }
 
 
