@@ -85,3 +85,80 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """M11: exact triangle count + global clustering coefficient over an
+    undirected simple graph — the second canonical MR graph workload
+    (Cohen 2009, "Graph twiddling in a MapReduce world").
+
+    Scale design — degree orientation, the standard trick that bounds
+    the wedge blow-up: each undirected edge is oriented from the
+    endpoint of LOWER (degree, id) rank to the higher one, so every
+    node's out-degree is O(sqrt(m)) on any graph and the wedge join
+    (out-edges ⋈ out-edges on shared source) generates
+    sum_v C(out_deg(v), 2) = O(m^1.5) candidates instead of the
+    unoriented sum_v C(deg(v), 2), which a single hub node makes
+    quadratic.  Two self-joins + one count; no driver-side state.
+
+    Returns ONE row: (n_nodes, n_edges, n_wedges, n_triangles,
+    clustering) where n_wedges counts UNORIENTED length-2 paths
+    (sum_v C(deg(v), 2)) and clustering = 3·triangles / wedges.
+    """
+    # Canonical undirected simple edges (u < v), self-loops dropped.
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"), F.greatest(F.col(a), F.col(b)).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient by (deg, id): ties broken by id keep the orientation total.
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst_id"),
+    )
+    # Wedge candidates from each source's out-edges, ordered by the dst
+    # RANK (deg, id) so each unordered candidate pair appears once.
+    x = oriented.alias("x")
+    y = oriented.alias("y")
+    cand = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src"))
+        & (
+            (F.col("x.dst_deg") < F.col("y.dst_deg"))
+            | (
+                (F.col("x.dst_deg") == F.col("y.dst_deg"))
+                & (F.col("x.dst_id") < F.col("y.dst_id"))
+            )
+        ),
+    ).select(F.col("x.dst").alias("p"), F.col("y.dst").alias("q"))
+    closing = oriented.select(F.col("src").alias("p"), F.col("dst").alias("q"))
+    tri = cand.join(closing, ["p", "q"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.expr("deg * (deg - 1) / 2").cast("bigint")).alias("n_wedges"),
+        )
+    )
+    return counts.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6).alias("clustering"),
+    )

@@ -58,6 +58,43 @@ def cosine(a, b, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
+def quantize_int8(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """L27: symmetric per-vector int8 quantization — the 4× storage /
+    bandwidth cut a 100 TB embedding store takes before ANN serving.
+
+    Per vector: ``scale = max(|v|)/127``; ``q_i = clamp(floor(v_i/scale
+    + 0.5), -127, 127)``.  ``floor(x + 0.5)`` (not ``round``) because
+    the two engines disagree on round-half semantics while ``floor`` is
+    IEEE-exact in both — quantized codes are therefore integer-exact
+    and any downstream int dot product is bit-reproducible everywhere.
+    All-zero vectors map to all-zero codes (scale 0 guard).
+
+    Returns ``emb``'s columns plus ``scale`` (double) and ``qvec``
+    (array<int> in [-127, 127]).  Zero shuffle — pure projection.
+    """
+    v = as_double(F.col(vec_col))
+    scale = (F.array_max(F.transform(v, F.abs)) / F.lit(127.0)).alias("scale")
+    q = F.when(F.col("scale") == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")),
+            ),
+        )
+    )
+    return emb.withColumn("scale", scale).withColumn("qvec", q)
+
+
+def int_dot(a, b) -> Column:
+    """Exact integer dot product of two int code vectors (bigint)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
 def normalized(emb: DataFrame, id_col: str, vec_col: str, dim: int | None = None) -> DataFrame:
     """All columns of ``emb`` plus ``vn`` = unit-normalized double vector
     (computed once per vector — prerequisite for dot-only cosine)."""

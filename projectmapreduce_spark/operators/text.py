@@ -159,6 +159,52 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bm25(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """L26: BM25 term relevance (Robertson/Spärck Jones; the Lucene
+    ``1 +`` idf variant so scores are always positive) — the retrieval
+    scoring pass a RAG corpus index needs.
+
+    Fully relational, same shape as :func:`tf_idf` plus per-doc length
+    normalization: tf from one (doc, token) hash aggregate, df and the
+    corpus-wide (N, avgdl) scalars broadcast — the fact table (tokens)
+    shuffles exactly once, document-frequency state is vocabulary-sized,
+    never corpus-sized.  Output: (id, token, tf, df_docs, dl, bm25).
+
+    The arithmetic is kept in double precision with a fixed expression
+    tree so the DuckDB oracle reproduces it bit-for-bit before rounding.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = toks.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    scalars = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_docs") + F.lit(0.5))
+        / (F.col("df_docs") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dl, "id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(scalars))
+        .select("id", "token", "tf", "df_docs", "dl", (idf * tf_part).alias("bm25"))
+    )
+
+
 def lexicon_score(
     df: DataFrame, id_col: str, text_col: str, lexicon: dict[str, int]
 ) -> DataFrame:

@@ -191,3 +191,108 @@ def c4_sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.09)
         """
     )
+
+
+@query(
+    "c5_volume_shipping",
+    oracle="""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+  AND ((sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_12')
+    OR (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_10'))
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    survey="C5,J2,J10,A1,F2",
+    category="composite",
+)
+def c5_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 (TPC-H Q7 shape): bilateral trade volume between two nations
+    by ship year.  The plan to want at 100 TB: the date filter is
+    pushed to the lineitem scan; supplier, customer, and both nation
+    aliases broadcast (each enriched dim is nation-filtered BEFORE the
+    fact join, so non-qualifying lineitems die at the first broadcast
+    probe); the only shuffle of fact data is the final 3-key
+    hash-aggregate, whose key space (2 nations × 2 years) is tiny."""
+    n = scan(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = ("NATION_10", "NATION_12")
+    sup = (
+        scan(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.filter(F.col("n_name").isin(*pair))), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        scan(spark, sf_dir, "customer")
+        .join(F.broadcast(n.filter(F.col("n_name").isin(*pair))), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = scan(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "c6_small_qty_revenue",
+    oracle="""
+WITH pq AS (
+  SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pq   ON lineitem.l_partkey = pq.l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < pq.half_avg_qty
+""",
+    survey="C6,A1,J2",
+    category="composite",
+)
+def c6_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 (TPC-H Q17 shape): revenue lost to small-quantity orders of
+    one brand's parts — the correlated-scalar-subquery pattern
+    (per-part average quantity) decorrelated by hand into
+    aggregate-then-join, the shape Catalyst itself rewrites Q17 into.
+    The per-part average is computed in ONE pass over lineitem (a
+    part-key hash aggregate), then joined back; the brand filter
+    reaches the part scan and the filtered part table broadcasts.
+    ``l_quantity`` is integer-valued, so ``avg`` is an exact binary
+    fraction and the ``<`` gate is engine-deterministic; 0.5·avg
+    mirrors Q17's ``0.2·avg`` with a threshold the fixture's quantity
+    range (1–50) actually exercises."""
+    li = scan(spark, sf_dir, "lineitem")
+    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    p = scan(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pq, F.col("l_partkey") == F.col("pq_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            dround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -434,3 +434,55 @@ def s13_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) / 2).cast("long").alias("n_orders"),
         dround(F.sum("o_totalprice") / 2, 2).alias("total_price"),
     )
+
+
+@query(
+    "s14_compaction",
+    oracle="""
+SELECT 64::BIGINT AS files_before,
+       4::BIGINT AS files_after,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+""",
+    survey="S14,S5",
+    category="io",
+)
+def s14_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: small-file compaction (the OPTIMIZE primitive) — rewrite a
+    fragmented table into few large files with zero data change.  The
+    streaming-ingest failure mode at 100 TB is millions of KB-sized
+    files (one per micro-batch per partition): every scan then pays
+    one task + one footer read per file.  Compaction = read +
+    ``coalesce(target)`` + rewrite: coalesce merges partitions WITHOUT
+    a shuffle (each output task concatenates whole input splits), so
+    the rewrite cost is pure IO.  At real scale the target count comes
+    from ``bytes/maxPartitionBytes``; repartition (with shuffle) only
+    when column-clustering (S12) is wanted in the same pass.
+
+    The query writes events 64-ways, compacts to 4 files, and proves
+    both the file counts (driver-side listing of the two directories —
+    metadata, not data) and the data (read-back aggregate must equal
+    the source table's)."""
+    ev = scan(spark, sf_dir, "events").select("event_id", "value")
+    frag_path = _p("s14_fragmented")
+    compact_path = _p("s14_compacted")
+    ev.repartition(64).write.mode("overwrite").parquet(frag_path)
+    frag = spark.read.parquet(frag_path)
+    frag.coalesce(4).write.mode("overwrite").parquet(compact_path)
+
+    def _n_files(path: str) -> int:
+        return sum(
+            1 for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
+        )
+
+    back = spark.read.parquet(compact_path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dround(F.sum("value"), 2).alias("total_value"),
+    ).select(
+        F.lit(_n_files(frag_path)).cast("long").alias("files_before"),
+        F.lit(_n_files(compact_path)).cast("long").alias("files_after"),
+        "n_events",
+        "total_value",
+    )

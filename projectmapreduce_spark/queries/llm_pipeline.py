@@ -25,13 +25,18 @@ from projectmapreduce_spark.operators.dedup import (
 )
 from projectmapreduce_spark.operators.multimodal import attach_payload, extract_features
 from projectmapreduce_spark.operators.similarity import (
+    as_double,
     brute_force_topk,
     centroids,
     cosine_pairs,
+    dot,
+    int_dot,
     ivf_ann_topk,
     lsh_ann_topk,
+    quantize_int8,
 )
 from projectmapreduce_spark.operators.text import (
+    bm25,
     doc_fingerprint,
     language_id,
     lexicon_score,
@@ -1163,4 +1168,119 @@ def l25_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.select("w1", "w2", "n", F.row_number().over(w).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "l26_bm25_scoring",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+),
+tf AS (SELECT doc_id AS id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id AS id, count(*) AS dl FROM tok GROUP BY 1),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df_docs FROM tok GROUP BY token),
+sc AS (
+  SELECT (SELECT count(*)::DOUBLE FROM documents) AS n_docs,
+         (SELECT avg(dl) FROM dl) AS avgdl
+)
+SELECT tf.id, tf.token, tf.tf, dfreq.df_docs, dl.dl,
+       round(
+         ln(1.0 + (sc.n_docs - dfreq.df_docs + 0.5) / (dfreq.df_docs + 0.5))
+         * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / sc.avgdl))),
+         6
+       ) AS bm25
+FROM tf JOIN dl USING (id) JOIN dfreq USING (token) CROSS JOIN sc
+WHERE tf.id < 50
+""",
+    survey="L26,A1,J2",
+    category="llm",
+)
+def l26_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L26: BM25 term relevance over the corpus (k1=1.2, b=0.75,
+    Lucene ``1 +`` idf) — the retrieval-index scoring pass for RAG
+    corpora.  Same relational shape as TF-IDF plus per-doc length
+    normalization; df table and the (N, avgdl) scalars broadcast, the
+    token table shuffles once.  The expression tree is mirrored
+    parenthesis-for-parenthesis in the oracle so doubles match
+    bit-for-bit before the round(6)."""
+    d = scan(spark, sf_dir, "documents")
+    out = bm25(d, "doc_id", "text").filter(F.col("id") < 50)
+    return out.select("id", "token", "tf", "df_docs", "dl", dround("bm25", 6).alias("bm25"))
+
+
+@query(
+    "l27_quantized_dot",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+  FROM embeddings WHERE vec_id < 16
+),
+q AS (
+  SELECT vec_id, vec,
+         list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+  FROM v
+),
+qq AS (
+  SELECT vec_id, vec, scale,
+         CASE WHEN scale = 0 THEN list_transform(vec, x -> 0)
+              ELSE list_transform(
+                     vec,
+                     x -> greatest(-127, least(127, floor(x / scale + 0.5)::INTEGER))
+                   )
+         END AS qvec
+  FROM q
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.qvec AS qa, b.qvec AS qb,
+         a.scale AS sa, b.scale AS sb,
+         a.vec AS va, b.vec AS vb
+  FROM qq a JOIN qq b ON a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT id_a, id_b, sum(x::BIGINT * y::BIGINT)::BIGINT AS qdot
+  FROM (SELECT id_a, id_b, unnest(qa) AS x, unnest(qb) AS y FROM pairs)
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, d.qdot,
+       round(d.qdot * p.sa * p.sb, 6) AS approx_dot,
+       round(list_dot_product(p.va, p.vb), 6) AS exact_dot
+FROM pairs p JOIN dots d USING (id_a, id_b)
+""",
+    survey="L27",
+    category="llm",
+)
+def l27_quantized_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27: int8 embedding quantization + exact integer dot product —
+    the 4× storage/bandwidth cut a 100 TB embedding store takes before
+    ANN serving.  Quantization (`operators/similarity.py:quantize_int8`)
+    is a zero-shuffle projection; codes use ``floor(x/scale + 0.5)``
+    (never ``round`` — engines disagree on half-even) so the int8
+    codes, and therefore the bigint dot products, are integer-exact
+    and reproducible on any engine.  The demo pairs 16 vectors
+    all-ways (120 rows) and reports the quantized dot alongside the
+    exact double dot — the quantization-error budget made visible."""
+    e = scan(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 16)
+    qd = quantize_int8(e, "vec_id", "embedding")
+    a = qd.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("scale").alias("sa"),
+        F.col("qvec").alias("qa"),
+        F.col("embedding").alias("va"),
+    )
+    b = qd.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("scale").alias("sb"),
+        F.col("qvec").alias("qb"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    qdot = int_dot(F.col("qa"), F.col("qb"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        qdot.alias("qdot"),
+        dround(qdot * F.col("sa") * F.col("sb"), 6).alias("approx_dot"),
+        dround(dot(as_double(F.col("va")), as_double(F.col("vb"))), 6).alias("exact_dot"),
     )

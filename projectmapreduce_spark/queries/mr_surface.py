@@ -246,3 +246,61 @@ def m10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pagerank(edges, n_iters=8)
     return out.select("id", F.round("rank", 8).alias("rank"))
+
+
+@query(
+    "m11_triangle_count",
+    oracle="""
+WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+e AS (
+  SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+  FROM s x JOIN s y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+),
+deg AS (
+  SELECT id, count(*) AS deg
+  FROM (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+  GROUP BY id
+),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_nodes,
+         sum((deg * (deg - 1)) // 2)::BIGINT AS n_wedges
+  FROM deg
+)
+SELECT agg.n_nodes,
+       (SELECT count(*)::BIGINT FROM e) AS n_edges,
+       agg.n_wedges,
+       tri.n_triangles,
+       round(3.0 * tri.n_triangles / agg.n_wedges, 6) AS clustering
+FROM agg CROSS JOIN tri
+""",
+    survey="M11,J1,A2",
+    category="mr",
+)
+def m11_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: exact triangle count + global clustering coefficient over
+    the supplier co-supply graph (edge per supplier pair appearing in
+    the same order) — the second canonical MR graph workload
+    (Cohen 2009).  Edge generation is an equi-join on the order key
+    (per-order pair fan-out bounded by order size, so linear in
+    lineitem); counting uses DEGREE ORIENTATION
+    (`operators/graph.py:triangle_stats`) so the wedge join is
+    O(m^1.5) worst-case instead of hub-quadratic.  The oracle counts
+    the same triangles the schoolbook way (a<b<c edge triples) —
+    orientation is a performance strategy, not a semantics change."""
+    from projectmapreduce_spark.operators.graph import triangle_stats
+
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    x = li.alias("x")
+    y = li.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+    ).select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
+    return triangle_stats(edges)

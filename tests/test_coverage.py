@@ -17,6 +17,7 @@ SURVEY_IDS = {
     "S11",  # round-2: upsert / MERGE emulation
     "S12",  # round-2: Z-order clustered layout
     "S13",  # round-2: compression-codec round-trip
+    "S14",  # round-2: small-file compaction (OPTIMIZE)
     # §2.2 projection / filter
     "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
     # §2.3 joins
@@ -45,6 +46,7 @@ SURVEY_IDS = {
     "M1", "M2", "M3", "M4", "M5", "M6", "M7", "M8",
     "M9",  # round-2: job counters
     "M10",  # round-2: PageRank
+    "M11",  # round-2: triangle count / clustering coefficient
     # §2.11 LLM-data-pipeline
     "L1", "L2", "L3", "L4", "L5", "L6", "L7", "L8", "L9", "L10", "L11", "L12",
     "L13", "L14", "L15", "L16", "L17",  # round-2 training-pipeline verbs
@@ -54,6 +56,8 @@ SURVEY_IDS = {
     "L23",  # round-2: C4-style cross-doc passage dedup
     "L24",  # round-2: overlapping context-window chunking
     "L25",  # round-2: corpus n-gram statistics
+    "L26",  # round-2: BM25 retrieval scoring
+    "L27",  # round-2: int8 embedding quantization
     # §2.12 UDF surface
     "X1", "X2", "X3", "X4",
     "X5",  # round-2: cogroup
@@ -61,6 +65,8 @@ SURVEY_IDS = {
     "C1", "C2",
     "C3",  # round-2: large-order customers (TPC-H Q18 shape)
     "C4",  # round-2: SQL-text interface + subqueries
+    "C5",  # round-2: volume shipping (TPC-H Q7 shape)
+    "C6",  # round-2: small-quantity revenue (TPC-H Q17 shape)
 }
 
 

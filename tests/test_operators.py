@@ -522,3 +522,82 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for i in range(n):
         assert got[i] == pytest.approx(r[i], abs=1e-9)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_triangle_stats_known_graph(spark):
+    """K4 plus a pendant edge: C(4,3)=4 triangles; wedges = sum
+    C(deg,2) = 3*C(3,2) + C(4,2) + C(1,2)-less pendant = 3*3+6+0... computed
+    explicitly below.  Edge orientation/dedup must survive duplicate
+    and reversed input pairs."""
+    from projectmapreduce_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 9)] + [(b, a) for a, b in k4]  # reversed dups too
+    df = spark.createDataFrame(edges, "a long, b long")
+    row = triangle_stats(df).collect()[0]
+    assert row.n_nodes == 5
+    assert row.n_edges == 7  # 6 K4 edges + pendant
+    # degrees: 0,1,2 -> 3; 3 -> 4; 9 -> 1
+    expected_wedges = 3 * 3 + 6 + 0  # C(3,2)=3 each, C(4,2)=6, C(1,2)=0
+    assert row.n_wedges == expected_wedges
+    assert row.n_triangles == 4
+    assert row.clustering == pytest.approx(3.0 * 4 / expected_wedges, abs=1e-9)
+
+
+def test_triangle_stats_triangle_free(spark):
+    """A star graph has wedges but zero triangles."""
+    from projectmapreduce_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame([(0, i) for i in range(1, 6)], "a long, b long")
+    row = triangle_stats(df).collect()[0]
+    assert row.n_triangles == 0
+    assert row.n_wedges == 10  # C(5,2) at the hub
+
+
+def test_quantize_int8_codes_and_error_bound(spark):
+    """Codes live in [-127,127], the max-|v| element maps to ±127, and
+    per-element reconstruction error is bounded by scale/2."""
+    from projectmapreduce_spark.operators.similarity import quantize_int8
+
+    rows = [
+        (1, [1.0, -2.0, 0.5, 2.54]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> zero codes
+        (3, [-5.0, 5.0, 2.5, -2.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    for r in out.values():
+        assert all(-127 <= q <= 127 for q in r.qvec)
+    assert out[2].qvec == [0, 0, 0, 0] and out[2].scale == 0.0
+    assert max(abs(q) for q in out[1].qvec) == 127
+    for r in (out[1], out[3]):
+        for v, q in zip(r.embedding, r.qvec):
+            assert abs(v - q * r.scale) <= r.scale / 2 + 1e-12
+
+
+def test_bm25_matches_pure_python(spark):
+    """BM25 scores must equal an independent pure-Python computation on
+    a tiny corpus (k1=1.2, b=0.75, Lucene 1+ idf)."""
+    import math
+
+    from projectmapreduce_spark.operators.text import bm25
+
+    docs = [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry cherry cherry apple")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.id, r.token): r for r in bm25(df, "doc_id", "text").collect()}
+
+    toks = {i: t.split() for i, t in docs}
+    n_docs = float(len(docs))
+    avgdl = sum(len(v) for v in toks.values()) / len(toks)
+    dfreq: dict[str, int] = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    for (i, tok), r in got.items():
+        tf = toks[i].count(tok)
+        dl = len(toks[i])
+        idf = math.log(1.0 + (n_docs - dfreq[tok] + 0.5) / (dfreq[tok] + 0.5))
+        expect = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)))
+        assert r.tf == tf and r.dl == dl and r.df_docs == dfreq[tok]
+        assert r.bm25 == pytest.approx(expect, rel=1e-12)
+    assert len(got) == sum(len(set(v)) for v in toks.values())
