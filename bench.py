@@ -72,6 +72,17 @@ HEADLINE = [
     # round-2 batch 4: context chunking + corpus bigram stats
     "l24_context_chunking",
     "l25_ngram_stats",
+    # round-2 batch 5: BM25, int8 quantization, Q7/Q17 composites,
+    # small-file compaction.  m11_triangle_count stays OUT (precedent:
+    # l17): the sf0.1 co-supply graph is near-complete (1k suppliers,
+    # ~every pair co-occurs), so triangle counting measures a
+    # pathological dense-graph edge case (~20 s), not the operator's
+    # sparse-graph scaling story — which tests pin instead.
+    "l26_bm25_scoring",
+    "l27_quantized_dot",
+    "c5_volume_shipping",
+    "c6_small_qty_revenue",
+    "s14_compaction",
 ]
 
 

@@ -182,9 +182,12 @@ def bm25(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("token")
     )
+    # ONE explode + ONE (id, token) hash aggregate; everything else —
+    # doc length, document frequency, avgdl — derives from that small
+    # aggregated table, so the corpus is tokenized exactly once.
     tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-    dfreq = toks.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
     scalars = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).crossJoin(
         dl.agg(F.avg("dl").alias("avgdl"))
     )

@@ -97,6 +97,23 @@ SHOWCASE = {
         "per-doc sum is the single keyed shuffle.  Scoring never moves "
         "the model and never leaves the JVM."
     ),
+    "c5_volume_shipping": (
+        "Q7 shape: date filter pushed to the lineitem scan; supplier/"
+        "customer enriched with their (pre-filtered) nations and both "
+        "broadcast, so non-qualifying lineitems die at the first "
+        "broadcast probe; the only fact shuffle is the tiny-key "
+        "(nation, nation, year) hash aggregate."
+    ),
+    "l26_bm25_scoring": (
+        "BM25: tf and doc-length share one (id, token) exchange "
+        "(ReusedExchange — the corpus is tokenized once for the "
+        "scored branch).  The df/avgdl branches scan the full corpus "
+        "separately, and MUST: the demo's trailing id<50 display "
+        "filter is pushed into the scored branch but correctly NOT "
+        "into the corpus-statistics branches — document frequency and "
+        "avgdl stay corpus-wide.  df and the (N, avgdl) scalars "
+        "broadcast back onto the tf table."
+    ),
     "l18_repetition_filter": (
         "Gopher repetition gate: dup-token/dup-3-gram fractions are "
         "computed inside the row (no exchange below the project); the "
