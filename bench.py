@@ -83,6 +83,13 @@ HEADLINE = [
     "c5_volume_shipping",
     "c6_small_qty_revenue",
     "s14_compaction",
+    # round-2 batch 6: Arrow surface, data card, snapshot read.
+    # l28_semantic_dedup stays OUT: its cost is the k-means fit (same
+    # profile as l4c_ann_ivf, already in the headline) — adding it
+    # would double-count the fit without new plan coverage.
+    "x6_map_in_arrow",
+    "l29_data_card",
+    "s15_snapshot_read",
 ]
 
 

@@ -432,6 +432,51 @@ def ivf_ann_topk(
     ).filter(F.col("nn_rank") <= k)
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    k_clusters: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """L28: SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster embeddings with a coarse k-means, then WITHIN each cluster
+    drop every vector whose cosine to a lower-id cluster-mate is ≥
+    ``threshold`` (keep-first survivor rule, same as exact dedup L1).
+
+    The point of the clustering is the same as LSH banding in L2: the
+    quadratic pair comparison runs per-CLUSTER, never corpus-wide —
+    cost sum_c n_c², with the cluster granularity (k) the knob that
+    bounds it.  The k-means state is k×dim driver-side literals
+    (corpus-size-independent, same contract as ivf_fit); the pair join
+    is an equi-join on cluster id; the survivor step is one left-anti
+    join.  Returns (id, cluster) for surviving vectors.
+    """
+    cents = ivf_fit(emb, id_col, vec_col, k_clusters=k_clusters, iters=iters)
+    vec_sql = f"cast(`{vec_col}` as array<double>)"
+    assigned = emb.select(
+        F.col(id_col).alias("id"),
+        _nearest_centroid(vec_sql, cents).alias("cluster"),
+        F.col(vec_col).alias("__v"),
+    )
+    n = (
+        assigned.withColumn("__n", norm(as_double(F.col("__v"))))
+        .withColumn("vn", F.transform(as_double(F.col("__v")), lambda x: x / F.col("__n")))
+        .drop("__n")
+    )
+    a = n.select(F.col("id").alias("id_a"), F.col("cluster"), F.col("vn").alias("va"))
+    b = n.select(F.col("id").alias("id_b"), F.col("cluster"), F.col("vn").alias("vb"))
+    dups = (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return assigned.select("id", "cluster").join(dups, "id", "left_anti")
+
+
 def centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """Per-label mean vector via posexplode → (label, pos) partial-agg —
     shuffle is labels × dim rows, never the vectors themselves.

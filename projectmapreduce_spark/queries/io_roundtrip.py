@@ -486,3 +486,57 @@ def s14_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "s15_snapshot_read",
+    oracle="""
+SELECT count(*)::BIGINT AS n_rows, round(sum(o_totalprice), 2) AS total_price
+FROM orders WHERE o_orderkey % 3 = 0
+""",
+    survey="S15,S5",
+    category="io",
+)
+def s15_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: manifest-pinned snapshot reads (time travel on plain
+    parquet) — the core mechanism of Delta/Iceberg/Hudi reduced to its
+    primitive: a snapshot is a MANIFEST (an explicit file list), and a
+    reader that scans exactly the manifested files sees a consistent
+    table version regardless of files appended afterwards.
+
+    The query writes version-1 data (orderkey%3=0), records its files
+    as manifest v1, appends version-2 data (orderkey%3=1) with a v2
+    manifest, then reads AS OF v1 by passing the v1 manifest's file
+    list to the reader.  The aggregate must equal the v1 subset only —
+    proving the append is invisible to the pinned snapshot.  At 100 TB
+    manifests live beside the data and are listed, never scanned;
+    planning cost is manifest-size, not directory-listing-size."""
+    import json
+
+    o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = _p("s15_lake")
+    v1 = o.filter(F.col("o_orderkey") % 3 == 0)
+    v2 = o.filter(F.col("o_orderkey") % 3 == 1)
+    # overwrite → v1 files; record manifest; append v2; record manifest.
+    v1.write.mode("overwrite").parquet(table)
+
+    def _files() -> list[str]:
+        return sorted(
+            os.path.join(table, f)
+            for f in os.listdir(table)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+
+    manifest_v1 = _files()
+    with open(os.path.join(table, "_manifest_v1.json"), "w") as fh:
+        json.dump(manifest_v1, fh)
+    v2.write.mode("append").parquet(table)
+    with open(os.path.join(table, "_manifest_v2.json"), "w") as fh:
+        json.dump(_files(), fh)
+
+    with open(os.path.join(table, "_manifest_v1.json")) as fh:
+        pinned = json.load(fh)
+    back = spark.read.parquet(*pinned)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"), dround(F.sum("o_totalprice"), 2).alias("total_price")
+    )

@@ -37,6 +37,7 @@ from projectmapreduce_spark.operators.similarity import (
 )
 from projectmapreduce_spark.operators.text import (
     bm25,
+    bpe_ish_token_count,
     doc_fingerprint,
     language_id,
     lexicon_score,
@@ -1284,3 +1285,62 @@ def l27_quantized_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(qdot * F.col("sa") * F.col("sb"), 6).alias("approx_dot"),
         dround(dot(as_double(F.col("va")), as_double(F.col("vb"))), 6).alias("exact_dot"),
     )
+
+
+@query(
+    "l29_data_card",
+    oracle="""
+WITH per AS (
+  SELECT source, lang,
+         count(*)::BIGINT AS n_docs,
+         sum(length(text))::BIGINT AS total_chars,
+         sum(len(regexp_extract_all(text, '(\\w+|[^\\w\\s])')))::BIGINT AS total_tokens
+  FROM documents
+  GROUP BY source, lang
+)
+SELECT source, lang, n_docs, total_chars, total_tokens,
+       round(total_tokens / (SELECT sum(total_tokens)::DOUBLE FROM per), 6) AS token_share
+FROM per
+""",
+    survey="L29,A1,W3",
+    category="llm",
+)
+def l29_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L29: the training-mix data card — per (source, lang) doc/char/
+    BPE-ish-token totals plus each cell's share of corpus tokens, the
+    report every mixture recipe (L15) is tuned against.  One hash
+    aggregate over the corpus (map-side partials bound the shuffle by
+    the source×lang key space); the corpus-total denominator is a
+    1-row broadcast, not a second scan — at 100 TB this is a
+    cells-sized exchange, never a data re-read."""
+    d = scan(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(bpe_ish_token_count(F.col("text")).cast("long")).alias("total_tokens"),
+    )
+    total = per.agg(F.sum("total_tokens").cast("double").alias("__t"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        dround(F.col("total_tokens") / F.col("__t"), 6).alias("token_share"),
+    )
+
+
+@query("l28_semantic_dedup", oracle=None, survey="L28,L2,L4", category="llm")
+def l28_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L28: SemDeDup-style semantic dedup — k-means-cluster the
+    embeddings, then keep-first within each cluster among pairs with
+    cosine ≥ 0.5 (`operators/similarity.py:semantic_dedup`).  The
+    cluster blocking bounds the pair join per-cluster (sum n_c², knob
+    k), exactly the role LSH bands play for text near-dup.  Rows-only:
+    the learned centroids are runtime driver state, not
+    SQL-expressible; survivor-set equality vs a dense numpy reference
+    is pinned in tests/test_operators.py."""
+    from projectmapreduce_spark.operators.similarity import semantic_dedup
+
+    e = scan(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, "vec_id", "embedding", threshold=0.5, k_clusters=8, iters=1)

@@ -231,3 +231,46 @@ def x5_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         dround("val", 2).alias("total_value"),
     )
+
+
+@query(
+    "x6_map_in_arrow",
+    oracle="""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars_py,
+       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens_py
+FROM documents
+""",
+    survey="X6",
+    category="udf",
+)
+def x6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: ``mapInArrow`` — the zero-copy batch surface below
+    ``mapInPandas``: the Python fn receives raw ``pyarrow.RecordBatch``
+    objects (no pandas conversion), so columnar kernels (pc.*) run on
+    Arrow buffers directly.  The right tier for per-batch columnar
+    work where even the pandas Block-manager conversion is measurable
+    overhead.  Demo kernel: char + whitespace-token counts per doc via
+    ``pyarrow.compute`` — deterministic, so even this surface gets a
+    full SQL value-hash check (the split regex matches the engine's
+    ``\\s+`` tokenizer)."""
+
+    def counts(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column("text")
+            trimmed = pc.utf8_trim_whitespace(text)
+            toks = pc.split_pattern_regex(trimmed, r"\s+")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.list_value_length(toks), pa.int64()),
+                ],
+                ["doc_id", "n_chars_py", "n_tokens_py"],
+            )
+
+    d = scan(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(counts, "doc_id long, n_chars_py long, n_tokens_py long")

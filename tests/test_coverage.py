@@ -18,6 +18,7 @@ SURVEY_IDS = {
     "S12",  # round-2: Z-order clustered layout
     "S13",  # round-2: compression-codec round-trip
     "S14",  # round-2: small-file compaction (OPTIMIZE)
+    "S15",  # round-2: manifest-pinned snapshot reads (time travel)
     # §2.2 projection / filter
     "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
     # §2.3 joins
@@ -58,9 +59,12 @@ SURVEY_IDS = {
     "L25",  # round-2: corpus n-gram statistics
     "L26",  # round-2: BM25 retrieval scoring
     "L27",  # round-2: int8 embedding quantization
+    "L28",  # round-2: SemDeDup semantic dedup
+    "L29",  # round-2: data-card corpus report
     # §2.12 UDF surface
     "X1", "X2", "X3", "X4",
     "X5",  # round-2: cogroup
+    "X6",  # round-2: mapInArrow batch surface
     # §2.13 composite analytics
     "C1", "C2",
     "C3",  # round-2: large-order customers (TPC-H Q18 shape)

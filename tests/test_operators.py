@@ -601,3 +601,37 @@ def test_bm25_matches_pure_python(spark):
         assert r.tf == tf and r.dl == dl and r.df_docs == dfreq[tok]
         assert r.bm25 == pytest.approx(expect, rel=1e-12)
     assert len(got) == sum(len(set(v)) for v in toks.values())
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    """Survivors must equal the dense reference: same k-means (det init
+    = first k ids, same iteration count), same per-cluster keep-first
+    rule at the same threshold."""
+    from projectmapreduce_spark.operators.similarity import ivf_fit, semantic_dedup
+
+    e = scan(spark, SF_SMOKE, "embeddings")
+    got = {(r.id, r.cluster) for r in semantic_dedup(
+        e, "vec_id", "embedding", threshold=0.5, k_clusters=4, iters=1
+    ).collect()}
+
+    rows = e.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    V = np.array([[float(x) for x in r.embedding] for r in rows], dtype="float64")
+    cents = np.array(ivf_fit(e, "vec_id", "embedding", k_clusters=4, iters=1))
+    # assign: argmin ||v-c||^2 == argmax v.c - ||c||^2/2 (ties -> higher
+    # index wins, matching array_max over (score, index) structs)
+    scores = V @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+    assign = [
+        max(range(4), key=lambda c: (scores[i][c], c)) for i in range(len(ids))
+    ]
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    # The operator's rule is NOT greedy-chain: b is dropped iff ANY
+    # lower-id cluster-mate (dropped or not) has cos >= tau with it.
+    dropped = {
+        ids[j]
+        for j in range(len(ids))
+        for i in range(len(ids))
+        if ids[i] < ids[j] and assign[i] == assign[j] and float(Vn[i] @ Vn[j]) >= 0.5
+    }
+    expect = {(ids[i], assign[i]) for i in range(len(ids)) if ids[i] not in dropped}
+    assert got == expect
