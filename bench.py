@@ -90,6 +90,7 @@ HEADLINE = [
     "x6_map_in_arrow",
     "l29_data_card",
     "s15_snapshot_read",
+    "c7_returned_items",
 ]
 
 

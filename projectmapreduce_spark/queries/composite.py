@@ -296,3 +296,56 @@ def c6_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "c7_returned_items",
+    oracle="""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       n_name,
+       count(*)::BIGINT AS n_lines
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    survey="C7,J2,A1,O3",
+    category="composite",
+)
+def c7_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 (TPC-H Q10 shape): top-20 customers by revenue lost to
+    returned items in one year.  Both selective filters (returnflag,
+    order date) are pushed to the two fact scans; nation broadcasts;
+    customer⋈nation enriches AFTER the (much smaller) aggregate —
+    never the raw fact stream; the top-20 is a TakeOrdered over
+    aggregated customers with a post-rounding PK tiebreak so the limit
+    boundary is engine-deterministic."""
+    li = scan(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = scan(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1996-12-31")
+    )
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    c = scan(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = scan(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "revenue", "n_name", "n_lines")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )

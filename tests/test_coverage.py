@@ -71,6 +71,7 @@ SURVEY_IDS = {
     "C4",  # round-2: SQL-text interface + subqueries
     "C5",  # round-2: volume shipping (TPC-H Q7 shape)
     "C6",  # round-2: small-quantity revenue (TPC-H Q17 shape)
+    "C7",  # round-2: returned items (TPC-H Q10 shape)
 }
 
 
