@@ -249,3 +249,48 @@ def w7_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_types_1d"),
     )
+
+
+@query(
+    "w8_ordered_fold_ema",
+    oracle="""
+WITH per AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vals,
+         count(*)::BIGINT AS n_events
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, n_events,
+       round(list_reduce(vals, (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ema
+FROM per
+""",
+    survey="W8,A8,F5",
+    category="window",
+)
+def w8_ordered_fold_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: per-key ordered-fold recurrence — exponential moving average
+    (alpha=0.25, seeded with the first observation) of each user's
+    event values in time order.  A recurrence s_t = f(s_{t-1}, x_t) is
+    the one per-key sequential shape window frames CANNOT express
+    (every frame aggregate is order-insensitive); the portable exact
+    form is collect the ordered sequence -> left fold, which both
+    engines run as the same sequential double fold (Spark
+    ``aggregate``, DuckDB ``list_reduce``) — bit-identical before the
+    round.  One hash shuffle on the key; per-group state is the
+    group's own sequence, bounded by high-cardinality keys at 100 TB
+    (the streaming twin of this shape is x5s's
+    ``applyInPandasWithState``).  The deterministic (ts, event_id)
+    sort key makes the fold order engine-independent."""
+    e = scan(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["value"])
+    ema = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+    )
+    return per.select("user_id", "n_events", dround(ema, 6).alias("ema"))
