@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Generate a deterministic synthetic dataset ~10× sf0.1 ("sf1-shaped")
+under .scratch/sf1_synth/ for the SCALING.md study.
+
+Purpose: the driver fixtures stop at sf0.1, where fixed costs (JVM,
+codegen, Python worker spin-up) dominate several queries; measuring
+sf0.1 → sf1 on data 10× larger separates per-byte cost from fixed
+cost and lets SCALING.md report an observed scaling exponent per
+query.
+
+Same schemas and value domains as FIXTURES.md (verified pyarrow
+footers), same FK structure (lineitem→orders→customer→nation→region,
+lineitem→supplier/part).  All values derive from crc32/pmod of the row
+id — no rand(), so the dataset is bit-reproducible on any partition
+layout.  Distributions are uniform (no TPC-H skew): SCALING.md
+measures how plans SCALE, not absolute fixture-equivalent times, and
+says so.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projectmapreduce_spark.session import get_spark
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1_synth"
+)
+
+# 10× the sf0.1 row counts (FIXTURES.md); dims that the driver keeps
+# fixed (nation/region) stay fixed — they are broadcast constants at
+# every scale.
+N = {
+    "supplier": 10_000,
+    "customer": 150_000,
+    "part": 200_000,
+    "orders": 1_500_000,
+    "lineitem": 6_000_000,
+    "events": 1_000_000,
+    "documents": 50_000,
+    "embeddings": 20_000,
+}
+
+_VOCAB = [f"tok{i}" for i in range(800)] + [
+    "the", "a", "of", "and", "is", "fast", "big", "small", "slow", "dup", "spark",
+]
+
+
+def _u(col, salt: str, m: int):
+    """Deterministic uniform int in [0, m) from a bigint column."""
+    return F.pmod(F.crc32(F.concat(F.lit(salt), col.cast("string"))), F.lit(m)).cast("long")
+
+
+def _ids(spark: SparkSession, n: int, name: str) -> DataFrame:
+    return spark.range(0, n, 1, 32).withColumnRenamed("id", name)
+
+
+def gen(spark: SparkSession) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    # nation/region: copy the fixed dims verbatim from the fixtures.
+    for t in ("nation", "region"):
+        spark.read.parquet(f"/root/testdata/sf0.1/{t}.parquet").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{OUT}/{t}.parquet")
+
+    s = _ids(spark, N["supplier"], "s_suppkey").select(
+        F.col("s_suppkey"),
+        F.concat(F.lit("Supplier#"), F.col("s_suppkey")).alias("s_name"),
+        _u(F.col("s_suppkey"), "sn", 25).cast("int").alias("s_nationkey"),
+        ((_u(F.col("s_suppkey"), "sb", 2_000_000) - 1_000_000) / 100.0).alias("s_acctbal"),
+    )
+    s.write.mode("overwrite").parquet(f"{OUT}/supplier.parquet")
+
+    c = _ids(spark, N["customer"], "c_custkey").select(
+        F.col("c_custkey"),
+        F.concat(F.lit("Customer#"), F.col("c_custkey")).alias("c_name"),
+        _u(F.col("c_custkey"), "cn", 25).cast("int").alias("c_nationkey"),
+        ((_u(F.col("c_custkey"), "cb", 2_000_000) - 1_000_000) / 100.0).alias("c_acctbal"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")]),
+            (_u(F.col("c_custkey"), "cm", 5) + 1).cast("int"),
+        ).alias("c_mktsegment"),
+    )
+    c.write.mode("overwrite").parquet(f"{OUT}/customer.parquet")
+
+    p = _ids(spark, N["part"], "p_partkey").select(
+        F.col("p_partkey"),
+        F.concat(F.lit("part "), F.col("p_partkey")).alias("p_name"),
+        F.concat(F.lit("Brand#"), _u(F.col("p_partkey"), "pb", 25) + 1).alias("p_brand"),
+        F.concat(F.lit("TYPE "), _u(F.col("p_partkey"), "pt", 20)).alias("p_type"),
+        (_u(F.col("p_partkey"), "ps", 50) + 1).cast("int").alias("p_size"),
+        (900.0 + _u(F.col("p_partkey"), "pr", 100_000) / 100.0).alias("p_retailprice"),
+    )
+    p.write.mode("overwrite").parquet(f"{OUT}/part.parquet")
+
+    base_ts = F.to_timestamp(F.lit("1995-01-01 00:00:00"))
+    o = _ids(spark, N["orders"], "o_orderkey").select(
+        F.col("o_orderkey"),
+        _u(F.col("o_orderkey"), "oc", N["customer"]).alias("o_custkey"),
+        F.element_at(
+            F.array(F.lit("O"), F.lit("F"), F.lit("P")),
+            (_u(F.col("o_orderkey"), "os", 3) + 1).cast("int"),
+        ).alias("o_orderstatus"),
+        (1000.0 + _u(F.col("o_orderkey"), "op", 40_000_000) / 100.0).alias("o_totalprice"),
+        F.timestamp_add(
+            "DAY", _u(F.col("o_orderkey"), "od", 2400).cast("int"), base_ts
+        ).alias("o_orderdate"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")]),
+            (_u(F.col("o_orderkey"), "opr", 5) + 1).cast("int"),
+        ).alias("o_orderpriority"),
+    )
+    o.write.mode("overwrite").parquet(f"{OUT}/orders.parquet")
+
+    li = _ids(spark, N["lineitem"], "rid").select(
+        (F.col("rid") % N["orders"]).alias("l_orderkey"),
+        _u(F.col("rid"), "lp", N["part"]).alias("l_partkey"),
+        _u(F.col("rid"), "ls", N["supplier"]).alias("l_suppkey"),
+        (F.col("rid") / N["orders"]).cast("int").alias("l_linenumber"),
+        (1.0 + _u(F.col("rid"), "lq", 50)).alias("l_quantity"),
+        (900.0 + _u(F.col("rid"), "le", 10_000_000) / 100.0).alias("l_extendedprice"),
+        (_u(F.col("rid"), "ld", 11) / 100.0).alias("l_discount"),
+        (_u(F.col("rid"), "lt", 9) / 100.0).alias("l_tax"),
+        F.element_at(
+            F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+            (_u(F.col("rid"), "lr", 3) + 1).cast("int"),
+        ).alias("l_returnflag"),
+        F.element_at(
+            F.array(F.lit("F"), F.lit("O")),
+            (_u(F.col("rid"), "ll", 2) + 1).cast("int"),
+        ).alias("l_linestatus"),
+        F.timestamp_add(
+            "DAY", (_u(F.col("rid"), "lsd", 2500)).cast("int"), base_ts
+        ).alias("l_shipdate"),
+    )
+    li.write.mode("overwrite").parquet(f"{OUT}/lineitem.parquet")
+
+    ev = _ids(spark, N["events"], "event_id").select(
+        F.col("event_id"),
+        F.timestamp_add(
+            "SECOND", _u(F.col("event_id"), "et", 365 * 86_400).cast("int"), base_ts
+        ).alias("ts"),
+        _u(F.col("event_id"), "eu", 1500).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("click", "view", "purchase", "scroll", "login")]),
+            (_u(F.col("event_id"), "ee", 5) + 1).cast("int"),
+        ).alias("event_type"),
+        (_u(F.col("event_id"), "ev", 10_000) / 100.0).alias("value"),
+        F.concat(
+            F.lit('{"k":'), _u(F.col("event_id"), "ep", 100), F.lit("}")
+        ).alias("props"),
+    )
+    ev.write.mode("overwrite").parquet(f"{OUT}/events.parquet")
+
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    n_tok = (_u(F.col("doc_id"), "dn", 150) + 50).cast("int")  # 50–199 tokens
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), n_tok),
+            lambda i: F.element_at(
+                vocab,
+                (
+                    F.pmod(
+                        F.crc32(F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string"))),
+                        F.lit(len(_VOCAB)),
+                    )
+                    + 1
+                ).cast("int"),
+            ),
+        ),
+    )
+    d = _ids(spark, N["documents"], "doc_id").select(
+        F.col("doc_id"),
+        text.alias("text"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("en", "fr", "es", "de", "zh")]),
+            (_u(F.col("doc_id"), "dl", 5) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(F.lit("source_"), _u(F.col("doc_id"), "ds", 20)).alias("source"),
+    )
+    d = d.withColumn("n_chars", F.length("text").cast("long"))
+    d.write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
+
+    emb = _ids(spark, N["embeddings"], "vec_id").select(
+        F.col("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                (
+                    F.pmod(
+                        F.crc32(F.concat(F.col("vec_id").cast("string"), F.lit("|"), j.cast("string"))),
+                        F.lit(20_001),
+                    )
+                    - 10_000
+                )
+                / 10_000.0
+            ).cast("float"),
+        ).alias("embedding"),
+        _u(F.col("vec_id"), "el", 200).cast("int").alias("label"),
+    )
+    emb.write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+
+
+if __name__ == "__main__":
+    spark = get_spark(app_name="pmr-make-scale-data")
+    spark.sparkContext.setLogLevel("ERROR")
+    gen(spark)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for t in sorted(list(N) + ["nation", "region"]):
+        files = glob.glob(f"{OUT}/{t}.parquet/*.parquet")
+        rows = sum(pq.read_metadata(f).num_rows for f in files)
+        print(f"{t}: {rows} rows, {len(files)} files")
