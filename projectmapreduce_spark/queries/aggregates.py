@@ -384,3 +384,67 @@ def a13_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct")
     ).select(F.lit("ALL").alias("c_mktsegment"), "est_distinct")
     return seg.unionByName(union)
+
+
+@query(
+    "a14_incremental_agg",
+    oracle="""
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       round(sum(o_totalprice) / count(*), 6) AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    survey="A14,A1,S5,U1",
+    category="agg",
+)
+def a14_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: incremental aggregate maintenance — the incremental-rollup
+    primitive: keep a persisted PARTIAL-aggregate state table
+    (key, count, sum) and fold each new batch into it with a
+    state-sized merge, never rescanning history.  avg is derived from
+    the mergeable (sum, count) pair at read time — the general rule:
+    persist the semigroup state, compute the final function on read
+    (same algebra A11–A13's sketches use for approximate state).
+
+    The query splits orders into two 'days' (orderkey mod 2), folds
+    batch 0 into empty state, persists, folds batch 1 into the
+    read-back state, and the merged result must equal the one-shot
+    aggregate over everything — the oracle.  Each merge is a
+    unionByName + re-aggregate: state-sized + batch-sized, at 100 TB
+    orders of magnitude cheaper than recomputing from raw history;
+    with S6/S8 layout the state table merges per-partition."""
+    import os as _os
+
+    o = scan(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice", "o_orderkey")
+    state_path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        ".scratch",
+        "a14_state",
+    )
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("sum_price")
+        )
+
+    def merge(state: DataFrame, batch: DataFrame) -> DataFrame:
+        return (
+            state.unionByName(partial(batch))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("n_orders").alias("n_orders"), F.sum("sum_price").alias("sum_price"))
+        )
+
+    batch0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    batch1 = o.filter(F.col("o_orderkey") % 2 == 1)
+    empty = partial(batch0).limit(0)
+    merge(empty, batch0).write.mode("overwrite").parquet(state_path)
+    state = spark.read.parquet(state_path)
+    final = merge(state, batch1)
+    return final.select(
+        "o_orderpriority",
+        "n_orders",
+        dround(F.col("sum_price"), 2).alias("total_price"),
+        dround(F.col("sum_price") / F.col("n_orders"), 6).alias("avg_price"),
+    )

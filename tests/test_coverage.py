@@ -29,6 +29,7 @@ SURVEY_IDS = {
     "A11",  # round-2: approx quantile sketch
     "A12",  # round-2: count-min sketch
     "A13",  # round-2: persistable HLL sketch union
+    "A14",  # round-2: incremental aggregate maintenance
     # §2.5 windows
     "W1", "W2", "W3", "W4", "W5", "W6",
     "W7",  # round-2: windowed distinct count
