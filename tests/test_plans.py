@@ -104,3 +104,55 @@ def test_runtime_bloom_filter_is_injected(spark):
         spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
         != "0"
     )
+
+
+def test_new_composites_broadcast_and_push(spark):
+    """C5/C6/C7: dims broadcast, selective filters reach the fact scans,
+    nothing cartesian, top-k (C7) plans TakeOrdered."""
+    c5 = QUERIES["c5_volume_shipping"](spark, SF_CORRECT)
+    s5 = explain_str(c5)
+    assert has_broadcast_hash_join(c5), s5
+    assert has_pushed_filters(c5), s5
+    assert not has_cartesian(c5), s5
+    c6 = QUERIES["c6_small_qty_revenue"](spark, SF_CORRECT)
+    s6 = explain_str(c6)
+    assert has_broadcast_hash_join(c6), s6
+    assert has_pushed_filters(c6), s6
+    c7 = QUERIES["c7_returned_items"](spark, SF_CORRECT)
+    s7 = explain_str(c7)
+    assert has_broadcast_hash_join(c7), s7
+    assert has_pushed_filters(c7), s7
+    assert "TakeOrderedAndProject" in s7, s7
+
+
+def test_quantized_dot_is_projection_only(spark):
+    """L27: quantization adds NO shuffle — the only exchanges in the
+    pair demo are broadcasts for the tiny (16-row) self-join."""
+    import re
+
+    df = QUERIES["l27_quantized_dot"](spark, SF_CORRECT)
+    s = explain_str(df)
+    n_shuffles = len(re.findall(r"^\(\d+\) Exchange$", s, flags=re.M))
+    assert n_shuffles == 0, s
+
+
+def test_w8_single_key_shuffle(spark):
+    """W8 ordered fold: exactly one hash exchange (the user_id
+    aggregate) — the fold itself is in-row, adds no exchange."""
+    import re
+
+    df = QUERIES["w8_ordered_fold_ema"](spark, SF_CORRECT)
+    s = explain_str(df)
+    n_shuffles = len(re.findall(r"^\(\d+\) Exchange$", s, flags=re.M))
+    assert n_shuffles == 1, s
+
+
+def test_bm25_reuses_tokenize_exchange(spark):
+    """L26: the scored branch's doc-length aggregate must REUSE the
+    (id, token) exchange instead of re-exploding the corpus.  Exchange
+    reuse is an AQE-final-plan property: execute THIS df (collect, not
+    count — count builds a different plan) before reading the plan."""
+    df = QUERIES["l26_bm25_scoring"](spark, SF_CORRECT)
+    df.collect()
+    s = explain_str(df, "simple")
+    assert "ReusedExchange" in s, s
