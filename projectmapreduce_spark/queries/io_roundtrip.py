@@ -540,3 +540,56 @@ def s15_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"), dround(F.sum("o_totalprice"), 2).alias("total_price")
     )
+
+
+@query(
+    "s16_malformed_tolerance",
+    oracle="""
+SELECT count(*)::BIGINT AS n_good,
+       min(s_suppkey) AS min_key,
+       max(length(s_name))::BIGINT AS max_name_len,
+       sum(s_nationkey)::BIGINT AS nation_sum,
+       round(sum(s_acctbal), 2) AS total_bal
+FROM supplier
+""",
+    survey="S16,S2",
+    category="io",
+)
+def s16_malformed_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16: malformed-record tolerance — the dirty-data reality of
+    100 TB ingest: a CSV lake ALWAYS contains rows that don't parse
+    (wrong arity, garbage in typed columns, encoding damage), and the
+    pipeline must quarantine them deterministically, not die and not
+    silently corrupt.
+
+    The query writes supplier as clean CSV, injects 3 malformed lines
+    into the directory (bad arity / non-numeric key / empty), then
+    reads with an explicit schema under ``mode=DROPMALFORMED``.  The
+    aggregate over surviving rows must equal the clean source table —
+    proving exactly the injected rows (and nothing else) were dropped.
+    The PERMISSIVE + ``_corrupt_record`` variant (quarantine-to-column
+    instead of drop) is asserted in tests/test_operators.py.  Parsing
+    is per-partition map work; tolerance adds zero shuffle."""
+    s = scan(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = _p("s16_dirty_csv")
+    s.write.mode("overwrite").option("header", "false").csv(path)
+    with open(os.path.join(path, "injected-bad.csv"), "w") as fh:
+        fh.write("only,three,fields\n")
+        fh.write("not_a_number,Supplier#X,7,123.45\n")
+        fh.write("\n")
+    schema = "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    back = (
+        spark.read.schema(schema)
+        .option("header", "false")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.min("s_suppkey").alias("min_key"),
+        F.max(F.length("s_name")).cast("long").alias("max_name_len"),
+        F.sum("s_nationkey").cast("long").alias("nation_sum"),
+        dround(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )

@@ -19,6 +19,7 @@ SURVEY_IDS = {
     "S13",  # round-2: compression-codec round-trip
     "S14",  # round-2: small-file compaction (OPTIMIZE)
     "S15",  # round-2: manifest-pinned snapshot reads (time travel)
+    "S16",  # round-2: malformed-record tolerance (dirty CSV ingest)
     # §2.2 projection / filter
     "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
     # §2.3 joins

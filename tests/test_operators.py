@@ -635,3 +635,32 @@ def test_semantic_dedup_matches_numpy_reference(spark):
     }
     expect = {(ids[i], assign[i]) for i in range(len(ids)) if ids[i] not in dropped}
     assert got == expect
+
+
+def test_csv_permissive_quarantines_corrupt_records(spark, tmp_path):
+    """PERMISSIVE + columnNameOfCorruptRecord must quarantine exactly
+    the malformed lines into the corrupt column (nulls elsewhere) and
+    keep clean rows fully parsed — the audit-trail variant of S16's
+    DROPMALFORMED.  The corrupt column must be selected alongside data
+    columns or the parser's column pruning skips malformed detection."""
+    p = tmp_path / "dirty"
+    p.mkdir()
+    (p / "good.csv").write_text("1,alpha,5,10.5\n2,beta,6,20.25\n")
+    (p / "bad.csv").write_text("only,three,fields\nnot_long,gamma,7,30.0\n")
+    schema = "k long, name string, nk int, bal double, _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+    )
+    rows = df.collect()
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    clean = [r for r in rows if r._corrupt_record is None]
+    assert len(corrupt) == 2 and len(clean) == 2
+    assert {r.name for r in clean} == {"alpha", "beta"}
+    assert all(r.k is None for r in corrupt)  # typed fields nulled
+    assert {r._corrupt_record for r in corrupt} == {
+        "only,three,fields",
+        "not_long,gamma,7,30.0",
+    }
