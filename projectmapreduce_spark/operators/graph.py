@@ -126,12 +126,18 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # Materialize the oriented edge list once: it feeds THREE plan arms
+    # (wedge x-side, wedge y-side, closing-edge probe) and without the
+    # lineage cut each arm would re-derive the whole
+    # distinct→degree→orient chain (observed: a 74-exchange plan).
+    # Size is exactly m rows — the same bounded-state contract as
+    # pagerank's per-iteration checkpoint above.
     oriented = ranked.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst_id"),
-    )
+    ).localCheckpoint(eager=True)
     # Wedge candidates from each source's out-edges, ordered by the dst
     # RANK (deg, id) so each unordered candidate pair appears once.
     x = oriented.alias("x")
