@@ -1344,3 +1344,92 @@ def l28_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = scan(spark, sf_dir, "embeddings")
     return semantic_dedup(e, "vec_id", "embedding", threshold=0.5, k_clusters=8, iters=1)
+
+
+@query(
+    "l30_corpus_funnel",
+    oracle="""
+WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
+q AS (
+  SELECT * FROM en
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= 10
+    AND length(regexp_replace(text, '\\s+', '', 'g'))
+        / len(string_split_regex(trim(text), '\\s+')) <= 12.0
+),
+dd AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM q
+  ) WHERE rn = 1
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM dd
+),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dup_ids AS (
+  SELECT DISTINCT id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter::DOUBLE / (sa.n_tok + sb.n_tok - n_inter) >= 0.8
+),
+nd AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT id_b FROM dup_ids)),
+tr AS (
+  SELECT * FROM nd
+  WHERE ((doc_id * 2654435761 + 0) % 4294967296) % 100 < 80
+)
+SELECT * FROM (
+  SELECT 1::BIGINT AS stage_ord, 'raw' AS stage, (SELECT count(*) FROM documents) AS n_docs
+  UNION ALL SELECT 2, 'lang_en', (SELECT count(*) FROM en)
+  UNION ALL SELECT 3, 'quality', (SELECT count(*) FROM q)
+  UNION ALL SELECT 4, 'exact_dedup', (SELECT count(*) FROM dd)
+  UNION ALL SELECT 5, 'near_dedup', (SELECT count(*) FROM nd)
+  UNION ALL SELECT 6, 'train_split', (SELECT count(*) FROM tr)
+)
+""",
+    survey="L30,L1,L2,L7,L8,L13",
+    category="llm",
+)
+def l30_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L30: the END-TO-END training-corpus funnel — language filter →
+    quality gate → exact dedup → unigram-Jaccard near-dedup →
+    train-split, composed from the SAME operators the individual rows
+    declare (quality_filter, exact_dedup, ngram_jaccard_join,
+    deterministic_split), with per-stage surviving-document counts as
+    the result (the funnel report every corpus build publishes).
+
+    Composition is the point: each stage's output feeds the next with
+    no materialization between (one lazy plan; Catalyst fuses the
+    projection stages), and the whole funnel is SQL-oracled — the
+    DuckDB mirror recomputes all six stage counts independently, so a
+    semantic drift in ANY stage breaks the hash."""
+    from projectmapreduce_spark.operators.dedup import exact_dedup, ngram_jaccard_join
+    from projectmapreduce_spark.operators.pipeline import deterministic_split
+    from projectmapreduce_spark.operators.text import quality_filter
+
+    d = scan(spark, sf_dir, "documents")
+    en = d.filter(F.col("lang") == "en")
+    q = quality_filter(en, "text")
+    dd = exact_dedup(q, "text", "doc_id").drop("content_hash")
+    dups = (
+        ngram_jaccard_join(dd, "doc_id", "text", threshold=0.8, n=1)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    nd = dd.join(dups, "doc_id", "left_anti")
+    tr = deterministic_split(nd, "doc_id").filter(F.col("split") == "train")
+
+    stages = [
+        ("raw", d), ("lang_en", en), ("quality", q),
+        ("exact_dedup", dd), ("near_dedup", nd), ("train_split", tr),
+    ]
+    out = None
+    for i, (name, sdf) in enumerate(stages, start=1):
+        row = sdf.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(i).cast("long").alias("stage_ord"), F.lit(name).alias("stage"), "n_docs"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -64,6 +64,7 @@ SURVEY_IDS = {
     "L27",  # round-2: int8 embedding quantization
     "L28",  # round-2: SemDeDup semantic dedup
     "L29",  # round-2: data-card corpus report
+    "L30",  # round-2: end-to-end corpus funnel
     # §2.12 UDF surface
     "X1", "X2", "X3", "X4",
     "X5",  # round-2: cogroup
