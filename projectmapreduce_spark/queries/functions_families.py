@@ -324,3 +324,52 @@ def f8_cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").cast("double").alias("cust_dbl"),
         F.format_string("%012d", F.col("o_orderkey")).alias("key_padded"),
     )
+
+
+@query(
+    "f9_variant_funcs",
+    oracle="""
+WITH j AS (
+  SELECT o_orderkey,
+         concat('{"order":{"key":', o_orderkey, ',"cust":', o_custkey,
+                '},"tags":["', o_orderpriority, '","', o_orderstatus, '"]}') AS js
+  FROM orders WHERE o_orderkey < 3000
+)
+SELECT o_orderkey,
+       json_extract(js, '$.order.key')::BIGINT  AS v_key,
+       json_extract(js, '$.order.cust')::BIGINT AS v_cust,
+       json_extract_string(js, '$.tags[0]')     AS v_tag0,
+       json_extract(js, '$.order.missing')::BIGINT AS v_missing
+FROM j
+""",
+    survey="F9,F7",
+    category="functions",
+)
+def f9_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: the VariantType semi-structured path (Spark 4) — the
+    open-schema JSON answer that replaces schema-full ``from_json``
+    when documents are ragged: ``parse_json`` once into a binary
+    variant, then typed ``try_variant_get`` path extraction, including
+    safe null on missing paths.  Variant keeps the parse tree in a
+    compact binary form, so repeated path reads don't re-parse the
+    JSON text (the F7 ``get_json_object`` pattern re-parses per
+    call) — at 100 TB of telemetry this is the difference between one
+    parse and one parse per extracted field.  The JSON is built from
+    typed columns in-query so the oracle can rebuild byte-identical
+    text (ints and strings only — float rendering differs across
+    engines)."""
+    o = scan(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    js = F.concat(
+        F.lit('{"order":{"key":'), F.col("o_orderkey").cast("string"),
+        F.lit(',"cust":'), F.col("o_custkey").cast("string"),
+        F.lit('},"tags":["'), F.col("o_orderpriority"),
+        F.lit('","'), F.col("o_orderstatus"), F.lit('"]}'),
+    )
+    v = F.parse_json(js)
+    return o.select(
+        "o_orderkey",
+        F.try_variant_get(v, "$.order.key", "long").alias("v_key"),
+        F.try_variant_get(v, "$.order.cust", "long").alias("v_cust"),
+        F.try_variant_get(v, "$.tags[0]", "string").alias("v_tag0"),
+        F.try_variant_get(v, "$.order.missing", "long").alias("v_missing"),
+    )

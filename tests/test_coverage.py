@@ -42,6 +42,7 @@ SURVEY_IDS = {
     "U1", "U2", "U3", "U4",
     # §2.8 scalar function families
     "F1", "F2", "F3", "F4", "F5", "F6", "F7", "F8",
+    "F9",  # round-2: VariantType semi-structured path (Spark 4)
     # §2.9 streaming-shaped (batch forms)
     "T1", "T2", "T3", "T4", "T5", "T6",
     "T7",  # round-2: stream-stream interval join

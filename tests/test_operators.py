@@ -664,3 +664,26 @@ def test_csv_permissive_quarantines_corrupt_records(spark, tmp_path):
         "only,three,fields",
         "not_long,gamma,7,30.0",
     }
+
+
+@pytest.mark.parametrize("seed,p", [(7, 0.1), (11, 0.3), (13, 0.6)])
+def test_triangle_stats_matches_adjacency_trace(spark, seed, p):
+    """On random Erdos-Renyi graphs the degree-oriented count must
+    equal the dense identity triangles = trace(A^3)/6 and wedges =
+    sum C(deg, 2)."""
+    from projectmapreduce_spark.operators.graph import triangle_stats
+
+    rng = np.random.default_rng(seed)
+    n = 40
+    A = (rng.random((n, n)) < p).astype(np.int64)
+    A = np.triu(A, 1)
+    A = A + A.T
+    edges = [(int(i), int(j)) for i in range(n) for j in range(i + 1, n) if A[i, j]]
+    if not edges:
+        pytest.skip("empty graph")
+    df = spark.createDataFrame(edges, "a long, b long")
+    row = triangle_stats(df).collect()[0]
+    deg = A.sum(axis=1)
+    assert row.n_triangles == int(np.trace(A @ A @ A) // 6)
+    assert row.n_wedges == int((deg * (deg - 1) // 2).sum())
+    assert row.n_edges == len(edges)
