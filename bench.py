@@ -91,6 +91,13 @@ HEADLINE = [
     "l29_data_card",
     "s15_snapshot_read",
     "c7_returned_items",
+    # round-2 batch 8: incremental agg state, dirty-CSV tolerance,
+    # variant paths.  l30_corpus_funnel stays OUT: its cost is the
+    # exact near-dedup pair join (l2b's output-bound profile,
+    # documented at the l17 exclusion).
+    "a14_incremental_agg",
+    "s16_malformed_tolerance",
+    "f9_variant_funcs",
 ]
 
 
