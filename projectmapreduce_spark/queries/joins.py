@@ -470,3 +470,48 @@ def j12_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return out
+
+
+@query(
+    "j13_null_safe_join",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS status_key
+  FROM orders
+),
+d AS (
+  SELECT NULL AS status_key, 'pending-batch' AS route
+  UNION ALL SELECT 'O', 'open-batch'
+  UNION ALL SELECT 'F', 'final-batch'
+)
+SELECT route, count(*)::BIGINT AS n_orders, min(o_orderkey) AS min_key
+FROM o JOIN d ON o.status_key IS NOT DISTINCT FROM d.status_key
+GROUP BY route
+""",
+    survey="J13,J1,P6",
+    category="join",
+)
+def j13_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: null-safe equality join (``<=>`` / IS NOT DISTINCT FROM) —
+    ordinary equi-joins silently DROP null keys (null = null is
+    unknown), which loses exactly the rows a routing/repair pipeline
+    most needs to see.  Null-safe equality keeps them matchable: here
+    'P' orders are nulled (modeling an unparsed status) and still
+    route to their batch via the null dim row.  Spark plans ``<=>``
+    as a regular hash join on a null-tolerant key, so the 100 TB
+    cost profile is identical to J1 — no fallback to BNLJ."""
+    o = scan(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ).alias("status_key"),
+    )
+    d = scan(spark, sf_dir, "orders").sparkSession.createDataFrame(
+        [(None, "pending-batch"), ("O", "open-batch"), ("F", "final-batch")],
+        "status_key string, route string",
+    )
+    j = o.join(F.broadcast(d), o.status_key.eqNullSafe(d.status_key))
+    return j.groupBy("route").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.min("o_orderkey").alias("min_key")
+    )

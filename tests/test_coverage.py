@@ -25,6 +25,7 @@ SURVEY_IDS = {
     # §2.3 joins
     "J1", "J2", "J3", "J4", "J5", "J6", "J7", "J8", "J9", "J10",
     "J11", "J12",  # round-2 rows: salted skew join, runtime bloom pruning
+    "J13",  # round-2: null-safe equality join
     # §2.4 aggregations
     "A1", "A2", "A3", "A4", "A5", "A6", "A7", "A8", "A9", "A10",
     "A11",  # round-2: approx quantile sketch
