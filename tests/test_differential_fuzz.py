@@ -1,0 +1,148 @@
+"""Cross-engine differential fuzzing (SURVEY.md §5.3 extension): the
+fixed-fixture oracle sweep can only disagree where the fixtures have
+data; these tests run the SAME relational computation on Spark and
+DuckDB over hypothesis-generated inputs — null keys, empty frames,
+duplicate keys, negative values — and require canon-identical results.
+
+Comparison reuses the driver-strict canonicalizer from oracle_utils
+(type-sensitive: int64 != float64), so a dtype drift on generated edge
+cases fails exactly like the driver hash would.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tests.oracle_utils import _canon_frame
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+kv_rows = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 4)), st.integers(-1000, 1000)),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _duck(rows: list[tuple], cols: str, sql: str):
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE t ({cols})")
+    if rows:
+        ph = ", ".join(["?"] * len(rows[0]))
+        con.executemany(f"INSERT INTO t VALUES ({ph})", rows)
+    return con.execute(sql).fetchdf()
+
+
+def _spark_df(spark, rows, schema):
+    if rows:
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame([], schema)
+
+
+@given(rows=kv_rows)
+@settings(**_SETTINGS)
+def test_fuzz_groupby_agg_matches_duckdb(spark, rows):
+    """Keyed aggregate with NULL keys as their own group, sum widened
+    to bigint on both engines."""
+    sdf = (
+        _spark_df(spark, rows, "k int, v int")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sv"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+    )
+    got = _canon_frame(sdf.toPandas())
+    want = _canon_frame(
+        _duck(
+            rows,
+            "k INTEGER, v INTEGER",
+            "SELECT k, count(*) AS n, sum(v)::BIGINT AS sv, min(v) AS mn, max(v) AS mx "
+            "FROM t GROUP BY k",
+        )
+    )
+    assert got == want
+
+
+@given(left=kv_rows, right=kv_rows)
+@settings(**_SETTINGS)
+def test_fuzz_join_agg_matches_duckdb(spark, left, right):
+    """Inner equi-join drops NULL keys identically on both engines;
+    post-join aggregate must match cell-for-cell."""
+    l = _spark_df(spark, left, "k int, v int")
+    r = _spark_df(spark, right, "k int, w int")
+    sdf = (
+        l.join(r, "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s"))
+    )
+    got = _canon_frame(sdf.toPandas())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k INTEGER, v INTEGER)")
+    con.execute("CREATE TABLE r (k INTEGER, w INTEGER)")
+    if left:
+        con.executemany("INSERT INTO l VALUES (?, ?)", left)
+    if right:
+        con.executemany("INSERT INTO r VALUES (?, ?)", right)
+    want = _canon_frame(
+        con.execute(
+            "SELECT l.k, count(*) AS n, sum(v + w)::BIGINT AS s "
+            "FROM l JOIN r ON l.k = r.k GROUP BY l.k"
+        ).fetchdf()
+    )
+    assert got == want
+
+
+@given(rows=kv_rows)
+@settings(**_SETTINGS)
+def test_fuzz_window_rank_matches_duckdb(spark, rows):
+    """row_number with a total tiebreak (v, rid) must agree — including
+    inside the NULL-key partition."""
+    indexed = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    sdf = _spark_df(spark, indexed, "k int, v int, rid long")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("k").orderBy(F.col("v").asc(), F.col("rid").asc())
+    out = sdf.select("k", "v", "rid", F.row_number().over(w).cast("long").alias("rn"))
+    got = _canon_frame(out.toPandas())
+    want = _canon_frame(
+        _duck(
+            indexed,
+            "k INTEGER, v INTEGER, rid BIGINT",
+            "SELECT k, v, rid, row_number() OVER "
+            "(PARTITION BY k ORDER BY v ASC, rid ASC)::BIGINT AS rn FROM t",
+        )
+    )
+    assert got == want
+
+
+@given(rows=kv_rows)
+@settings(**_SETTINGS)
+def test_fuzz_distinct_and_setops_match_duckdb(spark, rows):
+    """DISTINCT with NULLs (one null row survives) and EXCEPT ALL bag
+    semantics."""
+    sdf = _spark_df(spark, rows, "k int, v int")
+    half = sdf.filter(F.col("v") >= 0)
+    out = sdf.exceptAll(half).unionByName(sdf.distinct())
+    got = _canon_frame(out.toPandas())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INTEGER, v INTEGER)")
+    if rows:
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = _canon_frame(
+        con.execute(
+            "SELECT * FROM (SELECT * FROM t EXCEPT ALL SELECT * FROM t WHERE v >= 0) "
+            "UNION ALL SELECT DISTINCT * FROM t"
+        ).fetchdf()
+    )
+    assert got == want
