@@ -294,3 +294,49 @@ def w8_ordered_fold_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
     )
     return per.select("user_id", "n_events", dround(ema, 6).alias("ema"))
+
+
+@query(
+    "w9_time_weighted_avg",
+    oracle="""
+WITH step AS (
+  SELECT user_id, ts, value,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       round(
+         sum(value * epoch_us(next_ts - ts)) / sum(epoch_us(next_ts - ts)),
+         6
+       ) AS twa
+FROM step
+WHERE next_ts IS NOT NULL
+GROUP BY user_id
+HAVING count(*) >= 1
+""",
+    survey="W9,W2,A1",
+    category="window",
+)
+def w9_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: time-weighted average — each observation weighted by how
+    long it was CURRENT (value × microseconds until the next event),
+    the correct mean for irregularly-sampled state (sensor readings,
+    prices, queue depths); the arithmetic mean over-weights bursts.
+    One lead() window (hash shuffle on the entity key + in-partition
+    sort) then a keyed aggregate; weights in exact integer
+    microseconds on both engines, so only the final division is
+    float.  Last observation per user carries no duration (no
+    successor) and is excluded from numerator AND denominator —
+    mirrored by the oracle's next_ts IS NOT NULL."""
+    e = scan(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    step = e.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return step.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dround(F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6).alias("twa"),
+    )

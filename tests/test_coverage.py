@@ -36,6 +36,7 @@ SURVEY_IDS = {
     "W1", "W2", "W3", "W4", "W5", "W6",
     "W7",  # round-2: windowed distinct count
     "W8",  # round-2: per-key ordered-fold recurrence (EMA)
+    "W9",  # round-2: time-weighted average
     # §2.6 sort / limit / top-k
     "O1", "O2", "O3", "O4",
     "O5",  # round-2: deterministic k-per-group subsample
