@@ -373,3 +373,36 @@ def f9_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.tags[0]", "string").alias("v_tag0"),
         F.try_variant_get(v, "$.order.missing", "long").alias("v_missing"),
     )
+
+
+@query(
+    "f10_bitwise_funcs",
+    oracle="""
+SELECT o_orderkey,
+       (o_orderkey & 255)::BIGINT                   AS low_byte,
+       (o_orderkey | 4096)::BIGINT                  AS with_flag,
+       xor(o_orderkey, o_custkey)::BIGINT           AS key_xor,
+       (~o_orderkey)::BIGINT                        AS complement,
+       (o_orderkey << 3)::BIGINT                    AS shifted,
+       bit_count(o_orderkey)::INTEGER               AS popcount
+FROM orders WHERE o_orderkey < 2000
+""",
+    survey="F10,F3",
+    category="functions",
+)
+def f10_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: bitwise family — mask extraction, flag set, xor mixing,
+    complement, shift, popcount: the bit-level toolkit hash
+    partitioners, bloom/bitmap indexes (J12, A12) and feature hashing
+    (L21) are built from, exposed as first-class scalar functions.
+    All integer-exact, so the oracle matches without rounding."""
+    o = scan(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("o_orderkey").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("o_orderkey").bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.bitwise_not(F.col("o_orderkey")).alias("complement"),
+        F.shiftleft(F.col("o_orderkey"), 3).alias("shifted"),
+        F.bit_count(F.col("o_orderkey")).alias("popcount"),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from projectmapreduce_spark.functions import dround
 from projectmapreduce_spark.io import scan
 from projectmapreduce_spark.queries.registry import query
 
@@ -140,4 +141,32 @@ def o5_subsample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("samp_rn"))
         .filter(F.col("samp_rn") <= 10)
+    )
+
+
+@query(
+    "o6_pagination",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25 OFFSET 50
+""",
+    survey="O6,O2",
+    category="sort",
+)
+def o6_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: keyless pagination — page 3 of a ranked listing via
+    ``offset(50).limit(25)`` (Spark ≥3.4 native OFFSET).  The plan
+    still TakeOrders only offset+limit rows (no global materialized
+    sort), but cost GROWS with page depth — at 100 TB serve deep
+    pages by keyset pagination instead (filter on the last seen sort
+    key, an indexed/pruned scan); this row is the API-parity surface,
+    with the total order made unambiguous by the PK tiebreak."""
+    o = scan(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", dround("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(50)
+        .limit(25)
     )

@@ -40,11 +40,13 @@ SURVEY_IDS = {
     # §2.6 sort / limit / top-k
     "O1", "O2", "O3", "O4",
     "O5",  # round-2: deterministic k-per-group subsample
+    "O6",  # round-2: pagination (native OFFSET)
     # §2.7 set ops
     "U1", "U2", "U3", "U4",
     # §2.8 scalar function families
     "F1", "F2", "F3", "F4", "F5", "F6", "F7", "F8",
     "F9",  # round-2: VariantType semi-structured path (Spark 4)
+    "F10",  # round-2: bitwise function family
     # §2.9 streaming-shaped (batch forms)
     "T1", "T2", "T3", "T4", "T5", "T6",
     "T7",  # round-2: stream-stream interval join
