@@ -1433,3 +1433,68 @@ def l30_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "l31_bigram_perplexity",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, t1.tok AS w1, toks[t1.i + 1] AS w2
+  FROM tok, LATERAL (
+    SELECT unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+  ) AS t1
+  WHERE t1.i < len(toks)
+),
+uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+scored AS (
+  SELECT bg.doc_id,
+         ln((bi.c2 + 1.0) / (uni.c1 + 1.0)) AS lp
+  FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       round(-avg(lp), 6) AS neg_mean_logp
+FROM scored
+GROUP BY doc_id
+""",
+    survey="L31,L25,L8",
+    category="llm",
+)
+def l31_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L31: bigram language-model surprisal per document — the
+    perplexity-style quality score (CCNet/Gopher pattern: docs whose
+    token transitions are improbable under the corpus LM are noise).
+    The 'model' is the corpus's own add-one-smoothed bigram table
+    (L25's aggregates): score = −mean ln((c(w1,w2)+1)/(c(w1)+1)).
+    Shape: in-row shifted-zip bigram generation, TWO vocabulary-sized
+    count aggregates, then a broadcast-sized join back onto the bigram
+    stream and one per-doc mean — at 100 TB the model tables are the
+    only state and they are vocabulary-, not corpus-, sized.  The
+    expression tree is engine-mirrored; per-bigram ln() then mean
+    keeps the fold order canonical on both sides before round(6)."""
+    d = scan(spark, sf_dir, "documents")
+    arr = F.split(F.trim(F.col("text")), r"\s+")
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    lp = F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.lit(1.0)))
+    scored = (
+        bg.join(F.broadcast(bi), ["w1", "w2"])
+        .join(F.broadcast(uni), ["w1"])
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        dround(-F.avg("lp"), 6).alias("neg_mean_logp"),
+    )

@@ -70,6 +70,7 @@ SURVEY_IDS = {
     "L28",  # round-2: SemDeDup semantic dedup
     "L29",  # round-2: data-card corpus report
     "L30",  # round-2: end-to-end corpus funnel
+    "L31",  # round-2: bigram-LM surprisal quality score
     # §2.12 UDF surface
     "X1", "X2", "X3", "X4",
     "X5",  # round-2: cogroup
