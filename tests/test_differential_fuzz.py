@@ -146,3 +146,55 @@ def test_fuzz_distinct_and_setops_match_duckdb(spark, rows):
         ).fetchdf()
     )
     assert got == want
+
+
+ts_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        # micros spanning 1969-2038, deliberately crossing DST and
+        # epoch boundaries, at odd sub-second offsets
+        st.integers(-30_000_000_000_000, 2_150_000_000_000_000),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(rows=ts_rows)
+@settings(**_SETTINGS)
+def test_fuzz_timestamp_funcs_match_duckdb(spark, rows):
+    """Datetime kernels over generated instants (pre-epoch, DST edges,
+    2038) must agree with DuckDB under the UTC session contract:
+    date_trunc day/hour, year/month/day/hour fields, micros
+    round-trip.  Guards the tz-repair logic against boundary drift."""
+    sdf = _spark_df(spark, rows, "k int, us long").select(
+        "k", "us", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    out = sdf.select(
+        "k",
+        "us",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        F.unix_micros(F.col("ts")).alias("us_rt"),
+    )
+    got = _canon_frame(out.toPandas())
+    want = _canon_frame(
+        _duck(
+            rows,
+            "k INTEGER, us BIGINT",
+            "SELECT k, us, "
+            "year(make_timestamp(us))::INTEGER AS y, "
+            "month(make_timestamp(us))::INTEGER AS mo, "
+            "day(make_timestamp(us))::INTEGER AS d, "
+            "hour(make_timestamp(us))::INTEGER AS h, "
+            "date_trunc('day', make_timestamp(us)) AS day_ts, "
+            "date_trunc('hour', make_timestamp(us)) AS hour_ts, "
+            "epoch_us(make_timestamp(us)) AS us_rt "
+            "FROM t",
+        )
+    )
+    assert got == want
