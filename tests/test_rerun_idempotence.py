@@ -1,0 +1,42 @@
+"""Re-run idempotence for STATEFUL queries (SURVEY.md §5 layer-2
+extension): every query that writes scratch state (sinks, bucketed
+tables, upserts, compaction, snapshots, incremental agg) must produce
+the IDENTICAL result when run twice in one session — the driver and
+the bench both re-run queries, and leftover state (appended files,
+stale tables, non-reset manifests) is exactly the class of bug a
+single-pass oracle sweep cannot see.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from projectmapreduce_spark.queries import QUERIES
+from tests.conftest import SF_CORRECT
+from tests.oracle_utils import _canon_frame
+
+STATEFUL = [
+    "s2_csv_roundtrip",
+    "s3_jsonl_roundtrip",
+    "s4_text_roundtrip",
+    "s5_parquet_roundtrip",
+    "s6_partitioned_sink",
+    "s7_bucketed_join",
+    "s8_dynamic_overwrite",
+    "s9_orc_roundtrip",
+    "s10_schema_evolution",
+    "s11_upsert_merge",
+    "s12_zorder_layout",
+    "s13_compression_roundtrip",
+    "s14_compaction",
+    "s15_snapshot_read",
+    "s16_malformed_tolerance",
+    "a14_incremental_agg",
+]
+
+
+@pytest.mark.parametrize("name", STATEFUL)
+def test_stateful_query_rerun_is_idempotent(spark, name):
+    first = _canon_frame(QUERIES[name](spark, SF_CORRECT).toPandas())
+    second = _canon_frame(QUERIES[name](spark, SF_CORRECT).toPandas())
+    assert first == second, f"{name} drifted on re-run (leftover state)"
