@@ -98,6 +98,14 @@ HEADLINE = [
     "a14_incremental_agg",
     "s16_malformed_tolerance",
     "f9_variant_funcs",
+    # round-2 batch 9: null-safe join, recurrence/time-weighted
+    # windows, pagination, bitwise, bigram surprisal.
+    "j13_null_safe_join",
+    "w8_ordered_fold_ema",
+    "w9_time_weighted_avg",
+    "o6_pagination",
+    "f10_bitwise_funcs",
+    "l31_bigram_perplexity",
 ]
 
 
