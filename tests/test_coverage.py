@@ -7,8 +7,8 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 117 operator rows across 13 categories
-# (85 round-1 rows + L13–L20, M9, T7, S7–S9, W6–W7, O5, A11–A13, X5, C1–C3, J11–J12, T7–T8 added in round 2).
+# The full §2 inventory: 143 operator rows across 13 categories
+# (85 round-1 rows + the round-2 additions tagged below).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "S1", "S2", "S3", "S4", "S5", "S6",
