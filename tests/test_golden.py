@@ -20,3 +20,22 @@ def test_flagship_golden(spark):
     assert len(rows) == 6
     assert rows[0] == GOLDEN_FIRST
     assert hashlib.sha256(repr(rows).encode()).hexdigest() == GOLDEN_SHA
+
+
+FUNNEL_GOLDEN = [
+    (1, "raw", 500),
+    (2, "lang_en", 193),
+    (3, "quality", 193),
+    (4, "exact_dedup", 193),
+    (5, "near_dedup", 75),
+    (6, "train_split", 57),
+]
+
+
+def test_corpus_funnel_golden(spark):
+    """Frozen L30 funnel counts at sf0.001: any semantic drift in the
+    five composed operators (lang filter, quality gate, exact dedup,
+    Jaccard near-dedup, split hash) moves one of these six integers."""
+    df = QUERIES["l30_corpus_funnel"](spark, SF_SMOKE)
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == FUNNEL_GOLDEN
