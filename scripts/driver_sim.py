@@ -37,11 +37,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--hostile-tz", default="America/Los_Angeles")
+    ap.add_argument("--master", default="local[8]", help="vary parallelism to prove partition-count independence")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(args.master)
         .appName("driver-sim")
         .config("spark.sql.session.timeZone", args.hostile_tz)
         .config("spark.ui.enabled", "false")
