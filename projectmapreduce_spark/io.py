@@ -35,6 +35,18 @@ TABLES = (
 # (region=5, nation=25 rows at every sf; supplier/part grow slowly).
 BROADCAST_DIMS = ("region", "nation", "supplier", "part")
 
+# One canonical scratch dir for every query that persists local state
+# (io roundtrips, incremental-agg state tables, streaming checkpoints).
+# A single convention means two queries can never silently collide on
+# ad-hoc paths, and cleanup is one rmtree.
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+def scratch_path(name: str) -> str:
+    """Return ``<repo>/.scratch/<name>``, creating the scratch root."""
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, name)
+
 
 def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1 — parquet scan of one named table from a scale-factor dir.

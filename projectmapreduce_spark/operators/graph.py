@@ -158,7 +158,10 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     counts = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
-            F.sum(F.expr("deg * (deg - 1) / 2").cast("bigint")).alias("n_wedges"),
+            # Integer `div`, not float `/`: deg*(deg-1) on a hub node
+            # can exceed 2^53, where double-precision division drops
+            # low bits; div keeps the wedge count exact at any degree.
+            F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
         )
     )
     return counts.crossJoin(tri).select(

@@ -415,14 +415,10 @@ def a14_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     unionByName + re-aggregate: state-sized + batch-sized, at 100 TB
     orders of magnitude cheaper than recomputing from raw history;
     with S6/S8 layout the state table merges per-partition."""
-    import os as _os
+    from projectmapreduce_spark.io import scratch_path
 
     o = scan(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice", "o_orderkey")
-    state_path = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-        ".scratch",
-        "a14_state",
-    )
+    state_path = scratch_path("a14_state")
 
     def partial(batch: DataFrame) -> DataFrame:
         return batch.groupBy("o_orderpriority").agg(

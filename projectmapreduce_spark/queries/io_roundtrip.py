@@ -31,12 +31,7 @@ from projectmapreduce_spark.io import (
 )
 from projectmapreduce_spark.queries.registry import query
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
-
-
-def _p(name: str) -> str:
-    os.makedirs(_SCRATCH, exist_ok=True)
-    return os.path.join(_SCRATCH, name)
+from projectmapreduce_spark.io import scratch_path as _p
 
 
 @query(

@@ -261,7 +261,11 @@ def x6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for batch in batches:
             text = batch.column("text")
-            trimmed = pc.utf8_trim_whitespace(text)
+            # utf8_trim(' '), NOT utf8_trim_whitespace: the latter
+            # strips \t/\n/unicode whitespace while the SQL oracle and
+            # the engine's own tokenize() contract use trim() = ASCII
+            # spaces only; the two must agree on tab/newline-edged text.
+            trimmed = pc.utf8_trim(text, " ")
             toks = pc.split_pattern_regex(trimmed, r"\s+")
             yield pa.RecordBatch.from_arrays(
                 [

@@ -313,7 +313,7 @@ SELECT user_id,
 FROM step
 WHERE next_ts IS NOT NULL
 GROUP BY user_id
-HAVING count(*) >= 1
+HAVING sum(epoch_us(next_ts - ts)) > 0
 """,
     survey="W9,W2,A1",
     category="window",
@@ -328,7 +328,11 @@ def w9_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     microseconds on both engines, so only the final division is
     float.  Last observation per user carries no duration (no
     successor) and is excluded from numerator AND denominator —
-    mirrored by the oracle's next_ts IS NOT NULL."""
+    mirrored by the oracle's next_ts IS NOT NULL.  Groups whose total
+    duration is 0 µs (all-duplicate timestamps) are dropped on BOTH
+    sides (HAVING sum > 0): otherwise Spark's non-ANSI 0/0 returns
+    NULL while DuckDB's IEEE divide returns NaN — an engine-divergent
+    edge with no meaningful answer anyway."""
     e = scan(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     step = e.select(
@@ -336,7 +340,13 @@ def w9_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us"),
     ).filter(F.col("dur_us").isNotNull())
-    return step.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        dround(F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6).alias("twa"),
+    return (
+        step.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value") * F.col("dur_us")).alias("num"),
+            F.sum("dur_us").alias("den"),
+        )
+        .filter(F.col("den") > 0)
+        .select("user_id", "n_events", dround(F.col("num") / F.col("den"), 6).alias("twa"))
     )

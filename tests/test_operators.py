@@ -687,3 +687,43 @@ def test_triangle_stats_matches_adjacency_trace(spark, seed, p):
     assert row.n_triangles == int(np.trace(A @ A @ A) // 6)
     assert row.n_wedges == int((deg * (deg - 1) // 2).sum())
     assert row.n_edges == len(edges)
+
+
+# ---------- cross-engine whitespace contract (x6 / tokenize) ----------
+
+
+def test_x6_arrow_trim_matches_oracle_on_hostile_whitespace(spark, tmp_path):
+    """Tab/newline/unicode-whitespace-edged documents: the Arrow kernel
+    must trim ASCII spaces ONLY, like the DuckDB oracle's trim() and
+    the engine's tokenize() contract.  Regression for the latent drift
+    where pc.utf8_trim_whitespace stripped \\t/\\n and token counts
+    diverged on whitespace-edged text (round-2 ADVICE.md)."""
+    import duckdb
+    import pandas as pd
+
+    from projectmapreduce_spark.queries.registry import ORACLES, QUERIES
+    from tests.oracle_utils import compare
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(9)),
+            "text": [
+                "plain middle text",
+                "\tleading tab",
+                "trailing newline\n",
+                "\n\nboth\tends\t\n",
+                "  spaces only  ",
+                " nbsp edge",  # unicode whitespace: must NOT be trimmed
+                "mix \t of\nall",
+                "",
+                "\t\n",  # whitespace-only document
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    compare(QUERIES["x6_map_in_arrow"](spark, str(tmp_path)), ORACLES["x6_map_in_arrow"], con)
+    con.close()
