@@ -1,0 +1,197 @@
+"""Pure-Python media codecs (SURVEY.md §2.11 L11 — the de-stubbed tier).
+
+The container has no PIL/ffmpeg/torchaudio, but three classic formats
+are simple enough to decode exactly with numpy + struct alone:
+
+* **BMP** — 24-bit uncompressed ``BI_RGB`` Windows bitmaps: 14-byte
+  file header, 40-byte ``BITMAPINFOHEADER``, bottom-up BGR rows padded
+  to 4 bytes ([MS-WMF] / Windows SDK public layout).
+* **PPM (P6)** — Netpbm binary RGB, maxval 255: ASCII header then raw
+  RGB triplets, row-major top-down.
+* **WAV** — RIFF/WAVE with a PCM16 ``fmt `` chunk and a ``data``
+  chunk, little-endian interleaved samples.
+
+These are REAL decoders: every byte of the pixel/sample payload is
+interpreted per the published layout, and the unit tests pin
+hand-built golden byte strings to exact pixel/sample arrays.  Formats
+beyond these (JPEG/PNG/MP3/video) remain behind the documented
+``NotImplementedError`` codec boundary in ``multimodal.py``.
+
+Scale note: all functions here are *per-payload kernels* executed
+inside Arrow-batched ``mapInPandas`` workers — they never see more
+than one payload at a time and hold no state, so the operators that
+wrap them distribute trivially.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------- sniffing ----------
+
+
+def sniff(payload: bytes) -> str | None:
+    """Identify a payload by magic bytes: 'bmp' | 'ppm' | 'wav' | None."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+# ---------- BMP (24-bit BI_RGB) ----------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (bottom-up rows, BGR byte order, rows padded to 4 bytes)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {a.shape}")
+    h, w, _ = a.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    img_size = stride * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    # biHeight > 0 => bottom-up (the classic layout).
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    bgr = a[:, :, ::-1]  # RGB -> BGR
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom row first
+        rows += bgr[y].tobytes() + b"\0" * pad
+    return header + info + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to an (H, W, 3) uint8 RGB array.
+
+    Supports bottom-up (biHeight > 0) and top-down (biHeight < 0) rows
+    and the mandatory 4-byte row padding; rejects anything that is not
+    24-bpp BI_RGB (the documented codec boundary)."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24-bpp BI_RGB supported (bpp={bpp}, comp={compression})")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    need = off + stride * h
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: need {need} bytes, have {len(payload)}")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:
+        rows = rows[::-1]  # stored bottom-up -> return top-down
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+# ---------- PPM (P6, maxval 255) ----------
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as binary PPM (P6)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {a.shape}")
+    h, w, _ = a.shape
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, maxval 255) to (H, W, 3) uint8 RGB.
+
+    Handles the Netpbm header grammar: tokens separated by whitespace,
+    ``#`` comments to end-of-line, single whitespace byte after maxval
+    before the raster."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        # skip whitespace and comments
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
+    if maxval != 255:
+        raise NotImplementedError(f"only maxval 255 supported, got {maxval}")
+    pos += 1  # the single whitespace byte after maxval
+    need = w * h * 3
+    raster = payload[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError(f"truncated PPM raster: need {need}, have {len(raster)}")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+# ---------- WAV (RIFF PCM16) ----------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode an (n,) or (n, channels) int16 array as PCM16 RIFF/WAVE."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()  # interleaved little-endian
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM16 RIFF/WAVE payload → ((n, channels) int16, rate).
+
+    Walks the RIFF chunk list (so extra chunks like LIST/INFO are
+    skipped correctly, including the odd-size pad byte rule); rejects
+    non-PCM or non-16-bit encodings."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        chunk = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+    n = len(data) // (ch * 2)
+    s = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
+    return s.copy(), rate
+
+
+# ---------- resize kernel ----------
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of (H, W, 3) to (height, width, 3) —
+    deterministic integer index maps (floor((i + 0.5) * src/dst)), the
+    classic sampling grid, bit-identical across platforms."""
+    h, w = arr.shape[:2]
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return arr[ys][:, xs]

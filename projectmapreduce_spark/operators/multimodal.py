@@ -6,12 +6,22 @@ metadata struct — the pattern that scales: payloads stay columnar
 Arrow-batched ``mapInPandas`` whose batch size is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the decode kernels are stubs: ``decode_*`` raise
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic byte-level fake (byte-histogram features, length-based
-"duration") exercises the full Spark plumbing — schema, partitioning,
-UDF signature, batch shape — with real data movement.
+Codec tiers:
+
+* **Real decode** (``fake=False``): BMP (24-bit BI_RGB), PPM (P6) and
+  WAV (RIFF PCM16) payloads are decoded byte-exactly by the
+  pure-Python codecs in ``operators/codecs.py`` — pixel/sample arrays,
+  dimensions and durations all come from interpreting the actual
+  container layout.  ``synthesize_media`` manufactures real BMP/WAV
+  payloads deterministically from any string column so the decode path
+  runs on every tier's data with no external libs.
+* **Codec boundary**: payloads in formats beyond those three
+  (JPEG/PNG/MP3/video) raise ``NotImplementedError`` inside the
+  workers — PIL/ffmpeg/torchaudio are not in this container.
+* **Byte-level fake** (``fake=True``): the original deterministic
+  stand-in (byte-histogram features, length-based "duration") kept for
+  the video kernel (no pure-Python video codec) and for plumbing tests
+  over arbitrary payloads.
 """
 
 from __future__ import annotations
@@ -29,6 +39,16 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+)
+
+from projectmapreduce_spark.operators.codecs import (
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    resize_nearest,
+    sniff,
 )
 
 # Canonical media-table schema: opaque payload + typed metadata.
@@ -69,49 +89,183 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return hist / total
 
 
+def _hist_features(values: np.ndarray, dim: int) -> list[float]:
+    """L1-normalized histogram of uint8 content values folded to ``dim``
+    buckets — the shared feature map for decoded pixels and samples."""
+    hist = np.bincount(values.ravel() % dim, minlength=dim).astype("float64")
+    total = hist.sum() or 1.0
+    return list(hist / total)
+
+
+# Synthesis constants: every real payload manufactured by
+# ``synthesize_media`` uses these, and the SQL oracles for the decode
+# queries re-derive the expected metadata from them.
+BMP_SYNTH_WIDTH = 8
+BMP_SYNTH_MAX_HEIGHT = 64
+WAV_SYNTH_RATE = 16000
+
+
+def _synth_pixels(seed: bytes) -> np.ndarray:
+    """Deterministic (H, 8, 3) uint8 pixel array from seed bytes: the
+    bytes tiled row-major over an 8-wide RGB grid, height scaled to the
+    seed length (1..64 rows)."""
+    w = BMP_SYNTH_WIDTH
+    h = max(1, min(BMP_SYNTH_MAX_HEIGHT, -(-len(seed) // (w * 3))))
+    need = h * w * 3
+    arr = np.frombuffer(seed, dtype=np.uint8)
+    if arr.size == 0:
+        flat = np.zeros(need, dtype=np.uint8)
+    else:
+        flat = np.tile(arr, -(-need // arr.size))[:need]
+    return flat.reshape(h, w, 3)
+
+
+def _synth_samples(seed: bytes) -> np.ndarray:
+    """Deterministic int16 PCM track from seed bytes: one sample per
+    byte, affine map b -> (b - 128) * 256 (full int16 swing)."""
+    b = np.frombuffer(seed, dtype=np.uint8).astype(np.int16)
+    return (b - 128) * 256
+
+
+def synthesize_media(df: DataFrame, id_col: str, text_col: str, kind: str = "image") -> DataFrame:
+    """Manufacture a media table with REAL encoded payloads (BMP for
+    ``kind='image'``, WAV PCM16 for ``kind='audio'``) derived
+    deterministically from a string column.  Unlike ``attach_payload``
+    (opaque utf-8 bytes), these payloads decode: the downstream
+    ``extract_features`` / ``resize_images`` real paths interpret the
+    actual container format, and metadata (width/height/duration_ms)
+    is computed from the synthesis constants so SQL oracles can
+    re-derive it from ``length(text)``."""
+    if kind not in ("image", "audio"):
+        raise ValueError(f"synthesize_media supports image|audio, got {kind!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": pdf[id_col],
+                "kind": kind,
+                "payload": [],
+                "mime": "image/bmp" if kind == "image" else "audio/wav",
+                "width": pd.array([None] * len(pdf), dtype="Int32"),
+                "height": pd.array([None] * len(pdf), dtype="Int32"),
+                "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
+            }
+            widths: list[int | None] = []
+            heights: list[int | None] = []
+            durs: list[int | None] = []
+            for text in pdf[text_col]:
+                seed = (text or "").encode("utf-8")
+                if kind == "image":
+                    px = _synth_pixels(seed)
+                    out["payload"].append(encode_bmp(px))
+                    heights.append(px.shape[0])
+                    widths.append(px.shape[1])
+                    durs.append(None)
+                else:
+                    s = _synth_samples(seed)
+                    out["payload"].append(encode_wav(s, WAV_SYNTH_RATE))
+                    widths.append(None)
+                    heights.append(None)
+                    durs.append(len(s) * 1000 // WAV_SYNTH_RATE)
+            out["width"] = pd.array(widths, dtype="Int32")
+            out["height"] = pd.array(heights, dtype="Int32")
+            out["duration_ms"] = pd.array(durs, dtype="Int32")
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def extract_features(
     media: DataFrame, dim: int = 16, fake: bool = False
 ) -> DataFrame:
     """Decode + feature-extract each payload → (media_id, kind,
-    n_bytes, features array<double>).
+    n_bytes, width, height, n_samples, features array<double>).
 
-    ``fake=False`` raises NotImplementedError inside the workers (no
-    codec libs in this container); ``fake=True`` runs the deterministic
-    byte-histogram fake through the identical Arrow path.
+    ``fake=False`` runs the REAL pure-Python decoders from
+    ``operators/codecs.py``: BMP/PPM payloads are decoded to pixel
+    arrays (width/height from the container header, features = the
+    L1-normalized folded histogram of decoded pixel values), WAV
+    payloads to int16 sample arrays (n_samples from the data chunk,
+    features over the samples mapped back to uint8).  Payloads in any
+    other format raise ``NotImplementedError`` inside the workers —
+    the documented codec boundary (no JPEG/PNG/video libs here).
+
+    ``fake=True`` keeps the deterministic byte-histogram stand-in over
+    the raw container bytes (identical Arrow path, no decode).
     """
+
+    def one(payload: bytes) -> tuple[int | None, int | None, int | None, list[float]]:
+        if fake:
+            return None, None, None, list(_fake_features(payload, dim))
+        fmt = sniff(payload)
+        if fmt == "bmp":
+            px = decode_bmp(payload)
+        elif fmt == "ppm":
+            px = decode_ppm(payload)
+        elif fmt == "wav":
+            s, _rate = decode_wav(payload)
+            u8 = ((s.astype(np.int32) // 256) + 128).astype(np.uint8)
+            return None, None, s.shape[0], _hist_features(u8, dim)
+        else:
+            raise NotImplementedError(
+                "payload is not BMP/PPM/WAV — codecs for other formats are not "
+                "available in this environment (pass fake=True for the "
+                "byte-level stand-in)"
+            )
+        return px.shape[1], px.shape[0], None, _hist_features(px, dim)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs not available in this environment; "
-                    "pass fake=True for the deterministic byte-level stand-in"
-                )
-            feats = [list(_fake_features(p, dim)) for p in pdf["payload"]]
+            decoded = [one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": [len(p) for p in pdf["payload"]],
-                    "features": feats,
+                    "width": pd.array([d[0] for d in decoded], dtype="Int32"),
+                    "height": pd.array([d[1] for d in decoded], dtype="Int32"),
+                    "n_samples": pd.array([d[2] for d in decoded], dtype="Int64"),
+                    "features": [d[3] for d in decoded],
                 }
             )
 
     return media.mapInPandas(
-        batches, "media_id long, kind string, n_bytes long, features array<double>"
+        batches,
+        "media_id long, kind string, n_bytes long, width int, height int, "
+        "n_samples long, features array<double>",
     )
 
 
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
-    """Image resize kernel (stub).  fake=True truncates/pads payload to
-    width*height bytes — shape-correct plumbing, no codec."""
+    """Image resize kernel.
+
+    ``fake=False``: REAL decode → nearest-neighbor resample →
+    re-encode.  BMP payloads are decoded per the 24-bit BI_RGB layout,
+    resized on the deterministic ``resize_nearest`` grid and re-encoded
+    as BMP (PPM handled the same, staying PPM); other formats raise
+    ``NotImplementedError`` (codec boundary).  ``fake=True`` keeps the
+    byte truncate/pad plumbing stand-in."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in it:
-            if not fake:
-                raise NotImplementedError("image codec not available; pass fake=True")
-            out = [bytes(p[:target]).ljust(target, b"\0") for p in pdf["payload"]]
+            if fake:
+                out = [bytes(p[:target]).ljust(target, b"\0") for p in pdf["payload"]]
+            else:
+                out = []
+                for p in pdf["payload"]:
+                    fmt = sniff(p)
+                    if fmt == "bmp":
+                        out.append(encode_bmp(resize_nearest(decode_bmp(p), width, height)))
+                    elif fmt == "ppm":
+                        from projectmapreduce_spark.operators.codecs import encode_ppm
+
+                        out.append(encode_ppm(resize_nearest(decode_ppm(p), width, height)))
+                    else:
+                        raise NotImplementedError(
+                            "payload is not BMP/PPM — image codecs for other "
+                            "formats are not available (pass fake=True)"
+                        )
             res = pdf.copy()
             res["payload"] = out
             res["width"] = width

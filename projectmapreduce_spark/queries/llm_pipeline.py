@@ -452,20 +452,86 @@ def l11_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("l11b_media_features", oracle=None, survey="L11,X2", category="llm")
+@query(
+    "l11b_media_features",
+    oracle="""
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       (54 + 24 * greatest(1, least(64, (octet_length(encode(text)) + 23) // 24)))::BIGINT
+                                                                 AS n_bytes,
+       8::INT                                                    AS width,
+       greatest(1, least(64, (octet_length(encode(text)) + 23) // 24))::INT
+                                                                 AS height,
+       16::INT                                                   AS dim,
+       1.0::DOUBLE                                               AS feat_sum
+FROM documents
+""",
+    survey="L11,X2",
+    category="llm",
+)
 def l11b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media feature extraction through the Arrow mapInPandas path with
-    the deterministic fake decoder (codec libs absent — SURVEY.md §2.11
-    multimodal stub mandate).  Returns (media_id, kind, n_bytes, dim,
-    feat_sum)."""
+    """Media feature extraction with a REAL decode: every document is
+    rendered to an actual 24-bit BMP payload (``synthesize_media``),
+    and ``extract_features(fake=False)`` decodes the container —
+    width/height come from parsing the BITMAPINFOHEADER, features from
+    the decoded pixel array.  The SQL oracle re-derives the expected
+    BMP geometry from ``length(text)`` and the synthesis constants
+    (8-px-wide rows of 24 bytes, 54-byte header, 1..64 rows), so a
+    single header-layout or padding bug on either codec side fails the
+    hash.  feat_sum pins the L1 normalization of the pixel histogram.
+    Scale: encode and decode are per-row Arrow-batched kernels — no
+    shuffle at all; the plan is scan → mapInPandas → project."""
+    from projectmapreduce_spark.operators.multimodal import synthesize_media
+
     d = scan(spark, sf_dir, "documents")
-    media = attach_payload(d, "doc_id", "text", kind="image")
-    feats = extract_features(media, dim=16, fake=True)
+    media = synthesize_media(d, "doc_id", "text", kind="image")
+    feats = extract_features(media, dim=16, fake=False)
     return feats.select(
         "media_id",
         "kind",
         "n_bytes",
+        "width",
+        "height",
         F.size("features").alias("dim"),
+        dround(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
+    )
+
+
+@query(
+    "l11d_audio_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       'audio' AS kind,
+       (44 + 2 * octet_length(encode(text)))::BIGINT        AS n_bytes,
+       octet_length(encode(text))::BIGINT                   AS n_samples,
+       (octet_length(encode(text)) * 1000 // 16000)::INT    AS duration_ms,
+       CASE WHEN octet_length(encode(text)) = 0 THEN 0.0 ELSE 1.0 END::DOUBLE
+                                                            AS feat_sum
+FROM documents
+""",
+    survey="L11,X2",
+    category="llm",
+)
+def l11d_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode through the REAL pure-Python WAV codec: each
+    document becomes a PCM16 RIFF/WAVE payload (one sample per utf-8
+    byte at 16 kHz), and ``extract_features(fake=False)`` walks the
+    RIFF chunk list to recover the sample count.  The oracle re-derives
+    n_bytes (44-byte canonical header + 2 bytes/sample), n_samples and
+    duration from ``length(text)`` — so the hash fails if either the
+    encoder's chunk sizes or the decoder's chunk walk is off by a
+    byte.  Same scan → mapInPandas shape as l11b: shuffle-free."""
+    from projectmapreduce_spark.operators.multimodal import synthesize_media
+
+    d = scan(spark, sf_dir, "documents")
+    media = synthesize_media(d, "doc_id", "text", kind="audio")
+    feats = extract_features(media, dim=16, fake=False)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "n_samples",
+        F.expr("cast(n_samples * 1000 div 16000 as int)").alias("duration_ms"),
         dround(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
     )
 

@@ -35,11 +35,28 @@ EVENTS_DDL_MICROS = (
 )
 
 
+def _events_source(sf_dir: str) -> tuple[str, str]:
+    """(base_dir, glob) for the file-source stream: the driver fixture
+    is a single ``events.parquet`` FILE inside sf_dir; Spark-written
+    tiers (sf1 synth) are an ``events.parquet/`` DIRECTORY of part
+    files.  Either way the source gets a directory + a glob."""
+    import os
+
+    p = f"{sf_dir}/events.parquet"
+    if os.path.isdir(p):
+        return p, "*.parquet"
+    return sf_dir, "events.parquet"
+
+
 def _events_ts_storage(sf_dir: str) -> str:
     """'nanos' | 'micros' per the fixture file's parquet footer."""
+    import glob as _glob
+
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    base, pat = _events_source(sf_dir)
+    f = sorted(_glob.glob(f"{base}/{pat}"))[0]
+    t = pq.read_schema(f).field("ts").type
     return "nanos" if str(t) in ("timestamp[ns]", "int64") else "micros"
 
 
@@ -50,22 +67,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``availableNow`` trigger the stream drains the directory and stops,
     which is how the equivalence tests replay fixtures deterministically.
     """
-    # The file source wants a DIRECTORY; the fixture is a single file,
-    # so scope the directory listing down with pathGlobFilter.
+    # The file source wants a DIRECTORY; _events_source scopes the
+    # listing with a glob whether the table is one file or a dir of
+    # part files (each part file becomes its own micro-batch).
+    base, pat = _events_source(sf_dir)
     if _events_ts_storage(sf_dir) == "nanos":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = (
             spark.readStream.schema(EVENTS_DDL_NANOS)
             .option("maxFilesPerTrigger", "1")
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+            .option("pathGlobFilter", pat)
+            .parquet(base)
         )
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return (
         spark.readStream.schema(EVENTS_DDL_MICROS)
         .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        .option("pathGlobFilter", pat)
+        .parquet(base)
     )
 
 

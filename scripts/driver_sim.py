@@ -15,6 +15,7 @@ Usage: python scripts/driver_sim.py [--sf-dir DIR] [name ...]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -38,6 +39,11 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--hostile-tz", default="America/Los_Angeles")
     ap.add_argument("--master", default="local[8]", help="vary parallelism to prove partition-count independence")
+    ap.add_argument(
+        "--driver-mem",
+        default="8g",
+        help="JVM heap; the 1g pyspark default OOMs on the sf1 synth tier",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -45,6 +51,7 @@ def main() -> int:
         SparkSession.builder.master(args.master)
         .appName("driver-sim")
         .config("spark.sql.session.timeZone", args.hostile_tz)
+        .config("spark.driver.memory", args.driver_mem)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -60,10 +67,11 @@ def main() -> int:
     # --- correctness ---
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
-        )
+        # Driver fixtures are single files; Spark-written tiers (the
+        # sf1 synth data) are directories of part files — glob those.
+        p = f"{args.sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     names = args.names or sorted(qs)
     n_pass = n_fail = n_rows_only = 0

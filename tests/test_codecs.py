@@ -1,0 +1,219 @@
+"""Pixel/sample-exact oracles for the pure-Python media codecs
+(operators/codecs.py) and the real-decode multimodal paths they power.
+
+Layer-1 tests pin HAND-BUILT golden byte strings to exact arrays —
+the byte layout is written out literally, not via the encoder, so an
+encoder+decoder that agree on a wrong layout cannot pass.  Layer-2
+round-trips arbitrary arrays.  Layer-3 drives the Spark operators
+(synthesize_media → extract_features/resize_images with fake=False)
+and checks the decoded output pixel-exactly against numpy references.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from projectmapreduce_spark.operators.codecs import (
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    resize_nearest,
+    sniff,
+)
+from projectmapreduce_spark.operators.multimodal import (
+    _synth_pixels,
+    extract_features,
+    resize_images,
+    synthesize_media,
+)
+
+# ---------- layer 1: golden bytes ----------
+
+
+def test_bmp_golden_2x2_bottom_up():
+    # 2×2, 24-bpp, bottom-up.  Rows are 6 bytes + 2 pad.  Stored rows:
+    # bottom row first, BGR order.
+    # Target (top-down RGB): [[red, green], [blue, white]]
+    red, green, blue, white = (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)
+    stride = 8
+    img_size = stride * 2
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, img_size, 0, 0, 0, 0)
+    bottom_row = bytes([255, 0, 0, 255, 255, 255]) + b"\0\0"  # blue, white in BGR
+    top_row = bytes([0, 0, 255, 0, 255, 0]) + b"\0\0"  # red, green in BGR
+    payload = hdr + info + bottom_row + top_row
+    assert sniff(payload) == "bmp"
+    out = decode_bmp(payload)
+    np.testing.assert_array_equal(out, np.array([[red, green], [blue, white]], np.uint8))
+
+
+def test_bmp_golden_top_down_negative_height():
+    # Same target image, biHeight = -2 => rows stored top-down.
+    stride = 8
+    img_size = stride * 2
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, img_size, 0, 0, 0, 0)
+    top_row = bytes([0, 0, 255, 0, 255, 0]) + b"\0\0"
+    bottom_row = bytes([255, 0, 0, 255, 255, 255]) + b"\0\0"
+    out = decode_bmp(hdr + info + top_row + bottom_row)
+    np.testing.assert_array_equal(
+        out, np.array([[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]], np.uint8)
+    )
+
+
+def test_bmp_row_padding_width_3():
+    # Width 3: 9 payload bytes/row + 3 pad bytes — the classic
+    # off-by-stride trap.  1 row, pixels (1,2,3)(4,5,6)(7,8,9) RGB.
+    stride = 12
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + stride, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 3, 1, 1, 24, 0, stride, 0, 0, 0, 0)
+    row = bytes([3, 2, 1, 6, 5, 4, 9, 8, 7]) + b"\0\0\0"  # BGR + pad
+    out = decode_bmp(hdr + info + row)
+    np.testing.assert_array_equal(out, np.array([[(1, 2, 3), (4, 5, 6), (7, 8, 9)]], np.uint8))
+
+
+def test_bmp_rejects_non_24bpp():
+    hdr = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 0, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="24-bpp"):
+        decode_bmp(hdr + info + b"\0" * 8)
+
+
+def test_ppm_golden_with_comment():
+    payload = b"P6\n# a comment\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    assert sniff(payload) == "ppm"
+    out = decode_ppm(payload)
+    np.testing.assert_array_equal(out, np.array([[(10, 20, 30), (40, 50, 60)]], np.uint8))
+
+
+def test_wav_golden_with_extra_chunk():
+    # RIFF with an odd-sized LIST chunk before data (pad byte rule) —
+    # a chunk walker that assumes fmt+data adjacency fails here.
+    samples = struct.pack("<4h", -32768, -1, 0, 32767)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\0"  # odd size + pad
+    body += b"data" + struct.pack("<I", len(samples)) + samples
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert sniff(payload) == "wav"
+    s, rate = decode_wav(payload)
+    assert rate == 8000
+    np.testing.assert_array_equal(s[:, 0], np.array([-32768, -1, 0, 32767], np.int16))
+
+
+def test_wav_rejects_non_pcm16():
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+# ---------- layer 2: round-trips ----------
+
+
+def _rng_img(h, w, seed=7):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (2, 2), (3, 3), (5, 7), (64, 8)])
+def test_bmp_roundtrip_exact(shape):
+    img = _rng_img(*shape)
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (4, 3), (17, 5)])
+def test_ppm_roundtrip_exact(shape):
+    img = _rng_img(*shape)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+def test_wav_roundtrip_exact(ch):
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32768, 32768, (777, ch), dtype=np.int16)
+    out, rate = decode_wav(encode_wav(s, 44100))
+    assert rate == 44100
+    np.testing.assert_array_equal(out, s)
+
+
+def test_wav_empty_track():
+    out, rate = decode_wav(encode_wav(np.zeros((0,), np.int16), 16000))
+    assert out.shape == (0, 1) and rate == 16000
+
+
+def test_resize_nearest_2x2_to_4x4_exact():
+    img = np.array([[(1, 1, 1), (2, 2, 2)], [(3, 3, 3), (4, 4, 4)]], np.uint8)
+    out = resize_nearest(img, 4, 4)
+    expect = np.array(
+        [
+            [(1,) * 3, (1,) * 3, (2,) * 3, (2,) * 3],
+            [(1,) * 3, (1,) * 3, (2,) * 3, (2,) * 3],
+            [(3,) * 3, (3,) * 3, (4,) * 3, (4,) * 3],
+            [(3,) * 3, (3,) * 3, (4,) * 3, (4,) * 3],
+        ],
+        np.uint8,
+    )
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_resize_nearest_identity():
+    img = _rng_img(6, 6)
+    np.testing.assert_array_equal(resize_nearest(img, 6, 6), img)
+
+
+# ---------- layer 3: Spark operators, real decode ----------
+
+
+def test_synthesize_and_extract_pixel_exact(spark):
+    from projectmapreduce_spark.io import scan
+    from tests.conftest import SF_SMOKE
+
+    d = scan(spark, SF_SMOKE, "documents").limit(20)
+    media = synthesize_media(d, "doc_id", "text", kind="image")
+    feats = {r.media_id: r for r in extract_features(media, dim=16, fake=False).collect()}
+    for r in d.collect():
+        px = _synth_pixels(r.text.encode("utf-8"))
+        hist = np.bincount(px.ravel() % 16, minlength=16).astype(float)
+        hist /= hist.sum()
+        got = feats[r.doc_id]
+        assert (got.height, got.width) == px.shape[:2]
+        np.testing.assert_allclose(got.features, hist, rtol=1e-12)
+
+
+def test_resize_images_real_decode_pixel_exact(spark):
+    from projectmapreduce_spark.io import scan
+    from tests.conftest import SF_SMOKE
+
+    d = scan(spark, SF_SMOKE, "documents").limit(8)
+    media = synthesize_media(d, "doc_id", "text", kind="image")
+    resized = {r.media_id: r for r in resize_images(media, 4, 4, fake=False).collect()}
+    for r in d.collect():
+        src = _synth_pixels(r.text.encode("utf-8"))
+        expect = resize_nearest(src, 4, 4)
+        got = decode_bmp(bytes(resized[r.doc_id].payload))
+        np.testing.assert_array_equal(got, expect)
+        assert (resized[r.doc_id].width, resized[r.doc_id].height) == (4, 4)
+
+
+def test_audio_synthesis_samples_exact(spark):
+    from projectmapreduce_spark.io import scan
+    from tests.conftest import SF_SMOKE
+
+    d = scan(spark, SF_SMOKE, "documents").limit(10)
+    media = synthesize_media(d, "doc_id", "text", kind="audio")
+    rows = {r.media_id: r for r in media.collect()}
+    for r in d.collect():
+        seed = r.text.encode("utf-8")
+        s, rate = decode_wav(bytes(rows[r.doc_id].payload))
+        assert rate == 16000
+        expect = (np.frombuffer(seed, np.uint8).astype(np.int16) - 128) * 256
+        np.testing.assert_array_equal(s[:, 0], expect)
+        assert rows[r.doc_id].duration_ms == len(seed) * 1000 // 16000
