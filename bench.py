@@ -7,7 +7,17 @@ time per query (action = count() over the result, which executes the
 full plan without driver-side materialization cost dominating).
 
 Output: {"metric": "suite_wall_sec", "value": <total>, "unit": "sec",
-         "queries": {name: sec, ...}, "sf": 0.1}
+         "queries": {name: sec, ...}, "sf": 0.1,
+         "queries_warm": {name: sec, ...}, "value_warm": <total>}
+
+``queries``/``value`` are FIRST-run (cold) times — directly comparable
+with BENCH_r01/r02 and the BASELINE.md table.  ``queries_warm`` is a
+second execution of the same plan in the same JVM: codegen, broadcast
+builds and Python-worker pools are already hot, so warm numbers isolate
+per-byte execution cost.  Queries whose cold time is dominated by
+one-time codegen (l2_minhash_lsh's 64-wide min-aggregate,
+x6_map_in_arrow's worker spin-up) show a large cold/warm gap —
+regression detection should compare warm-to-warm.
 """
 
 from __future__ import annotations
@@ -87,6 +97,10 @@ HEADLINE = [
     # l28_semantic_dedup stays OUT: its cost is the k-means fit (same
     # profile as l4c_ann_ivf, already in the headline) — adding it
     # would double-count the fit without new plan coverage.
+    # l4d_ann_ivf_int8 (round 3) stays OUT for the same reason — it
+    # shares l4c's fit and lists; its delta (int8 shortlist + 1% float
+    # fetch) is measured by scripts/ann_recall.py (4.0 s vs 12.8 s at
+    # sf0.1) and recall-floor-pinned in tests.
     "x6_map_in_arrow",
     "l29_data_card",
     "s15_snapshot_read",
@@ -120,13 +134,21 @@ def main() -> None:
     QUERIES["flagship_pricing_summary"](spark, sf_dir).count()
 
     times: dict[str, float] = {}
-    total = 0.0
+    warm: dict[str, float] = {}
+    total = total_warm = 0.0
     for name in HEADLINE:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         dt = time.perf_counter() - t0
         times[name] = round(dt, 3)
         total += dt
+        # Second execution of the SAME plan in the same JVM: codegen
+        # cache, broadcast relations and Python worker pools are hot.
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        warm[name] = round(dt, 3)
+        total_warm += dt
 
     print(
         json.dumps(
@@ -136,6 +158,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "queries_warm": warm,
+                "value_warm": round(total_warm, 3),
                 "n_declared_queries": len(QUERIES),
             }
         )

@@ -32,6 +32,7 @@ from projectmapreduce_spark.operators.similarity import (
     dot,
     int_dot,
     ivf_ann_topk,
+    ivf_int8_ann_topk,
     lsh_ann_topk,
     quantize_int8,
 )
@@ -252,6 +253,25 @@ def l4c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_ann_topk(
         e, q, "vec_id", "embedding", "vec_id", "embedding", k=5, k_clusters=32, n_probe=16,
         iters=2,
+    )
+    return out.select("q_id", "neighbor_id", dround("cos_sim", 6).alias("cos_sim"), "nn_rank")
+
+
+@query("l4d_ann_ivf_int8", oracle=None, survey="L4", category="llm")
+def l4d_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB ANN serving plan (VERDICT r2 item 4): IVF
+    inverted lists over int8-quantized codes (l4c ∘ l27), bigint-dot
+    shortlist, float re-rank of only the top rerank_mult·k survivors.
+    Same knobs as l4c (32 clusters / 16 probes) so the candidate set is
+    identical — the delta under test is the int8 shortlist + bounded
+    float fetch.  recall@5 vs l4 exact measured by
+    scripts/ann_recall.py at sf0.1; floor asserted in
+    tests/test_operators.py."""
+    e = scan(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    out = ivf_int8_ann_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        k=5, k_clusters=32, n_probe=16, iters=2, rerank_mult=4,
     )
     return out.select("q_id", "neighbor_id", dround("cos_sim", 6).alias("cos_sim"), "nn_rank")
 

@@ -37,6 +37,7 @@ from projectmapreduce_spark.io import scan
 from projectmapreduce_spark.operators.similarity import (
     brute_force_topk,
     ivf_ann_topk,
+    ivf_int8_ann_topk,
     lsh_ann_topk,
 )
 from projectmapreduce_spark.session import get_spark
@@ -118,6 +119,26 @@ def main() -> int:
             "sec": round(time.time() - t0, 1),
         }))
         if not args.sweep:
+            declared_recalls.append(r)
+
+    # Composed serving plan (l4d): same lists/probes as IVF declared, so
+    # the integer-stage candidate fraction equals the IVF row above; the
+    # float-fetch fraction is rerank_mult·k/(N-1) by construction.
+    for kc, probe, iters in ([] if args.sweep else IVF_DECLARED):
+        for rerank_mult in (4,):
+            t0 = time.time()
+            top = ivf_int8_ann_topk(
+                e, q, "vec_id", "embedding", "vec_id", "embedding",
+                k=args.k, k_clusters=kc, n_probe=probe, iters=iters,
+                rerank_mult=rerank_mult,
+            )
+            r = recall(topk_sets(top), exact, args.k)
+            print(json.dumps({
+                "algo": "ivf_int8", "k_clusters": kc, "n_probe": probe,
+                "rerank_mult": rerank_mult, "recall": round(r, 4),
+                "float_fetch_frac": round(rerank_mult * args.k / (n_corpus - 1), 4),
+                "sec": round(time.time() - t0, 1),
+            }))
             declared_recalls.append(r)
 
     if args.sweep:

@@ -202,6 +202,40 @@ def test_ann_ivf_recall(spark):
     assert recall >= 0.9, f"IVF recall below declared floor: {recall}"
 
 
+def test_ann_ivf_int8_recall_and_agreement(spark):
+    """The composed serving plan (l4d: IVF lists → int8 bigint-dot
+    shortlist → float re-rank of top rerank_mult·k) must (a) hold the
+    same 0.9 recall floor as float IVF against the exact baseline, and
+    (b) lose at most one neighbor in twenty vs float IVF at the SAME
+    knobs — the int8 stage only reorders near-ties, and any tie deeper
+    than rerank_mult·k is outside the final top-k."""
+    from projectmapreduce_spark.operators.similarity import ivf_ann_topk, ivf_int8_ann_topk
+
+    e = scan(spark, SF_CORRECT, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in brute_force_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", 5).collect()
+    }
+    knobs = dict(k_clusters=32, n_probe=16, iters=2)
+    f32 = {
+        (r.q_id, r.neighbor_id)
+        for r in ivf_ann_topk(
+            e, q, "vec_id", "embedding", "vec_id", "embedding", 5, **knobs
+        ).collect()
+    }
+    i8 = {
+        (r.q_id, r.neighbor_id)
+        for r in ivf_int8_ann_topk(
+            e, q, "vec_id", "embedding", "vec_id", "embedding", 5, rerank_mult=4, **knobs
+        ).collect()
+    }
+    recall = len(exact & i8) / len(exact)
+    agreement = len(f32 & i8) / len(f32)
+    assert recall >= 0.9, f"int8 IVF recall below floor: {recall}"
+    assert agreement >= 0.95, f"int8 shortlist diverged from float IVF: {agreement}"
+
+
 def test_brute_force_topk_matches_numpy(spark):
     e = scan(spark, SF_SMOKE, "embeddings")
     rows = e.collect()
