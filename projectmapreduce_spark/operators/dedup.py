@@ -407,3 +407,93 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014 — public algorithm) → (id, comp), comp = minimum
+    reachable node id.  Output-identical to ``connected_components``
+    (asserted in tests/test_operators.py) but converges in
+    O(log² n) rounds instead of O(diameter) — the switch-over for
+    deep-diameter graphs (long chains, web/road graphs) where min-label
+    propagation would need thousands of shuffle rounds.
+
+    Per round (edges kept canonical hi→lo so "smaller neighbor" is a
+    column comparison, not a filter over a symmetrized copy):
+
+    - **large-star**: every node u connects each LARGER neighbor v to
+      m(u) = min(Γ(u) ∪ {u}) — one symmetric groupBy-min + one join.
+    - **small-star**: every node u connects its smaller neighbors and
+      itself to min(Γ≤(u) ∪ {u}) — one groupBy-min on the canonical
+      list + one join.
+
+    The paper proves the edge count never grows above the input size
+    and the alternation converges to stars (every node pointing at its
+    component min) in O(log² n) rounds w.h.p.  Lineage is truncated
+    per round (localCheckpoint) exactly like the propagation variant,
+    and the only driver-side value per round is the 1-row
+    changed-edge count.
+    """
+    orig_nodes = (
+        edges.select(F.col(id_a).alias("id"))
+        .union(edges.select(F.col(id_b).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Canonical hi→lo simple edges.
+    e = (
+        edges.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # -- large-star: (node, nbr) both directions; m = min(nbrs ∪ {node});
+        #    emit (nbr, m) for every nbr > node.
+        sym = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+            e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+        mins = (
+            sym.groupBy("node")
+            .agg(F.min("nbr").alias("__mn"))
+            .select("node", F.least(F.col("node"), F.col("__mn")).alias("m"))
+        )
+        large = (
+            sym.filter(F.col("nbr") > F.col("node"))
+            .join(mins, "node")
+            .select(F.col("nbr").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star on the canonical (hi→lo) list: per u over its
+        #    smaller neighbors S, m = min(S); emit (u, m) and (s, m) ∀s∈S.
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        withm = large.join(smins, "u")
+        small = (
+            withm.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            .union(
+                withm.filter(F.col("v") != F.col("m")).select(
+                    F.col("v").alias("a"), F.col("m").alias("b")
+                )
+            )
+            .filter(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = small.join(e, ["u", "v"], "left_anti").count()
+        same_size = small.count() == e.count()
+        e = small
+        if changed == 0 and same_size:
+            break
+    # At convergence the edge set is a star forest: u → component min.
+    star = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    return orig_nodes.join(star, "id", "left").select(
+        "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
+    )

@@ -94,12 +94,18 @@ DOCUMENTS_DDL = "doc_id long, text string, lang string, source string, n_chars l
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents fixture — the ingest shape
     of a continuously-arriving corpus (each new file = one micro-batch
-    of documents entering the training pipeline)."""
+    of documents entering the training pipeline).  Handles both fixture
+    shapes like the events source: a single ``documents.parquet`` FILE
+    (driver fixtures) or a DIRECTORY of part files (sf1 synth tier)."""
+    import os
+
+    p = f"{sf_dir}/documents.parquet"
+    base, pat = (p, "*.parquet") if os.path.isdir(p) else (sf_dir, "documents.parquet")
     return (
         spark.readStream.schema(DOCUMENTS_DDL)
         .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+        .option("pathGlobFilter", pat)
+        .parquet(base)
     )
 
 

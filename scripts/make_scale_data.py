@@ -148,7 +148,8 @@ def gen(spark: SparkSession) -> None:
         ).alias("ts"),
         _u(F.col("event_id"), "eu", 1500).alias("user_id"),
         F.element_at(
-            F.array(*[F.lit(x) for x in ("click", "view", "purchase", "scroll", "login")]),
+            # exact fixture domain (FIXTURES.md:100)
+            F.array(*[F.lit(x) for x in ("click", "purchase", "error", "signup", "view")]),
             (_u(F.col("event_id"), "ee", 5) + 1).cast("int"),
         ).alias("event_type"),
         (_u(F.col("event_id"), "ev", 10_000) / 100.0).alias("value"),
@@ -183,7 +184,9 @@ def gen(spark: SparkSession) -> None:
             F.array(*[F.lit(x) for x in ("en", "fr", "es", "de", "zh")]),
             (_u(F.col("doc_id"), "dl", 5) + 1).cast("int"),
         ).alias("lang"),
-        F.concat(F.lit("source_"), _u(F.col("doc_id"), "ds", 20)).alias("source"),
+        # exact fixture domain src0…src19 (FIXTURES.md:110) — queries
+        # parse the numeric suffix at offset 4 (l14/l15)
+        F.concat(F.lit("src"), _u(F.col("doc_id"), "ds", 20)).alias("source"),
     )
     d = d.withColumn("n_chars", F.length("text").cast("long"))
     d.write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
@@ -208,9 +211,47 @@ def gen(spark: SparkSession) -> None:
     emb.write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
 
 
+OUT_SKEW = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1_skew"
+)
+
+# Zipf-ish two-tier FK skew: HOT_FRAC of all lineitems land on HOT_KEYS
+# orders (~190k rows/key at sf1 vs ~4 uniform) — the pathological
+# hot-key regime AQE's splitter and salting exist for.
+HOT_KEYS = 8
+HOT_FRAC = 0.25
+
+
+def gen_skew(spark: SparkSession) -> None:
+    """Skewed sf1 variant (VERDICT r2 item 5): same orders table, but
+    lineitem's l_orderkey FK is zipf-skewed.  Only the two join tables
+    are written — this tier exists for scripts/skew_stress.py, not for
+    the oracle sweep (values are join-semantics-identical; only the
+    key DISTRIBUTION changes)."""
+    os.makedirs(OUT_SKEW, exist_ok=True)
+    spark.read.parquet(f"{OUT}/orders.parquet").write.mode("overwrite").parquet(
+        f"{OUT_SKEW}/orders.parquet"
+    )
+    rid = F.col("rid")
+    is_hot = _u(rid, "hot?", 10_000) < int(HOT_FRAC * 10_000)
+    okey = F.when(is_hot, _u(rid, "hotk", HOT_KEYS)).otherwise(
+        _u(rid, "coldk", N["orders"])
+    )
+    li = _ids(spark, N["lineitem"], "rid").select(
+        okey.alias("l_orderkey"),
+        (900.0 + _u(rid, "le", 10_000_000) / 100.0).alias("l_extendedprice"),
+        (1.0 + _u(rid, "lq", 50)).alias("l_quantity"),
+    )
+    li.write.mode("overwrite").parquet(f"{OUT_SKEW}/lineitem.parquet")
+
+
 if __name__ == "__main__":
     spark = get_spark(app_name="pmr-make-scale-data")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--skew" in sys.argv:
+        gen_skew(spark)
+        print(f"wrote {OUT_SKEW}")
+        raise SystemExit(0)
     gen(spark)
     import glob
 

@@ -114,6 +114,33 @@ def test_connected_components_chains_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 7}
 
 
+def test_connected_components_star_equals_propagation(spark):
+    """The large-star/small-star contraction (Kiveris SoCC 2014) must
+    be output-identical to min-label propagation on an arbitrary random
+    graph, and must close a DEEP chain (diameter 300 — propagation
+    territory of 300 rounds) within its O(log² n) round budget."""
+    import random
+
+    from projectmapreduce_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(120), rng.randrange(120)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    prop = {r.id: r.comp for r in connected_components(edges, max_iters=60).collect()}
+    star = {r.id: r.comp for r in connected_components_star(edges).collect()}
+    assert star == prop
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    got = {r.id: r.comp for r in connected_components_star(chain).collect()}
+    assert set(got.values()) == {0} and len(got) == 301
+
+
 # ---------- similarity ----------
 
 
