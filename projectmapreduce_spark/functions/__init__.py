@@ -1,5 +1,5 @@
 """Scalar-function helpers and the UDF surface (SURVEY.md §2.8, §2.12)."""
 
-from projectmapreduce_spark.functions.rounding import dround
+from projectmapreduce_spark.functions.rounding import dround, money_avg, money_sum
 
-__all__ = ["dround"]
+__all__ = ["dround", "money_avg", "money_sum"]

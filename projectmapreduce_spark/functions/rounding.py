@@ -30,3 +30,46 @@ def dround(col: Column | str, scale: int = 2) -> Column:
         -F.floor(-scaled + F.lit(0.5))
     )
     return (rounded / p).cast("double")
+
+
+def money_sum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent money aggregate (round-3 scale fix).
+
+    ``round(sum(double), 2)`` is NOT reproducible at volume: double
+    summation error grows ~sqrt(n)·ulp(total), and at sf1 a 6M-row
+    revenue group's error (~1e-3) straddles cent boundaries, so Spark
+    and DuckDB — summing in different partition orders — disagree in
+    the 2nd decimal (caught by the sf1 sweep: c2, j10).  The fix is the
+    contract TPC-H itself uses: money is DECIMAL.  Each term is cast to
+    DECIMAL(20,4) (exact per-term: a binary double can never tie at the
+    4th decimal, so the cast rounds identically on every engine), the
+    sum is exact integer arithmetic — order-independent — and the final
+    cent rounding is decimal HALF-AWAY, which Spark and DuckDB agree on
+    (verified in tests/test_dtype_declared.py).
+
+    The term quantization must itself be engine-stable: a RAW
+    double→decimal cast is not (Spark rounds the exact binary
+    expansion via BigDecimal.setScale; DuckDB rounds ``x·10⁴`` computed
+    in double — they disagree on ~1 in 4 fixture charge values at the
+    4th decimal).  So each term goes through ``dround(x, 4)`` first —
+    bit-identical to DuckDB ``round(x, 4)`` by construction — and THEN
+    the decimal cast, which both engines round identically because the
+    quantized double sits ~1e-11 from its decimal value, never near a
+    cast boundary.
+
+    Oracle-side idiom (must pair with this):
+    ``round(sum(CAST(round(expr, 4) AS DECIMAL(20,4))), 2)::DOUBLE``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(dround(c, 4).cast("decimal(20,4)")), scale).cast("double")
+
+
+def money_avg(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent money average: exact decimal sum ÷ exact
+    count in ONE double division (identical IEEE op on both engines),
+    then dround.  Oracle idiom:
+    ``round(sum(CAST(round(x, 4) AS DECIMAL(20,4)))::DOUBLE / count(x), 2)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dround(
+        F.sum(dround(c, 4).cast("decimal(20,4)")).cast("double") / F.count(c), scale
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projectmapreduce_spark.functions import dround
+from projectmapreduce_spark.functions import dround, money_avg, money_sum
 from projectmapreduce_spark.io import scan
 from projectmapreduce_spark.queries.registry import query
 
@@ -52,8 +52,8 @@ def a1_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT count(*)                     AS n_orders,
        count(DISTINCT o_custkey)    AS n_customers,
-       round(sum(o_totalprice), 2)  AS total,
-       round(avg(o_totalprice), 2)  AS avg_price,
+       round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS total,
+       round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4)))::DOUBLE / count(o_totalprice), 2) AS avg_price,
        round(min(o_totalprice), 2)  AS min_price,
        round(max(o_totalprice), 2)  AS max_price
 FROM orders
@@ -66,8 +66,8 @@ def a2_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan(spark, sf_dir, "orders").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        dround(F.sum("o_totalprice"), 2).alias("total"),
-        dround(F.avg("o_totalprice"), 2).alias("avg_price"),
+        money_sum("o_totalprice").alias("total"),
+        money_avg("o_totalprice").alias("avg_price"),
         dround(F.min("o_totalprice"), 2).alias("min_price"),
         dround(F.max("o_totalprice"), 2).alias("max_price"),
     )
@@ -157,10 +157,11 @@ def a5b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a6_having",
     oracle="""
-SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+SELECT o_custkey, count(*) AS n_orders,
+       round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS spend
 FROM orders
 GROUP BY o_custkey
-HAVING count(*) >= 15 AND sum(o_totalprice) > 1500000.0
+HAVING count(*) >= 15 AND sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))) > 1500000.0
 """,
     survey="A6",
     category="aggregate",
@@ -172,10 +173,14 @@ def a6_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("__spend_raw"),
+            F.sum(dround("o_totalprice", 4).cast("decimal(20,4)")).alias("__spend_raw"),
         )
         .filter((F.col("n_orders") >= 15) & (F.col("__spend_raw") > 1500000.0))
-        .select("o_custkey", "n_orders", dround("__spend_raw", 2).alias("spend"))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round(F.col("__spend_raw"), 2).cast("double").alias("spend"),
+        )
     )
 
 
@@ -391,8 +396,8 @@ def a13_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        count(*)::BIGINT AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price,
-       round(sum(o_totalprice) / count(*), 6) AS avg_price
+       round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS total_price,
+       round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4)))::DOUBLE / count(*), 6) AS avg_price
 FROM orders
 GROUP BY o_orderpriority
 """,
@@ -422,7 +427,10 @@ def a14_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def partial(batch: DataFrame) -> DataFrame:
         return batch.groupBy("o_orderpriority").agg(
-            F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("sum_price")
+            F.count(F.lit(1)).alias("n_orders"),
+            # decimal partials: the state table then carries EXACT sums,
+            # so merge order across batches can never change the total
+            F.sum(dround("o_totalprice", 4).cast("decimal(20,4)")).alias("sum_price"),
         )
 
     def merge(state: DataFrame, batch: DataFrame) -> DataFrame:
@@ -441,6 +449,6 @@ def a14_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "o_orderpriority",
         "n_orders",
-        dround(F.col("sum_price"), 2).alias("total_price"),
-        dround(F.col("sum_price") / F.col("n_orders"), 6).alias("avg_price"),
+        F.round(F.col("sum_price"), 2).cast("double").alias("total_price"),
+        dround(F.col("sum_price").cast("double") / F.col("n_orders"), 6).alias("avg_price"),
     )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projectmapreduce_spark.functions import dround
+from projectmapreduce_spark.functions import dround, money_sum
 from projectmapreduce_spark.io import scan
 from projectmapreduce_spark.queries.registry import query
 
@@ -22,7 +22,7 @@ from projectmapreduce_spark.queries.registry import query
     "c1_shipping_priority",
     oracle="""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))), 2)::DOUBLE AS revenue,
        o_orderdate,
        o_orderpriority
 FROM customer
@@ -55,7 +55,7 @@ def c1_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -69,7 +69,7 @@ def c1_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c2_regional_revenue",
     oracle="""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))), 2)::DOUBLE AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -109,7 +109,7 @@ def c2_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -199,7 +199,7 @@ def c4_sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT sn.n_name AS supp_nation,
        cn.n_name AS cust_nation,
        year(l_shipdate)::BIGINT AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -245,7 +245,7 @@ def c5_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(
-            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -259,7 +259,7 @@ WITH pq AS (
   SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
   FROM lineitem GROUP BY l_partkey
 )
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT round(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(20,4)))::DOUBLE / 7.0, 2) AS avg_yearly,
        count(*)::BIGINT AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -292,7 +292,7 @@ def c6_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pq, F.col("l_partkey") == F.col("pq_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            dround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            dround(F.sum(dround("l_extendedprice", 4).cast("decimal(20,4)")).cast("double") / 7.0, 2).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -302,7 +302,7 @@ def c6_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c7_returned_items",
     oracle="""
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))), 2)::DOUBLE AS revenue,
        n_name,
        count(*)::BIGINT AS n_lines
 FROM customer
@@ -334,7 +334,7 @@ def c7_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")
         .agg(
-            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lines"),

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projectmapreduce_spark.functions import dround
+from projectmapreduce_spark.functions import dround, money_avg, money_sum
 from projectmapreduce_spark.io import scan
 from projectmapreduce_spark.queries.registry import query
 
@@ -25,11 +25,11 @@ SELECT
   l_returnflag,
   l_linestatus,
   round(sum(l_quantity), 2)                                    AS sum_qty,
-  round(sum(l_extendedprice), 2)                               AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS sum_base_price,
+  round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))), 2)::DOUBLE AS sum_disc_price,
+  round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS DECIMAL(20,4))), 2)::DOUBLE AS sum_charge,
   round(avg(l_quantity), 2)                                    AS avg_qty,
-  round(avg(l_extendedprice), 2)                               AS avg_price,
+  round(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(20,4)))::DOUBLE / count(l_extendedprice), 2) AS avg_price,
   round(avg(l_discount), 4)                                    AS avg_disc,
   count(*)                                                     AS count_order
 FROM lineitem
@@ -48,11 +48,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            dround(F.sum(disc_price), 2).alias("sum_disc_price"),
-            dround(F.sum(charge), 2).alias("sum_charge"),
+            # Money sums/avgs go through exact DECIMAL(20,4) terms
+            # (functions/rounding.py:money_sum): double summation order
+            # differs between engines and at sf1 the ~1e-3 accumulated
+            # error straddles cent boundaries.  l_quantity stays a plain
+            # double sum — integer-valued doubles sum exactly.
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(charge).alias("sum_charge"),
             dround(F.avg("l_quantity"), 2).alias("avg_qty"),
-            dround(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            money_avg("l_extendedprice").alias("avg_price"),
             dround(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )

@@ -16,7 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projectmapreduce_spark.functions import dround
+from projectmapreduce_spark.functions import dround, money_sum
 from projectmapreduce_spark.io import (
     scan,
     scan_csv,
@@ -146,7 +146,8 @@ def s6_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s7_bucketed_join",
     oracle="""
-SELECT o_orderpriority, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """,
@@ -173,7 +174,7 @@ def s7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        dround(F.sum("l_extendedprice"), 2).alias("revenue"),
+        money_sum("l_extendedprice").alias("revenue"),
     )
 
 
@@ -395,7 +396,7 @@ def s12_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus,
        count(*)::BIGINT AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS total_price
 FROM orders GROUP BY o_orderstatus
 """,
     survey="S13,S5,S2",
@@ -427,7 +428,11 @@ def s13_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count and sum so the oracle is the plain single-table aggregate.
     return both.groupBy("o_orderstatus").agg(
         (F.count(F.lit(1)) / 2).cast("long").alias("n_orders"),
-        dround(F.sum("o_totalprice") / 2, 2).alias("total_price"),
+        # exact decimal sum over both codec copies, halved in decimal
+        # (2S/2 = S exactly), so the cent rounding sees the exact value
+        F.round(F.sum(dround("o_totalprice", 4).cast("decimal(20,4)")) / 2, 2)
+        .cast("double")
+        .alias("total_price"),
     )
 
 
@@ -486,7 +491,8 @@ def s14_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s15_snapshot_read",
     oracle="""
-SELECT count(*)::BIGINT AS n_rows, round(sum(o_totalprice), 2) AS total_price
+SELECT count(*)::BIGINT AS n_rows,
+       round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS total_price
 FROM orders WHERE o_orderkey % 3 = 0
 """,
     survey="S15,S5",
@@ -533,7 +539,7 @@ def s15_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         pinned = json.load(fh)
     back = spark.read.parquet(*pinned)
     return back.agg(
-        F.count(F.lit(1)).alias("n_rows"), dround(F.sum("o_totalprice"), 2).alias("total_price")
+        F.count(F.lit(1)).alias("n_rows"), money_sum("o_totalprice").alias("total_price")
     )
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projectmapreduce_spark.functions import dround
+from projectmapreduce_spark.functions import dround, money_sum
 from projectmapreduce_spark.io import scan
 from projectmapreduce_spark.operators.joins import (
     asof_join,
@@ -356,7 +356,7 @@ def j9_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT r.r_name                                           AS region_name,
        year(o.o_orderdate)                                AS order_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(20,4))), 2)::DOUBLE AS revenue,
        count(*)                                           AS n_lines
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -387,7 +387,7 @@ def j10_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("order_year"),
         )
         .agg(
-            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lines"),
@@ -399,7 +399,7 @@ def j10_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j11_salted_skew_join",
     oracle="""
 SELECT o.o_orderpriority, count(*) AS n,
-       round(sum(l.l_extendedprice), 2) AS total_price
+       round(sum(CAST(round(l.l_extendedprice, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS total_price
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
@@ -425,7 +425,7 @@ def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        dround(F.sum("l_extendedprice"), 2).alias("total_price"),
+        money_sum("l_extendedprice").alias("total_price"),
     )
 
 

@@ -47,9 +47,23 @@ N = {
     "embeddings": 20_000,
 }
 
-_VOCAB = [f"tok{i}" for i in range(800)] + [
+# Vocabulary must scale with the corpus (Heaps' law): a fixed few-hundred
+#-word vocab at 50k docs makes EVERY 1-gram posting list huge, which
+# degenerates any token-join (Jaccard dedup, and its DuckDB oracle) into
+# ~1e9 candidate pairs — an artifact of unrealistic data, not a property
+# of the operators.  20k uniform tokens keep posting lists ~300 docs at
+# sf1 (bounded pair joins) while still producing shared-token overlap.
+_VOCAB_SIZE = 20_000
+_FUNCTION_WORDS = [
     "the", "a", "of", "and", "is", "fast", "big", "small", "slow", "dup", "spark",
 ]
+
+# ~2% of documents are planted near-duplicates of an earlier doc (same
+# token stream, last token perturbed) so the dedup family (l2, l17,
+# l30) has TRUE positives to find at every tier instead of an empty
+# edge set.
+_DUP_EVERY = 50
+_DUP_OFFSET = 7
 
 
 def _u(col, salt: str, m: int):
@@ -159,24 +173,29 @@ def gen(spark: SparkSession) -> None:
     )
     ev.write.mode("overwrite").parquet(f"{OUT}/events.parquet")
 
-    vocab = F.array(*[F.lit(w) for w in _VOCAB])
-    n_tok = (_u(F.col("doc_id"), "dn", 150) + 50).cast("int")  # 50–199 tokens
-    text = F.concat_ws(
-        " ",
-        F.transform(
-            F.sequence(F.lit(1), n_tok),
-            lambda i: F.element_at(
-                vocab,
-                (
-                    F.pmod(
-                        F.crc32(F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string"))),
-                        F.lit(len(_VOCAB)),
-                    )
-                    + 1
-                ).cast("int"),
-            ),
-        ),
-    )
+    fw = F.array(*[F.lit(w) for w in _FUNCTION_WORDS])
+    # Near-dups re-generate their parent's token stream (same base id),
+    # then the perturbation below swaps the final token.
+    is_dup = (F.col("doc_id") % _DUP_EVERY == _DUP_OFFSET) & (F.col("doc_id") >= _DUP_EVERY)
+    # Parent is doc_id − _DUP_OFFSET ≡ 0 (mod _DUP_EVERY): never itself a
+    # dup, so every planted dup shares its parent's ACTUAL token stream.
+    base_id = F.when(is_dup, F.col("doc_id") - _DUP_OFFSET).otherwise(F.col("doc_id"))
+    n_tok = (_u(base_id, "dn", 150) + 50).cast("int")  # 50–199 tokens
+
+    def tok_at(i):
+        h = F.crc32(F.concat(base_id.cast("string"), F.lit(":"), i.cast("string")))
+        # every 8th position a function word, else a uniform vocab token
+        return F.when(
+            F.pmod(h, F.lit(8)) == 0,
+            F.element_at(fw, (F.pmod(h, F.lit(len(_FUNCTION_WORDS))) + 1).cast("int")),
+        ).otherwise(F.concat(F.lit("tok"), F.pmod(h, F.lit(_VOCAB_SIZE))))
+
+    tokens = F.transform(F.sequence(F.lit(1), n_tok), tok_at)
+    tokens = F.when(
+        is_dup,
+        F.concat(F.slice(tokens, 1, F.size(tokens) - 1), F.array(F.lit("dupmark"))),
+    ).otherwise(tokens)
+    text = F.concat_ws(" ", tokens)
     d = _ids(spark, N["documents"], "doc_id").select(
         F.col("doc_id"),
         text.alias("text"),
