@@ -599,3 +599,132 @@ def centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
         F.posexplode(as_double(F.col(vec_col))).alias("pos", "val"),
     )
     return exploded.groupBy("label", "pos").agg(F.avg("val").alias("centroid_val"))
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    k_clusters: int = 32,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Persist the int8 IVF serving index with a PARTITION-PRUNABLE
+    layout — the piece that turns l4d's per-query index build into a
+    real 100 TB serving architecture.
+
+    The index is ``(id, qvec int8, scale, norm)`` written
+    ``partitionBy("cluster")``: each inverted list is its own partition
+    directory, so a probe of ``n_probe`` of ``k_clusters`` lists is a
+    partition-PRUNED scan — the other ``k_clusters − n_probe`` lists
+    are never opened (asserted via ``inputFiles()`` in
+    tests/test_operators.py).  At 100 TB this is the difference between
+    reading n_probe/k of the index per query batch and reading all of
+    it.  Centroids (k×dim doubles — driver-sized at any corpus scale)
+    are written alongside as JSON so serving needs no refit.
+
+    Returns the fitted centroids.
+    """
+    import json
+    import os
+
+    cents = ivf_fit(emb, id_col, vec_col, k_clusters, iters)
+    vec_sql = f"cast(`{vec_col}` as array<double>)"
+    idx = quantize_int8(emb, id_col, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col("qvec"),
+        F.col("scale"),
+        norm(as_double(F.col(vec_col))).alias("vnorm"),
+        _nearest_centroid(vec_sql, cents).alias("cluster"),
+    )
+    idx.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(cents, f)
+    return cents
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+    k: int,
+    n_probe: int = 16,
+    rerank_mult: int = 4,
+) -> DataFrame:
+    """Serve ANN top-k from a persisted ``build_ivf_index`` layout.
+
+    The probe filter ``cluster IN (probed…)`` lands on the partition
+    column, so the parquet scan is pruned to the probed inverted lists
+    only.  Scoring is the same int8 bigint-dot shortlist + bounded
+    float re-rank as ``ivf_int8_ann_topk`` (the float fetch against
+    ``emb`` touches Q·rerank_mult·k rows).  Output-identical to
+    ``ivf_int8_ann_topk`` at the same knobs (unit-pinned) — the only
+    difference is WHERE the index comes from.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        cents = json.load(f)
+    q_vec_sql = f"cast(`{q_vec_col}` as array<double>)"
+    probes = F.expr(
+        f"transform(slice(reverse(array_sort({_centroid_scores_sql(q_vec_sql, cents)}"
+        f")), 1, {n_probe}), t -> t.c)"
+    )
+    q = (
+        quantize_int8(queries, q_id_col, q_vec_col)
+        .select(
+            F.col(q_id_col).alias("q_id"),
+            F.col("qvec").alias("qcode"),
+            F.col("scale").alias("qs"),
+            norm(as_double(F.col(q_vec_col))).alias("qnorm"),
+            probes.alias("__probes"),
+        )
+        .select("q_id", "qcode", "qs", "qnorm", F.explode("__probes").alias("cluster"))
+    )
+    # Static partition pruning: the union of probed lists is at most
+    # k_clusters values (driver-bounded regardless of corpus size), so
+    # collecting it and filtering on the partition column prunes the
+    # scan at PLANNING time — no dependence on DPP kicking in.
+    probed = sorted(r["cluster"] for r in q.select("cluster").distinct().collect())
+    n = spark.read.parquet(path).filter(F.col("cluster").isin(probed))
+    approx = (
+        n.join(F.broadcast(q), on="cluster")
+        .filter(F.col("q_id") != F.col("id"))
+        .select(
+            "q_id",
+            F.col("id").alias("neighbor_id"),
+            (
+                int_dot(F.col("qcode"), F.col("qvec"))
+                * F.col("qs")
+                * F.col("scale")
+                / (F.col("qnorm") * F.col("vnorm"))
+            ).alias("approx_cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_cos").desc(), F.col("neighbor_id"))
+    shortlist = (
+        approx.select("q_id", "neighbor_id", F.row_number().over(w).alias("__r"))
+        .filter(F.col("__r") <= rerank_mult * k)
+        .select("q_id", "neighbor_id")
+    )
+    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    qv = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"))
+    reranked = (
+        nv.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            cosine(as_double(F.col("qv")), as_double(F.col("nv"))).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return reranked.select(
+        "q_id", "neighbor_id", "cos_sim", F.row_number().over(w2).alias("nn_rank")
+    ).filter(F.col("nn_rank") <= k)

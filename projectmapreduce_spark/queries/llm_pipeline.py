@@ -276,6 +276,32 @@ def l4d_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "neighbor_id", dround("cos_sim", 6).alias("cos_sim"), "nn_rank")
 
 
+@query("l4e_ann_index_serve", oracle=None, survey="L4,S6", category="llm")
+def l4e_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED serving tier of the 100 TB ANN story: the int8 IVF
+    index is written once with a partitionBy(cluster) layout
+    (operators/similarity.py:build_ivf_index — each inverted list its
+    own partition directory, centroids as driver-sized JSON), then
+    queries are served by a partition-PRUNED scan of only the probed
+    lists (static isin on the partition column).  Output-identical to
+    l4d at the same knobs (unit-pinned, plus an inputFiles() pruning
+    assertion, tests/test_operators.py) — the delta under test is the
+    index living on disk and the scan reading n_probe/k_clusters of
+    it."""
+    from projectmapreduce_spark.io import scratch_path
+    from projectmapreduce_spark.operators.similarity import build_ivf_index, query_ivf_index
+
+    e = scan(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    path = scratch_path("l4e_ivf_index")
+    build_ivf_index(e, "vec_id", "embedding", path, k_clusters=32, iters=2)
+    out = query_ivf_index(
+        spark, path, e, q, "vec_id", "embedding", "vec_id", "embedding",
+        k=5, n_probe=16, rerank_mult=4,
+    )
+    return out.select("q_id", "neighbor_id", dround("cos_sim", 6).alias("cos_sim"), "nn_rank")
+
+
 @query(
     "l5_normalize",
     oracle="""

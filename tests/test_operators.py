@@ -263,6 +263,55 @@ def test_ann_ivf_int8_recall_and_agreement(spark):
     assert agreement >= 0.95, f"int8 shortlist diverged from float IVF: {agreement}"
 
 
+def test_ann_index_serve_identical_and_pruned(spark, tmp_path):
+    """The persisted index path (l4e: build_ivf_index → query_ivf_index)
+    must (a) return EXACTLY ivf_int8_ann_topk's rows at the same knobs,
+    and (b) physically scan only the probed inverted lists — the
+    partitionBy(cluster) layout plus the static isin filter must prune
+    the non-probed partition directories out of inputFiles()."""
+    from projectmapreduce_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_int8_ann_topk,
+        query_ivf_index,
+    )
+
+    e = scan(spark, SF_CORRECT, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    path = str(tmp_path / "ivf_idx")
+    knobs = dict(k_clusters=16, iters=2)
+    build_ivf_index(e, "vec_id", "embedding", path, **knobs)
+    served = query_ivf_index(
+        spark, path, e, q, "vec_id", "embedding", "vec_id", "embedding",
+        k=5, n_probe=4, rerank_mult=4,
+    )
+    inline = ivf_int8_ann_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        k=5, n_probe=4, rerank_mult=4, **knobs,
+    )
+    a = {(r.q_id, r.neighbor_id, r.nn_rank) for r in served.collect()}
+    b = {(r.q_id, r.neighbor_id, r.nn_rank) for r in inline.collect()}
+    assert a == b
+    # physical pruning evidence: the probe lands as a PartitionFilters
+    # entry on the index scan (inputFiles() ignores pushed filters, so
+    # the executed plan is the honest witness), and the probed set is a
+    # strict subset of the written partition dirs.
+    import re
+
+    plan = spark._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        served._jdf.queryExecution(), "formatted"
+    )
+    pf = re.search(r"PartitionFilters: \[cluster#\d+ (?:INSET|IN \(?)([\d, ]+)", plan)
+    assert pf, plan[:2000]
+    probed = {c.strip() for c in pf.group(1).split(",") if c.strip()}
+    all_clusters = {
+        m.group(1)
+        for f in spark.read.parquet(path).inputFiles()
+        for m in [re.search(r"cluster=(\d+)/", f)]
+        if m
+    }
+    assert probed and probed < all_clusters, (probed, all_clusters)
+
+
 def test_brute_force_topk_matches_numpy(spark):
     e = scan(spark, SF_SMOKE, "embeddings")
     rows = e.collect()
