@@ -10,6 +10,11 @@ are simple enough to decode exactly with numpy + struct alone:
   RGB triplets, row-major top-down.
 * **WAV** — RIFF/WAVE with a PCM16 ``fmt `` chunk and a ``data``
   chunk, little-endian interleaved samples.
+* **AVI** — RIFF/AVI with an uncompressed 24-bit DIB video stream
+  ('vids'/'DIB '): ``LIST hdrl`` (``avih`` main header + ``LIST strl``
+  with ``strh``/``strf``), then ``LIST movi`` of ``00db`` frames, each
+  frame a bottom-up BGR padded raster exactly like the BMP pixel
+  block (OpenDML / Microsoft AVI RIFF public layout).
 
 These are REAL decoders: every byte of the pixel/sample payload is
 interpreted per the published layout, and the unit tests pin
@@ -33,13 +38,15 @@ import numpy as np
 
 
 def sniff(payload: bytes) -> str | None:
-    """Identify a payload by magic bytes: 'bmp' | 'ppm' | 'wav' | None."""
+    """Identify a payload by magic bytes: 'bmp' | 'ppm' | 'wav' | 'avi' | None."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -182,6 +189,141 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     n = len(data) // (ch * 2)
     s = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
     return s.copy(), rate
+
+
+# ---------- AVI (RIFF, uncompressed 24-bit DIB stream) ----------
+
+
+def _dib_raster(frame: np.ndarray) -> bytes:
+    """The BMP-style pixel block: bottom-up BGR rows padded to 4 bytes."""
+    h, w, _ = frame.shape
+    pad = (-(w * 3)) % 4
+    bgr = frame[:, :, ::-1]
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):
+        rows += bgr[y].tobytes() + b"\0" * pad
+    return bytes(rows)
+
+
+def _list_chunk(list_type: bytes, body: bytes) -> bytes:
+    return b"LIST" + struct.pack("<I", 4 + len(body)) + list_type + body
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (b"\0" if len(body) & 1 else b"")
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode an (N, H, W, 3) uint8 RGB frame stack as an uncompressed
+    24-bit DIB AVI ('vids'/'DIB ' stream, one ``00db`` chunk per frame)."""
+    f = np.asarray(frames, dtype=np.uint8)
+    if f.ndim != 4 or f.shape[3] != 3:
+        raise ValueError(f"expected (N, H, W, 3) RGB frames, got {f.shape}")
+    n, h, w, _ = f.shape
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0,  # dwFlags (no idx1 index is written, so AVIF_HASINDEX stays clear)
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_bytes,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids",
+        b"DIB ",
+        0,  # dwFlags
+        0,  # wPriority
+        0,  # wLanguage
+        0,  # dwInitialFrames
+        1,  # dwScale
+        fps,  # dwRate (rate/scale = fps)
+        0,  # dwStart
+        n,  # dwLength (frames)
+        frame_bytes,  # dwSuggestedBufferSize
+        0xFFFFFFFF,  # dwQuality (-1 default)
+        0,  # dwSampleSize (0: variable / one sample per chunk)
+        0, 0, w, h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+    )
+    strl = _list_chunk(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    hdrl = _list_chunk(b"hdrl", _chunk(b"avih", avih) + strl)
+    movi = _list_chunk(
+        b"movi", b"".join(_chunk(b"00db", _dib_raster(fr)) for fr in f)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an uncompressed 24-bit DIB AVI → ((N, H, W, 3) uint8 RGB,
+    fps).  Walks the RIFF tree (LIST hdrl → avih/strh/strf for
+    geometry and timing; LIST movi → ``00db``/``00dc`` frame chunks in
+    stream order, word-aligned); rejects compressed streams — the
+    documented codec boundary."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            yield cid, pos + 8, size
+            pos += 8 + size + (size & 1)
+
+    w = h = None
+    fps = 10
+    compression = 0
+    frames: list[bytes] = []
+    for cid, off, size in walk(payload, 12, len(payload)):
+        if cid != b"LIST":
+            continue
+        ltype = payload[off : off + 4]
+        if ltype == b"hdrl":
+            for c2, o2, s2 in walk(payload, off + 4, off + size):
+                if c2 == b"avih":
+                    us_per_frame = struct.unpack_from("<I", payload, o2)[0]
+                    if us_per_frame:
+                        fps = round(1_000_000 / us_per_frame)
+                elif c2 == b"LIST" and payload[o2 : o2 + 4] == b"strl":
+                    for c3, o3, s3 in walk(payload, o2 + 4, o2 + s2):
+                        if c3 == b"strf":
+                            _, w, h, _, bpp, compression = struct.unpack_from(
+                                "<IiiHHI", payload, o3
+                            )
+                            if bpp != 24 or compression != 0:
+                                raise NotImplementedError(
+                                    f"only 24-bpp uncompressed DIB AVI supported "
+                                    f"(bpp={bpp}, comp={compression})"
+                                )
+        elif ltype == b"movi":
+            for c2, o2, s2 in walk(payload, off + 4, off + size):
+                if c2 in (b"00db", b"00dc"):
+                    frames.append(payload[o2 : o2 + s2])
+    if w is None or h is None:
+        raise ValueError("missing strf header")
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames):
+        if len(raw) < stride * h:
+            raise ValueError(f"truncated frame {i}")
+        rows = (
+            np.frombuffer(raw, dtype=np.uint8, count=stride * h)
+            .reshape(h, stride)[:, : w * 3]
+            .reshape(h, w, 3)
+        )
+        out[i] = rows[::-1, :, ::-1]  # bottom-up -> top-down, BGR -> RGB
+    return out, fps
 
 
 # ---------- resize kernel ----------

@@ -8,20 +8,21 @@ Arrow-batched ``mapInPandas`` whose batch size is bounded by
 
 Codec tiers:
 
-* **Real decode** (``fake=False``): BMP (24-bit BI_RGB), PPM (P6) and
-  WAV (RIFF PCM16) payloads are decoded byte-exactly by the
-  pure-Python codecs in ``operators/codecs.py`` — pixel/sample arrays,
-  dimensions and durations all come from interpreting the actual
-  container layout.  ``synthesize_media`` manufactures real BMP/WAV
-  payloads deterministically from any string column so the decode path
-  runs on every tier's data with no external libs.
-* **Codec boundary**: payloads in formats beyond those three
-  (JPEG/PNG/MP3/video) raise ``NotImplementedError`` inside the
+* **Real decode** (``fake=False``): BMP (24-bit BI_RGB), PPM (P6),
+  WAV (RIFF PCM16) and AVI (RIFF, uncompressed 24-bit DIB stream)
+  payloads are decoded byte-exactly by the pure-Python codecs in
+  ``operators/codecs.py`` — pixel/sample/frame arrays, dimensions,
+  frame counts and durations all come from interpreting the actual
+  container layout.  ``synthesize_media`` manufactures real
+  BMP/WAV/AVI payloads deterministically from any string column so
+  every media family's decode path runs on every tier's data with no
+  external libs.
+* **Codec boundary**: payloads in formats beyond those four
+  (JPEG/PNG/MP3/MP4…) raise ``NotImplementedError`` inside the
   workers — PIL/ffmpeg/torchaudio are not in this container.
 * **Byte-level fake** (``fake=True``): the original deterministic
-  stand-in (byte-histogram features, length-based "duration") kept for
-  the video kernel (no pure-Python video codec) and for plumbing tests
-  over arbitrary payloads.
+  stand-in (byte-histogram features, byte-chunk "frames") kept for
+  plumbing tests over arbitrary payloads.
 """
 
 from __future__ import annotations
@@ -42,9 +43,11 @@ from pyspark.sql.types import (
 )
 
 from projectmapreduce_spark.operators.codecs import (
+    decode_avi,
     decode_bmp,
     decode_ppm,
     decode_wav,
+    encode_avi,
     encode_bmp,
     encode_wav,
     resize_nearest,
@@ -103,6 +106,9 @@ def _hist_features(values: np.ndarray, dim: int) -> list[float]:
 BMP_SYNTH_WIDTH = 8
 BMP_SYNTH_MAX_HEIGHT = 64
 WAV_SYNTH_RATE = 16000
+AVI_SYNTH_FPS = 10
+AVI_SYNTH_MIN_FRAMES = 2
+AVI_SYNTH_FRAME_MOD = 7  # n_frames = MIN + len(seed) % MOD  (2..8)
 
 
 def _synth_pixels(seed: bytes) -> np.ndarray:
@@ -127,6 +133,15 @@ def _synth_samples(seed: bytes) -> np.ndarray:
     return (b - 128) * 256
 
 
+def _synth_frames(seed: bytes) -> np.ndarray:
+    """Deterministic (N, H, 8, 3) frame stack from seed bytes: frame 0
+    is the BMP synth image; frame f is frame 0 rolled f rows — fake
+    'motion' with real per-frame content.  N = 2 + len(seed) % 7."""
+    base = _synth_pixels(seed)
+    n = AVI_SYNTH_MIN_FRAMES + len(seed) % AVI_SYNTH_FRAME_MOD
+    return np.stack([np.roll(base, f, axis=0) for f in range(n)])
+
+
 def synthesize_media(df: DataFrame, id_col: str, text_col: str, kind: str = "image") -> DataFrame:
     """Manufacture a media table with REAL encoded payloads (BMP for
     ``kind='image'``, WAV PCM16 for ``kind='audio'``) derived
@@ -136,8 +151,9 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str, kind: str = "ima
     actual container format, and metadata (width/height/duration_ms)
     is computed from the synthesis constants so SQL oracles can
     re-derive it from ``length(text)``."""
-    if kind not in ("image", "audio"):
-        raise ValueError(f"synthesize_media supports image|audio, got {kind!r}")
+    if kind not in ("image", "audio", "video"):
+        raise ValueError(f"synthesize_media supports image|audio|video, got {kind!r}")
+    mime = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-msvideo"}[kind]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -145,7 +161,7 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str, kind: str = "ima
                 "media_id": pdf[id_col],
                 "kind": kind,
                 "payload": [],
-                "mime": "image/bmp" if kind == "image" else "audio/wav",
+                "mime": mime,
                 "width": pd.array([None] * len(pdf), dtype="Int32"),
                 "height": pd.array([None] * len(pdf), dtype="Int32"),
                 "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
@@ -161,6 +177,12 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str, kind: str = "ima
                     heights.append(px.shape[0])
                     widths.append(px.shape[1])
                     durs.append(None)
+                elif kind == "video":
+                    fr = _synth_frames(seed)
+                    out["payload"].append(encode_avi(fr, AVI_SYNTH_FPS))
+                    heights.append(fr.shape[1])
+                    widths.append(fr.shape[2])
+                    durs.append(fr.shape[0] * 1000 // AVI_SYNTH_FPS)
                 else:
                     s = _synth_samples(seed)
                     out["payload"].append(encode_wav(s, WAV_SYNTH_RATE))
@@ -206,6 +228,16 @@ def extract_features(
             s, _rate = decode_wav(payload)
             u8 = ((s.astype(np.int32) // 256) + 128).astype(np.uint8)
             return None, None, s.shape[0], _hist_features(u8, dim)
+        elif fmt == "avi":
+            frames, _fps = decode_avi(payload)
+            # width/height from the stream header; n_samples = frame
+            # count; features over ALL decoded frame pixels.
+            return (
+                frames.shape[2],
+                frames.shape[1],
+                frames.shape[0],
+                _hist_features(frames, dim),
+            )
         else:
             raise NotImplementedError(
                 "payload is not BMP/PPM/WAV — codecs for other formats are not "
@@ -261,6 +293,12 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
                         from projectmapreduce_spark.operators.codecs import encode_ppm
 
                         out.append(encode_ppm(resize_nearest(decode_ppm(p), width, height)))
+                    elif fmt == "avi":
+                        frames, fps = decode_avi(p)
+                        resized = np.stack(
+                            [resize_nearest(fr, width, height) for fr in frames]
+                        )
+                        out.append(encode_avi(resized, fps))
                     else:
                         raise NotImplementedError(
                             "payload is not BMP/PPM — image codecs for other "
@@ -275,21 +313,46 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
     return media.mapInPandas(batches, MEDIA_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_n_bytes: int = 64, fake: bool = False) -> DataFrame:
-    """Video frame-sampling kernel (stub): 1 'frame' per N payload
-    bytes under fake=True — exercises the 1→N explode shape real frame
-    samplers have."""
+def sample_frames(
+    media: DataFrame,
+    every_n_bytes: int = 64,
+    fake: bool = False,
+    every_n_frames: int = 2,
+) -> DataFrame:
+    """Video frame-sampling kernel (1 payload → N frames).
+
+    ``fake=False``: REAL decode — AVI payloads are parsed per the RIFF
+    layout (operators/codecs.py:decode_avi), every ``every_n_frames``-th
+    frame is taken and re-encoded as a standalone BMP payload, so the
+    emitted frames are themselves decodable images any downstream image
+    operator (resize, feature-extract) can consume.  ``frame_idx`` is
+    the index in the SOURCE stream.  Non-AVI payloads raise
+    ``NotImplementedError`` (codec boundary).
+
+    ``fake=True``: the original byte-chunking stand-in (1 'frame' per
+    ``every_n_bytes``) kept for plumbing tests over arbitrary payloads.
+    """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError("video codec not available; pass fake=True")
             rows = {"media_id": [], "frame_idx": [], "frame_payload": []}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                for i, off in enumerate(range(0, len(p), every_n_bytes)):
+                if fake:
+                    for i, off in enumerate(range(0, len(p), every_n_bytes)):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(i)
+                        rows["frame_payload"].append(bytes(p[off : off + every_n_bytes]))
+                    continue
+                if sniff(bytes(p)) != "avi":
+                    raise NotImplementedError(
+                        "payload is not an uncompressed DIB AVI — video codecs "
+                        "for other formats are not available (pass fake=True)"
+                    )
+                frames, _fps = decode_avi(bytes(p))
+                for i in range(0, frames.shape[0], every_n_frames):
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(i)
-                    rows["frame_payload"].append(bytes(p[off : off + every_n_bytes]))
+                    rows["frame_payload"].append(encode_bmp(frames[i]))
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(

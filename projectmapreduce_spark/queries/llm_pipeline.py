@@ -632,6 +632,68 @@ def l11c_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "frame_idx", F.length("frame_payload").alias("frame_bytes")
     )
 
+@query(
+    "l11e_video_decode",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         greatest(1, least(64, (octet_length(encode(text)) + 23) // 24)) AS h
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id AS media_id,
+       'video' AS kind,
+       (224 + (2 + n % 7) * (8 + 24 * h))::BIGINT AS n_bytes,
+       8::INT                                     AS width,
+       h::INT                                     AS height,
+       (2 + n % 7)::BIGINT                        AS n_frames,
+       ((2 + n % 7) + 1) // 2                     AS n_sampled,
+       1.0::DOUBLE                                AS feat_sum
+FROM g
+""",
+    survey="L11,X2,M2",
+    category="llm",
+)
+def l11e_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video decode through the REAL pure-Python AVI codec (round 3 —
+    the last media family de-stubbed): each document becomes an
+    uncompressed 24-bit DIB AVI (2–8 frames of the BMP synth image,
+    rolled per frame), ``extract_features(fake=False)`` walks the RIFF
+    tree (hdrl/strf geometry, movi 00db frames) and the REAL
+    ``sample_frames`` takes every 2nd frame, re-encoding each as a
+    standalone BMP.  The oracle re-derives the full container size
+    (224 header bytes + n_frames·(8 + 24·h)), geometry, frame count
+    and sampled count from ``length(text)`` and the synthesis
+    constants — a one-byte chunk-layout bug on either side fails the
+    hash.  Plan: scan → mapInPandas ×2 → broadcast-joined counts; the
+    only shuffle is the tiny per-media frame count."""
+    from projectmapreduce_spark.operators.multimodal import sample_frames, synthesize_media
+
+    d = scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = synthesize_media(d, "doc_id", "text", kind="video")
+    feats = extract_features(media, dim=16, fake=False)
+    sampled = (
+        sample_frames(media, fake=False, every_n_frames=2)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        feats.join(sampled, "media_id")
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            "width",
+            "height",
+            F.col("n_samples").alias("n_frames"),
+            "n_sampled",
+            dround(
+                F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("feat_sum"),
+        )
+    )
+
+
 # ---------- L13–L16: training-data pipeline verbs (round 2) ----------
 
 

@@ -217,3 +217,76 @@ def test_audio_synthesis_samples_exact(spark):
         expect = (np.frombuffer(seed, np.uint8).astype(np.int16) - 128) * 256
         np.testing.assert_array_equal(s[:, 0], expect)
         assert rows[r.doc_id].duration_ms == len(seed) * 1000 // 16000
+
+
+# ---------- AVI (round 3) ----------
+
+
+def test_avi_golden_1x1_two_frames():
+    """Hand-built byte layout: 2 frames of a single pixel.  Pins the
+    RIFF tree (hdrl/avih/strl/strh/strf sizes), the 00db chunk ids and
+    the per-frame DIB raster (1 px -> 3 bytes + 1 pad byte to stride 4,
+    odd chunk size -> 1 RIFF pad byte)."""
+    import struct
+
+    from projectmapreduce_spark.operators.codecs import decode_avi, encode_avi
+
+    f0 = np.array([[[10, 20, 30]]], dtype=np.uint8)  # RGB
+    f1 = np.array([[[200, 150, 100]]], dtype=np.uint8)
+    payload = encode_avi(np.stack([f0, f1]), fps=25)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    # hdrl starts right after the RIFF form type
+    assert payload[12:16] == b"LIST" and payload[20:24] == b"hdrl"
+    assert payload[24:28] == b"avih"
+    (us,) = struct.unpack_from("<I", payload, 32)
+    assert us == 1_000_000 // 25
+    # movi list contains two 00db chunks of 4 bytes (3 BGR + 1 stride pad)
+    movi_at = payload.find(b"movi")
+    c0 = movi_at + 4
+    assert payload[c0 : c0 + 4] == b"00db"
+    (sz,) = struct.unpack_from("<I", payload, c0 + 4)
+    assert sz == 4  # stride 4 for 1 px
+    assert payload[c0 + 8 : c0 + 12] == bytes([30, 20, 10, 0])  # BGR + pad
+    back, fps = decode_avi(payload)
+    assert fps == 25
+    np.testing.assert_array_equal(back, np.stack([f0, f1]))
+
+
+def test_avi_roundtrip_exact():
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1, 1, 3), (3, 5, 7, 3), (8, 4, 4, 3)]:
+        frames = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        from projectmapreduce_spark.operators.codecs import decode_avi, encode_avi
+
+        back, fps = decode_avi(encode_avi(frames, fps=10))
+        assert fps == 10
+        np.testing.assert_array_equal(back, frames)
+
+
+def test_video_synthesis_and_real_frame_sampling(spark):
+    """End-to-end real video path: synthesize AVI from text, decode via
+    sample_frames(fake=False), verify every sampled frame is a valid
+    BMP whose pixels equal the synth frame (np.roll of the base image),
+    and that the stride-2 sampling picks exactly frames 0, 2, 4, …"""
+    from projectmapreduce_spark.io import scan
+    from projectmapreduce_spark.operators.multimodal import (
+        _synth_frames,
+        sample_frames,
+        synthesize_media,
+    )
+    from tests.conftest import SF_SMOKE
+
+    d = scan(spark, SF_SMOKE, "documents").limit(6)
+    media = synthesize_media(d, "doc_id", "text", kind="video")
+    frames = sample_frames(media, fake=False, every_n_frames=2).collect()
+    by_doc: dict[int, dict[int, bytes]] = {}
+    for r in frames:
+        by_doc.setdefault(r.media_id, {})[r.frame_idx] = bytes(r.frame_payload)
+    for r in d.collect():
+        stack = _synth_frames(r.text.encode("utf-8"))
+        expect_idx = list(range(0, stack.shape[0], 2))
+        assert sorted(by_doc[r.doc_id]) == expect_idx
+        for i in expect_idx:
+            np.testing.assert_array_equal(
+                decode_bmp(by_doc[r.doc_id][i]), stack[i]
+            )
