@@ -119,22 +119,46 @@ def ngram_jaccard_join(
             .join(sizes, "id")
         )
         plen = F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1
-        pref = ranked.filter(F.col("rnk") <= plen).select("id", "token")
-        pa = pref.select(F.col("id").alias("id_a"), "token")
-        pb = pref.select(F.col("id").alias("id_b"), "token")
+        pref = ranked.filter(F.col("rnk") <= plen).select("id", "token", "n_tok")
+        pa = pref.select(F.col("id").alias("id_a"), "token", F.col("n_tok").alias("n_a"))
+        pb = pref.select(F.col("id").alias("id_b"), "token", F.col("n_tok").alias("n_b"))
+        # LENGTH filter (standard PPJoin companion, exactness-preserving):
+        # J ≥ t forces t·|A| ≤ |B| ≤ |A|/t, so size-incompatible pairs
+        # die inside the prefix join before they ever materialize.
         cands = (
             pa.join(pb, on="token")
-            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+                & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
+            )
             .select("id_a", "id_b")
             .distinct()
         )
-        ta = tok.select(F.col("id").alias("id_a"), "token")
-        tb = tok.select(F.col("id").alias("id_b"), "token")
+        # Verification is ARRAY-based, not an exploded token join: the
+        # first cut joined candidates back to (id, token) rows, which
+        # shuffles |cands| × doc_len rows — at sf1 (50k docs, t=0.8)
+        # that was ~5e9 rows and 100+ GB of spill (observed disk-full).
+        # Instead the per-doc sorted-set table (|docs| rows — MBs even
+        # at 50k docs, broadcastable; bucketed join at 100 TB) is
+        # attached to each candidate pair and the intersection is ONE
+        # map-side array_intersect per pair: shuffle volume is
+        # O(candidates), never O(candidates × doc_len).
+        arrays = tok.groupBy("id").agg(F.collect_list("token").alias("toks"))
         inter = (
-            cands.join(ta, "id_a")
-            .join(tb, ["id_b", "token"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
+            cands.join(
+                F.broadcast(arrays.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))),
+                "id_a",
+            )
+            .join(
+                F.broadcast(arrays.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("ta", "tb")).alias("n_inter"),
+            )
         )
     else:
         a = tok.select(F.col("id").alias("id_a"), "token")

@@ -83,15 +83,15 @@ def t2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t3_session_window",
     oracle="""
 WITH marked AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ),
 numbered AS (
   SELECT *, sum(new_session) OVER (
-    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
   FROM marked
 )
 SELECT user_id,
@@ -107,7 +107,12 @@ GROUP BY user_id, session_id
 def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session window (30 min gap) per user via ``F.session_window`` —
     the oracle reproduces the exact merge rule with the islands
-    technique (new session when gap >= 30 min)."""
+    technique.  The boundary is CLOSED: two events exactly 30 min
+    apart MERGE (empirically pinned — Spark extends the session for
+    diff <= gap; a new session starts only when diff > gap).  The
+    sf0.01 fixture never lands on the boundary, so only the round-3
+    sf1 sweep (1M second-granularity events → ~100 exact-gap pairs)
+    caught the >= drift in the original oracle."""
     ev = scan(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))

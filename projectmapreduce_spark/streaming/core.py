@@ -49,13 +49,27 @@ def _events_source(sf_dir: str) -> tuple[str, str]:
 
 
 def _events_ts_storage(sf_dir: str) -> str:
-    """'nanos' | 'micros' per the fixture file's parquet footer."""
+    """'nanos' | 'micros' per the fixture file's parquet footer.
+
+    The PHYSICAL type decides, not pyarrow's logical view: legacy
+    INT96 timestamps (Spark's historical write default) surface in
+    pyarrow as ``timestamp[ns]`` — indistinguishable logically from
+    the driver fixtures' INT64-nanos columns — but Spark reads INT96
+    natively as TimestampType (the micros DDL path), while INT64-nanos
+    needs the nanosAsLong bigint path.  Sniffing only the logical type
+    sent INT96 files down the bigint path and failed the scan
+    (caught by the round-3 sf1 streaming sweep)."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
     base, pat = _events_source(sf_dir)
     f = sorted(_glob.glob(f"{base}/{pat}"))[0]
+    md = pq.read_metadata(f)
+    idx = [md.schema.column(i).name for i in range(md.num_columns)].index("ts")
+    phys = md.schema.column(idx).physical_type
+    if phys == "INT96":
+        return "micros"  # Spark decodes INT96 straight to TimestampType
     t = pq.read_schema(f).field("ts").type
     return "nanos" if str(t) in ("timestamp[ns]", "int64") else "micros"
 

@@ -120,6 +120,21 @@ SHOWCASE = {
         "only shuffles are the (doc, gram) count and per-doc max for "
         "the top-2-gram mode — linear in corpus size."
     ),
+    "l4d_ann_ivf_int8": (
+        "Composed ANN serving plan (round 3): the candidate join "
+        "streams only the int8 (code, scale, norm) payload — the float "
+        "vector column is pruned out before the probe join; the "
+        "shortlist and query sides are BroadcastExchange builds, so "
+        "the corpus is never shuffled; the float re-rank scan is "
+        "semi-joined by a broadcast shortlist of Q·rerank·k ids."
+    ),
+    "l4e_ann_index_serve": (
+        "Persisted index serving (round 3): the index scan carries "
+        "PartitionFilters [cluster INSET …] — only the probed "
+        "inverted-list partition directories are read (static pruning "
+        "from the driver-bounded probe set), with DPP stacked on top; "
+        "everything downstream matches l4d."
+    ),
 }
 
 
