@@ -144,7 +144,9 @@ def ngram_jaccard_join(
         # attached to each candidate pair and the intersection is ONE
         # map-side array_intersect per pair: shuffle volume is
         # O(candidates), never O(candidates × doc_len).
-        arrays = tok.groupBy("id").agg(F.collect_list("token").alias("toks"))
+        arrays = tok.groupBy("id").agg(
+            F.sort_array(F.collect_list("token")).alias("toks")
+        )
         inter = (
             cands.join(
                 F.broadcast(arrays.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))),
