@@ -66,6 +66,10 @@ class RoundTimer:
 
 def pagerank_per_round(edges: DataFrame, iters_list: list[int]) -> dict[int, float]:
     out: dict[int, float] = {}
+    # Throwaway 1-iter run so codegen/shuffle-service warm-up lands
+    # outside every timed measurement (otherwise the first timed point
+    # absorbs it and the early marginal cost reads as ~0).
+    pagerank(edges, "id_a", "id_b", n_iters=1).count()
     for it in iters_list:
         t0 = time.perf_counter()
         pagerank(edges, "id_a", "id_b", n_iters=it).count()

@@ -25,7 +25,6 @@ import os
 import shutil
 import sys
 import time
-import uuid
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -62,14 +61,28 @@ def t7_join(spark, sf_dir):
     )
 
 
-def drain_memory(spark, out, ckpt: str, mode: str) -> tuple[str, list, float]:
-    """availableNow drain to a memory sink; returns (view name,
-    recentProgress list, wall seconds)."""
-    name = "ss_" + uuid.uuid4().hex[:10]
+def _count_parquet(spark, path: str) -> int:
+    try:
+        return spark.read.parquet(path).count()
+    except Exception:
+        return 0
+
+
+def drain_sink(spark, out, ckpt: str, mode: str, path: str) -> tuple[int, list, float]:
+    """availableNow drain through a foreachBatch parquet-append sink.
+
+    A memory sink cannot recover from a checkpoint, and checkpoint
+    recovery is exactly what the replay leg of this study measures —
+    foreachBatch supports it for every output mode.  Returns (rows
+    appended by THIS drain, recentProgress list, wall seconds)."""
+    before = _count_parquet(spark, path)
+
+    def _append(df, epoch_id):
+        df.write.mode("append").parquet(path)
+
     t0 = time.perf_counter()
     q = (
-        out.writeStream.format("memory")
-        .queryName(name)
+        out.writeStream.foreachBatch(_append)
         .outputMode(mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
@@ -77,7 +90,7 @@ def drain_memory(spark, out, ckpt: str, mode: str) -> tuple[str, list, float]:
     )
     q.awaitTermination()
     wall = time.perf_counter() - t0
-    return name, list(q.recentProgress), wall
+    return _count_parquet(spark, path) - before, list(q.recentProgress), wall
 
 
 def progress_stats(progress: list) -> dict:
@@ -112,12 +125,11 @@ def main() -> int:
 
         # ---- t7s: stream-stream interval join -----------------------
         ckpt = f"{SCRATCH}/t7_{tag}"
-        name, prog, wall = drain_memory(spark, t7_join(spark, sf_dir), ckpt, "append")
-        n1 = spark.table(name).count()
+        sink = f"{SCRATCH}/t7_{tag}_out"
+        n1, prog, wall = drain_sink(spark, t7_join(spark, sf_dir), ckpt, "append", sink)
         st = progress_stats(prog)
         # replay: same checkpoint, no new files -> zero new rows
-        name2, _, _ = drain_memory(spark, t7_join(spark, sf_dir), ckpt, "append")
-        n_replay = spark.table(name2).count()
+        n_replay, _, _ = drain_sink(spark, t7_join(spark, sf_dir), ckpt, "append", sink)
         rows.append(
             f"| t7 stream-stream join | {tier} | {wall:.1f} s / {st['n_batches']} batches "
             f"| p50 {st['p50_ms']} ms, max {st['max_ms']} ms | "
@@ -128,14 +140,15 @@ def main() -> int:
 
         # ---- x5s: applyInPandasWithState running totals -------------
         ckpt = f"{SCRATCH}/x5_{tag}"
+        sink = f"{SCRATCH}/x5_{tag}_out"
         stream = read_events_stream(spark, sf_dir)
-        name, prog, wall = drain_memory(
-            spark, running_user_totals(stream), ckpt, "update"
+        n_updates, prog, wall = drain_sink(
+            spark, running_user_totals(stream), ckpt, "update", sink
         )
         st = progress_stats(prog)
-        n_updates = spark.table(name).count()
-        name2, _, _ = drain_memory(spark, running_user_totals(stream), ckpt, "update")
-        n_replay = spark.table(name2).count()
+        n_replay, _, _ = drain_sink(
+            spark, running_user_totals(stream), ckpt, "update", sink
+        )
         rows.append(
             f"| x5 stateful totals (pandas state) | {tier} | {wall:.1f} s / "
             f"{st['n_batches']} batches | p50 {st['p50_ms']} ms, max {st['max_ms']} ms | "
