@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from projectmapreduce_spark.functions import dround, money_sum
 from projectmapreduce_spark.io import scan
@@ -348,4 +349,331 @@ def c7_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "revenue", "n_name", "n_lines")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
+    )
+
+
+@query(
+    "c8_min_cost_supplier",
+    oracle="""
+SELECT DISTINCT p_partkey, p_brand, s_name, n_name,
+       round(c.unit_cost, 2) AS unit_cost
+FROM part,
+     (SELECT l_partkey, l_suppkey,
+             l_extendedprice / l_quantity AS unit_cost
+      FROM lineitem) c,
+     supplier, nation
+WHERE p_partkey = c.l_partkey
+  AND s_suppkey = c.l_suppkey
+  AND n_nationkey = s_nationkey
+  AND p_size BETWEEN 10 AND 15
+  AND c.unit_cost = (SELECT min(l_extendedprice / l_quantity)
+                     FROM lineitem l2
+                     WHERE l2.l_partkey = c.l_partkey)
+""",
+    survey="C8,A1,J2",
+    category="composite",
+)
+def c8_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: cheapest supplier per part (TPC-H Q2 shape) — the
+    correlated-min subquery, decorrelated by hand into
+    aggregate-then-join.
+
+    The naive reading re-scans lineitem once per candidate row; the
+    agg-then-self-join decorrelation costs the fact shuffle TWICE
+    (aggregate + join probe).  The scale-correct plan shuffles the
+    (broadcast-part-pruned) fact ONCE on partkey and computes the
+    min as a partition-local window — the winner filter is then a
+    zero-shuffle row predicate on the same partitioning, which the
+    DISTINCT immediately reuses (partkey is a prefix of its keys).
+    At 100 TB: one fact scan, one fact shuffle, broadcast
+    supplier/nation enrichment of the tiny winner set.  unit_cost is
+    a single IEEE divide — bit-identical on both engines, so the
+    min-equality filter selects identical rows; rounding happens only
+    at the output edge.  DISTINCT collapses multiple winning lines
+    from the same (part, supplier)."""
+    p = F.broadcast(
+        scan(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(10, 15))
+        .select("p_partkey", "p_brand")
+    )
+    li = (
+        scan(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    wmin = Window.partitionBy("l_partkey")
+    s = F.broadcast(scan(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey"))
+    n = F.broadcast(scan(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        li.withColumn("min_cost", F.min("unit_cost").over(wmin))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            dround("unit_cost", 2).alias("unit_cost"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "c9_waiting_orders",
+    oracle="""
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+""",
+    survey="C9,A1,J4,J5",
+    category="composite",
+)
+def c9_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: suppliers who alone held up multi-supplier orders (TPC-H
+    Q21 shape) — EXISTS + NOT-EXISTS over the same fact, the hardest
+    decorrelation in the TPC-H suite.
+
+    The oracle keeps the textbook correlated form; the engine runs the
+    aggregate form: ONE pass over (order ⋈ lineitem) builds per
+    (order, supplier) the late-line count, then a per-order aggregate
+    derives n_suppliers and n_late_suppliers, and the Q21 predicate
+    becomes a row filter (supplier was late, order has ≥2 suppliers,
+    exactly 1 late supplier).  numwait sums the qualifying suppliers'
+    late LINES (Q21 counts l1 rows, not orders).  At 100 TB this is
+    two key-local shuffles (orderkey, then suppkey) instead of three
+    correlated re-scans of the fact; the F-status filter is pushed to
+    the orders scan and the supplier name join is broadcast."""
+    o = scan(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    per_supp = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "is_late",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast(
+                "int"
+            ),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("is_late").alias("n_late_lines"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    qualified = (
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_late_supp", F.sum((F.col("n_late_lines") > 0).cast("int")).over(w)
+        )
+        .filter(
+            (F.col("n_late_lines") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
+    )
+    s = F.broadcast(scan(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        qualified.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+    )
+
+
+@query(
+    "c10_inactive_high_balance",
+    oracle="""
+SELECT c_nationkey % 10 AS cntrycode,
+       count(*) AS numcust,
+       round(sum(CAST(round(c_acctbal, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS totacctbal
+FROM customer
+WHERE c_nationkey % 10 IN (0, 1, 2, 3, 4)
+  AND c_acctbal > (SELECT sum(CAST(round(c_acctbal, 4) AS DECIMAL(20,4)))::DOUBLE
+                          / count(c_acctbal)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+""",
+    survey="C10,A2,J5",
+    category="composite",
+)
+def c10_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: country-coded wealth sitting idle (TPC-H Q22 shape) —
+    scalar subquery threshold + anti-join on order existence.
+
+    "Inactive" = no order since 1999 (a bare no-orders-ever predicate
+    is vacuous under the fixtures' referential integrity — every
+    customer has orders — so the anti-join would verify nothing; the
+    date filter both makes the predicate real and pushes down to the
+    orders scan).  The global positive-balance average is ONE tiny
+    aggregate broadcast as a 1-row cross join (never per-row
+    re-evaluated); customers above it are anti-joined against the
+    date-pruned orders on custkey —
+    at scale a broadcast of the distinct custkeys is impossible, so
+    this is the one shuffle in the plan, and AQE converts it to a
+    broadcast when the filtered customer side is small.  The threshold
+    itself must be ORDER-INDEPENDENT to compare identically on both
+    engines: avg(double) is not (summation order), so both sides use
+    the exact-decimal-sum / count idiom from the money contract
+    (functions/rounding.py:money_sum) and compare against the same
+    bit-exact double."""
+    c = scan(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    pos = c.filter(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(
+        (
+            F.sum(dround("c_acctbal", 4).cast("decimal(20,4)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("avg_bal")
+    )
+    o = (
+        scan(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        c.filter((F.col("c_nationkey") % 10).isin(0, 1, 2, 3, 4))
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money_sum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "c11_top_revenue_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))), 2)::DOUBLE
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    survey="C11,A1,A2",
+    category="composite",
+)
+def c11_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: the quarter's top supplier(s) by revenue (TPC-H Q15 shape)
+    — an aggregate consumed TWICE, once for the max scalar and once as
+    the join input.
+
+    The revenue aggregate is computed from the date-pruned fact scan
+    exactly once: Spark's plan reuses the shuffle exchange for both
+    consumers (ReusedExchange), so the 100 TB cost is one fact scan +
+    one suppkey shuffle, then a 1-row max broadcast back onto the
+    per-supplier aggregate.  Revenue equality across engines is exact
+    because total_revenue follows the order-independent decimal money
+    contract on both sides — ties (several suppliers at the max) are
+    all returned, no arbitrary pick."""
+    rev = (
+        scan(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+            # Explicit null guard so BOTH consumers see the identical
+            # scan subtree: the equi-join branch would otherwise push
+            # isnotnull(l_suppkey) into ITS copy of the scan while the
+            # max-scalar branch doesn't, and the mismatched subtrees
+            # defeat exchange reuse — costing a second full fact pass.
+            & F.col("l_suppkey").isNotNull()
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    s = F.broadcast(scan(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "c12_important_part_share",
+    oracle="""
+WITH partval AS (
+  SELECT l_partkey,
+         round(sum(CAST(round(l_extendedprice * l_quantity, 4) AS DECIMAL(20,4))), 2)::DOUBLE
+           AS part_value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey < 5
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM partval
+WHERE part_value > (SELECT 0.001 * sum(part_value) FROM partval)
+""",
+    survey="C12,A1,A2",
+    category="composite",
+)
+def c12_important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: parts holding an outsized share of a nation-group's traded
+    value (TPC-H Q11 shape) — group aggregate compared against a
+    fraction of its own grand total.
+
+    Same reuse discipline as C11: the per-part aggregate feeds both
+    the grand-total scalar and the filter, so the fact is scanned and
+    shuffled once; the supplier nation filter rides a broadcast probe
+    on the scan side, killing ~80% of lines before the shuffle.  The
+    grand total is a sum over the ALREADY-ROUNDED per-part doubles
+    (each exact by the money contract), summed in DOUBLE on both
+    engines — at ~200k part groups the double sum of cent-quantized
+    values is exact to far below the 0.001× threshold's resolution,
+    and the fractional threshold multiply is one IEEE op, identical
+    cross-engine.  (A threshold compare against an UNROUNDED double
+    grand total would NOT be stable — that is exactly the defect class
+    the sf1 sweep caught in round 3 — so the contract quantizes per
+    part first.)"""
+    s = F.broadcast(
+        scan(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 5)
+        .select("s_suppkey")
+    )
+    partval = (
+        scan(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            money_sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value")
+        )
+    )
+    total = partval.agg((F.lit(0.001) * F.sum("part_value")).alias("threshold"))
+    return (
+        partval.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
     )

@@ -214,3 +214,52 @@ def t6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "t9_hierarchical_rollup",
+    oracle="""
+SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
+       event_type,
+       count(*) AS n_events,
+       round(sum(CAST(round(value, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS total_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+    survey="T9,A1,A14",
+    category="events",
+)
+def t9_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: hypertable-style hierarchical rollup — DAILY aggregates
+    derived from HOURLY partial aggregates, never from raw events,
+    while the oracle aggregates the raw events directly.
+
+    This is the continuous-aggregate maintenance pattern at 100 TB:
+    the raw stream is folded once into hourly partials (count /
+    exact-decimal sum / min / max — all MERGEABLE states), and every
+    coarser resolution re-aggregates the partials (24 rows/day/key
+    instead of millions).  The check is strict: hierarchical ==
+    direct exactly, which holds ONLY because the sum state is the
+    order-independent decimal from the money contract — a
+    double-valued partial would drift from the oracle at volume (the
+    round-3 sf1 defect class).  Two tiny shuffles on truncated-time
+    keys; partial aggregation makes the first map-side-combining."""
+    ev = scan(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dround("value", 4).cast("decimal(20,4)")).alias("sum_dec"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return hourly.groupBy(
+        F.date_trunc("day", F.col("hour")).alias("day"), "event_type"
+    ).agg(
+        F.sum("cnt").alias("n_events"),
+        F.round(F.sum("sum_dec"), 2).cast("double").alias("total_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+    )

@@ -406,3 +406,51 @@ def f10_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(F.col("o_orderkey"), 3).alias("shifted"),
         F.bit_count(F.col("o_orderkey")).alias("popcount"),
     )
+
+
+@query(
+    "f11_url_funcs",
+    oracle="""
+SELECT doc_id,
+       source || '.example.com'          AS host,
+       '/docs/' || doc_id                AS path,
+       lang                              AS q_lang,
+       CAST(doc_id % 7 AS VARCHAR)       AS q_v,
+       source                            AS subdomain
+FROM documents
+""",
+    survey="F11",
+    category="functions",
+)
+def f11_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: URL parsing family — ``parse_url`` HOST / PATH / QUERY-key
+    extraction plus subdomain split, the canonicalization primitives a
+    web-corpus pipeline (URL dedup, domain mixing, blocklists) builds
+    on.
+
+    Each document synthesizes its canonical URL from its own columns
+    (deterministic — both engines build the identical string), Spark
+    then PARSES it back with the JVM-side ``parse_url`` kernels while
+    the oracle recomputes the components directly — so the check
+    proves parse_url inverts the construction exactly.  Zero shuffle:
+    pure per-row projection inside whole-stage codegen, the shape URL
+    ops must have when they run over 100 TB of crawl text."""
+    d = scan(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("v")).alias("q_v"),
+        F.split(F.parse_url(url, F.lit("HOST")), r"\.").getItem(0).alias("subdomain"),
+    )

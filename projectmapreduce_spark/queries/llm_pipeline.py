@@ -1672,3 +1672,50 @@ def l31_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         dround(-F.avg("lp"), 6).alias("neg_mean_logp"),
     )
+
+
+@query(
+    "l32_source_cap",
+    oracle="""
+WITH k AS (
+  SELECT doc_id, source,
+         ((doc_id * 2654435761 + 97) % 4294967296) AS samp_key
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY samp_key, doc_id) AS samp_rank
+  FROM k
+)
+SELECT doc_id, source, samp_rank::BIGINT AS samp_rank
+FROM r
+WHERE samp_rank <= 13
+""",
+    survey="L32,O5,W1",
+    category="llm",
+)
+def l32_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L32: per-source document cap — the over-represented-source
+    downsampler every corpus-mixing recipe needs (cap CommonCrawl,
+    keep all of the small curated sets).
+
+    Selection must be a deterministic UNIFORM sample per source, not
+    "first N by id" (id order correlates with crawl time): each doc
+    gets an exact bigint multiplicative-hash key (reproducible across
+    engines/cluster sizes — same idiom as L20), and rank-within-source
+    keeps the CAP smallest keys.  One shuffle on source for the rank;
+    at 100 TB the window is per-source-partition-local, and sources
+    hot enough to skew a partition get the L15/J11 salting treatment
+    upstream.  Sources under the cap pass through whole — exactly the
+    asymmetry mixture weighting (L15) can't express."""
+    d = scan(spark, sf_dir, "documents").select("doc_id", "source")
+    keyed = d.withColumn(
+        "samp_key",
+        (F.col("doc_id") * F.lit(2654435761) + F.lit(97)) % F.lit(4294967296),
+    )
+    w = Window.partitionBy("source").orderBy("samp_key", "doc_id")
+    return (
+        keyed.withColumn("samp_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("samp_rank") <= 13)
+        .select("doc_id", "source", "samp_rank")
+    )

@@ -7,8 +7,8 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 143 operator rows across 13 categories
-# (85 round-1 rows + the round-2 additions tagged below).
+# The full §2 inventory: 151 operator rows across 13 categories
+# (85 round-1 rows + the round-2/round-3 additions tagged below).
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "S1", "S2", "S3", "S4", "S5", "S6",
@@ -47,10 +47,12 @@ SURVEY_IDS = {
     "F1", "F2", "F3", "F4", "F5", "F6", "F7", "F8",
     "F9",  # round-2: VariantType semi-structured path (Spark 4)
     "F10",  # round-2: bitwise function family
+    "F11",  # round-3: URL parsing / canonicalization family
     # §2.9 streaming-shaped (batch forms)
     "T1", "T2", "T3", "T4", "T5", "T6",
     "T7",  # round-2: stream-stream interval join
     "T8",  # round-2: foreachBatch idempotent sink
+    "T9",  # round-3: hierarchical rollup from mergeable hourly partials
     # §2.10 MR-heritage surface
     "M1", "M2", "M3", "M4", "M5", "M6", "M7", "M8",
     "M9",  # round-2: job counters
@@ -71,6 +73,7 @@ SURVEY_IDS = {
     "L29",  # round-2: data-card corpus report
     "L30",  # round-2: end-to-end corpus funnel
     "L31",  # round-2: bigram-LM surprisal quality score
+    "L32",  # round-3: per-source document cap (deterministic downsample)
     # §2.12 UDF surface
     "X1", "X2", "X3", "X4",
     "X5",  # round-2: cogroup
@@ -82,6 +85,11 @@ SURVEY_IDS = {
     "C5",  # round-2: volume shipping (TPC-H Q7 shape)
     "C6",  # round-2: small-quantity revenue (TPC-H Q17 shape)
     "C7",  # round-2: returned items (TPC-H Q10 shape)
+    "C8",  # round-3: min-cost supplier per part (TPC-H Q2 shape)
+    "C9",  # round-3: sole-late-supplier waiting orders (TPC-H Q21 shape)
+    "C10",  # round-3: inactive high-balance customers (TPC-H Q22 shape)
+    "C11",  # round-3: top revenue supplier, reused aggregate (TPC-H Q15 shape)
+    "C12",  # round-3: important part value share (TPC-H Q11 shape)
 }
 
 

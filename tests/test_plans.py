@@ -156,3 +156,58 @@ def test_bm25_reuses_tokenize_exchange(spark):
     df.collect()
     s = explain_str(df, "simple")
     assert "ReusedExchange" in s, s
+
+
+def test_c11_reuses_revenue_exchange(spark):
+    """C11 (Q15 shape): the max-scalar consumer must REUSE the revenue
+    aggregate's exchange — without the explicit l_suppkey null guard
+    the join branch's inferred isnotnull splits the subtrees and the
+    fact is scanned twice (AQE-final-plan property, so collect first)."""
+    df = QUERIES["c11_top_revenue_supplier"](spark, SF_CORRECT)
+    df.collect()
+    s = explain_str(df, "simple")
+    assert "ReusedExchange" in s, s
+
+
+def test_c8_single_fact_shuffle_window_min(spark):
+    """C8 (Q2 shape): the decorrelated min must be a window over ONE
+    partkey shuffle of the part-pruned fact — not an agg + self-join
+    (two fact shuffles).  Final plan: window node present, exactly 2
+    hash exchanges (window + distinct), lineitem scanned once."""
+    df = QUERIES["c8_min_cost_supplier"](spark, SF_CORRECT)
+    df.collect()
+    s = explain_str(df, "simple").split("== Initial Plan ==")[0]
+    assert "Window" in s, s
+    assert s.count("Exchange hashpartitioning") == 2, s
+    assert s.count("lineitem.parquet") == 1, s
+    assert has_broadcast_hash_join(df), "part/supplier/nation dims must broadcast"
+
+
+def test_c9_no_correlated_rescan(spark):
+    """C9 (Q21 shape): the EXISTS/NOT-EXISTS pair must decorrelate to
+    window counts over one (order ⋈ lineitem) pass — the fact appears
+    once, no BNLJ/cartesian from a naive correlated rewrite."""
+    df = QUERIES["c9_waiting_orders"](spark, SF_CORRECT)
+    s = explain_str(df)
+    assert s.count("lineitem.parquet") == 1, s
+    assert not has_cartesian(df)
+
+
+def test_f11_is_zero_shuffle_projection(spark):
+    """F11: URL parsing is a pure codegen projection — no exchange of
+    any kind in the plan."""
+    df = QUERIES["f11_url_funcs"](spark, SF_CORRECT)
+    s = explain_str(df)
+    assert "Exchange" not in s, s
+    assert has_wholestage_codegen(df)
+
+
+def test_t9_rolls_up_from_partials(spark):
+    """T9: the daily aggregate must consume the hourly aggregate (two
+    chained HashAggregate pairs), not re-scan raw events twice."""
+    import re
+
+    df = QUERIES["t9_hierarchical_rollup"](spark, SF_CORRECT)
+    s = explain_str(df)
+    assert s.count("events.parquet") == 1, s
+    assert len(re.findall(r"^\(\d+\) Exchange$", s, flags=re.M)) == 2, s
