@@ -226,7 +226,7 @@ def sink_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
-def upsert_by_rewrite(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def upsert_by_rewrite(base: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFrame:
     """MERGE emulation on plain parquet (no ACID table format):
     updated/new rows win, untouched base rows survive —
     ``updates ∪ (base ⟕anti updates)``.
@@ -242,6 +242,7 @@ def upsert_by_rewrite(base: DataFrame, updates: DataFrame, key: str) -> DataFram
     """
     from pyspark.sql import functions as F
 
+    keys = [key] if isinstance(key, str) else list(key)
     cols = base.columns
-    survivors = base.join(F.broadcast(updates.select(key)), key, "left_anti")
+    survivors = base.join(F.broadcast(updates.select(*keys)), keys, "left_anti")
     return updates.select(*cols).unionByName(survivors)

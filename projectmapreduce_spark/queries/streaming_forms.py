@@ -18,6 +18,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from projectmapreduce_spark.functions import dround
 from projectmapreduce_spark.queries.registry import query
 from projectmapreduce_spark.streaming import (
     dedup_within_watermark,
@@ -253,4 +254,76 @@ def t8s_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake = spark.read.parquet(path)
     return lake.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@query(
+    "t9s_continuous_aggregate",
+    oracle="""
+SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
+       event_type,
+       count(*) AS n_events,
+       round(sum(CAST(round(value, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    survey="T9,T8,A14",
+    category="streaming",
+)
+def t9s_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 streaming form: a CONTINUOUS aggregate — the stream maintains
+    a day-partitioned hourly-partials lake, serving re-aggregates the
+    partials into daily, and the check proves stream-maintained
+    partials == direct batch aggregation of the raw events.
+
+    Maintenance is update-mode streaming aggregation + the MERGE sink
+    (``sink_stream_merge_upsert``): each micro-batch emits only the
+    (hour, event_type) groups whose cumulative state changed; the sink
+    anti-join-unions them into the touched DAY partitions and
+    dynamic-overwrites exactly those.  Partitioning by day — not by
+    group — keeps partition count sane (a per-group layout at hourly
+    grain is thousands of 1-row files; measured 14× slower at sf0.01)
+    while merge cost still tracks the changed days, not the table.
+    The hour key is stored as exact integer micros, and the sum state
+    is the order-independent decimal from the money contract, so the
+    strict equality against raw-scan aggregation holds at any volume.
+    This is the hypertable recipe end-to-end: raw stream touched once,
+    serving reads 24·|keys| partial rows per day."""
+    from projectmapreduce_spark.streaming import (
+        read_events_stream,
+        sink_stream_merge_upsert,
+    )
+
+    name = "pmrs_" + uuid.uuid4().hex[:12]
+    path = f"/tmp/pmr_stream_sink/{name}"
+    day_us = F.lit(86_400_000_000)
+    hourly = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dround("value", 4).cast("decimal(20,4)")).alias("sum_dec"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("hour_us"),
+            "event_type",
+            "cnt",
+            "sum_dec",
+        )
+        .withColumn("day_us", F.col("hour_us") - F.pmod(F.col("hour_us"), day_us))
+    )
+    q = sink_stream_merge_upsert(
+        hourly,
+        path,
+        f"/tmp/pmr_stream_ckpt/{name}",
+        keys=["hour_us", "event_type"],
+        partition_col="day_us",
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(path)
+    return partials.groupBy(
+        F.timestamp_micros(F.col("day_us")).alias("day"), "event_type"
+    ).agg(
+        F.sum("cnt").alias("n_events"),
+        F.round(F.sum("sum_dec"), 2).cast("double").alias("total_value"),
     )

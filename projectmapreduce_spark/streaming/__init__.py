@@ -12,6 +12,7 @@ from projectmapreduce_spark.streaming.core import (
     run_available_now,
     session_counts,
     sink_stream_foreach_batch,
+    sink_stream_merge_upsert,
     sink_stream_parquet,
     sliding_counts,
     stream_static_join,
@@ -31,6 +32,7 @@ __all__ = [
     "running_user_totals",
     "session_counts",
     "sink_stream_foreach_batch",
+    "sink_stream_merge_upsert",
     "sink_stream_parquet",
     "sliding_counts",
     "stream_static_join",

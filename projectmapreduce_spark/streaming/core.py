@@ -235,6 +235,8 @@ def sink_stream_foreach_batch(
     path: str,
     checkpoint_dir: str,
     partition_cols: list[str] | None = None,
+    output_mode: str = "append",
+    include_batch_id: bool = True,
 ):
     """T8 — foreachBatch escape hatch: apply an arbitrary BATCH write
     to each micro-batch.  This is how streams reach sinks the
@@ -248,18 +250,87 @@ def sink_stream_foreach_batch(
     dynamic-partition-overwrite — a replayed batch rewrites exactly
     its own partitions, so duplicates cannot accumulate.  Returns the
     StreamingQuery handle.
+
+    With ``include_batch_id=False`` the layout is keyed by the
+    caller's columns ALONE — usable when each emitted row should
+    overwrite exactly its own partition ("latest value per group
+    wins"); for group keys finer than a sane partition size, use
+    ``sink_stream_merge_upsert`` instead.
     """
     from projectmapreduce_spark.io import overwrite_partitions
 
-    cols = ["batch_id", *(partition_cols or [])]
+    cols = (["batch_id"] if include_batch_id else []) + list(partition_cols or [])
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if include_batch_id:
+            batch_df = batch_df.withColumn("batch_id", F.lit(batch_id))
+        overwrite_partitions(batch_df, path, cols)
+
+    return (
+        out.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sink_stream_merge_upsert(
+    out: "DataFrame",
+    path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    partition_col: str,
+):
+    """T9s — continuous-aggregate maintenance sink: MERGE each
+    update-mode micro-batch's changed group rows into a partitioned
+    partials lake.
+
+    Per batch: (1) find the partitions the changed groups touch
+    (driver-side collect of DISTINCT partition values — bounded by the
+    batch's time horizon, never by stream length), (2) read ONLY those
+    partitions back, (3) updates-win anti-join union on the group key
+    (``io.upsert_by_rewrite`` — the same primitive S11's batch MERGE
+    uses), (4) dynamic-partition-overwrite exactly those partitions.
+    The merged frame is localCheckpoint-ed first: the write overwrites
+    files its own lineage reads, which Spark (rightly) refuses without
+    materialization.
+
+    Idempotence under foreachBatch's at-least-once contract: a
+    crash-replayed batch re-emits the same cumulative group state, and
+    merging identical rows twice is a no-op.  Cost per batch tracks
+    the CHANGED partitions (a watermark-horizon's worth of days), not
+    the table — the hypertable maintenance contract at 100 TB-day
+    volume.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from projectmapreduce_spark.io import overwrite_partitions, upsert_by_rewrite
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        touched = [r[0] for r in batch_df.select(partition_col).distinct().collect()]
+        if not touched:
+            return
+        try:
+            cur = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
+            merged = upsert_by_rewrite(cur, batch_df, keys)
+        except AnalysisException:
+            merged = batch_df
+        # One shuffle partition per partition value → one file per
+        # rewritten partition; without this the writer splits every
+        # partition across all shuffle partitions and the partials
+        # lake shatters into |days|·|shuffle| tiny files (the S14
+        # small-file problem, self-inflicted at ingest time).
+        merged = merged.repartition(F.col(partition_col))
         overwrite_partitions(
-            batch_df.withColumn("batch_id", F.lit(batch_id)), path, cols
+            merged.localCheckpoint(eager=True), path, [partition_col]
         )
 
     return (
         out.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -44,6 +44,13 @@ def main() -> int:
         default="8g",
         help="JVM heap; the 1g pyspark default OOMs on the sf1 synth tier",
     )
+    ap.add_argument(
+        "--duck-mem",
+        default="24GB",
+        help="DuckDB memory_limit for the oracle side; the 80%%-of-RAM "
+        "default lets one pathological oracle page the whole machine "
+        "instead of erroring (observed: 109 GB RSS at the sf1 tier)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -66,6 +73,8 @@ def main() -> int:
 
     # --- correctness ---
     con = duckdb.connect()
+    con.execute(f"SET memory_limit='{args.duck_mem}'")
+    con.execute("SET threads=8")
     for t in TABLES:
         # Driver fixtures are single files; Spark-written tiers (the
         # sf1 synth data) are directories of part files — glob those.
