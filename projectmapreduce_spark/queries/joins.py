@@ -216,7 +216,8 @@ SELECT a.event_id AS left_id, b.event_id AS right_id,
        a.user_id  AS left_user, b.user_id AS right_user
 FROM events a
 JOIN events b
-  ON abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+  ON b.ts >= a.ts - INTERVAL 60 SECOND
+ AND b.ts <= a.ts + INTERVAL 60 SECOND
  AND a.event_id < b.event_id
  AND a.event_type = 'error'
  AND b.event_type = 'error'
