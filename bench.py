@@ -120,6 +120,28 @@ HEADLINE = [
     "o6_pagination",
     "f10_bitwise_funcs",
     "l31_bigram_perplexity",
+    # round-3 batch: TPC-H Q2/Q21/Q22/Q15/Q11 composite shapes, URL
+    # family, hierarchical rollup, per-source cap.  t9s_continuous_
+    # aggregate stays OUT (precedent: t7s — a streaming drain times
+    # state-store/sink machinery, ~6 s at sf0.01; fully hash-checked
+    # in CORRECTNESS).
+    "c8_min_cost_supplier",
+    "c9_waiting_orders",
+    "c10_inactive_high_balance",
+    "c11_top_revenue_supplier",
+    "c12_important_part_share",
+    "f11_url_funcs",
+    "t9_hierarchical_rollup",
+    "l32_source_cap",
+    # round-3 batch 2: the remaining classic TPC-H composite shapes
+    # (Q8, Q9, Q12, Q13, Q14, Q16, Q19 analogs).
+    "c13_market_share",
+    "c14_nation_profit",
+    "c15_late_priority",
+    "c16_customer_distribution",
+    "c17_promo_revenue",
+    "c18_part_supplier_breadth",
+    "c19_bracket_revenue",
 ]
 
 

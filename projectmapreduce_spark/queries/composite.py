@@ -677,3 +677,401 @@ def c12_important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("part_value") > F.col("threshold"))
         .select("l_partkey", "part_value")
     )
+
+
+@query(
+    "c13_market_share",
+    oracle="""
+WITH trade AS (
+  SELECT year(o_orderdate) AS o_year,
+         round(l_extendedprice * (1 - l_discount), 4) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND p_type = 'ECONOMY'
+    AND o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate <  DATE '1998-01-01'
+)
+SELECT o_year,
+       round(
+         (sum(CASE WHEN supp_nation = 'NATION_7'
+                   THEN CAST(volume AS DECIMAL(20,4)) ELSE CAST(0 AS DECIMAL(20,4)) END)::DOUBLE)
+         / (sum(CAST(volume AS DECIMAL(20,4)))::DOUBLE), 4) AS mkt_share
+FROM trade
+GROUP BY o_year
+""",
+    survey="C13,J10,A1,F4",
+    category="composite",
+)
+def c13_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13: one nation's share of a region's trade in a part type, per
+    order year (TPC-H Q8 shape) — conditional aggregate over a
+    region/type/date-filtered star.
+
+    All five dimension sides (part pruned to one type, customer,
+    both nation roles, region, supplier) broadcast; the date filter is
+    pushed to the orders scan, so lineitem joins an already-pruned
+    orders side and the only fact shuffle is the 2-row year aggregate.
+    The share is a ratio of two DECIMAL-exact sums: numerator and
+    denominator are order-independent integers under the money
+    contract, cast to double once, divided in one IEEE op and rounded
+    with the engine-stable formula — the same discipline that keeps
+    c12's threshold compare stable at sf1.  At 100 TB nothing here
+    materializes more than (n_years × n_nations) rows past the scan."""
+    r = scan(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = scan(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_nationkey"))
+    c = scan(spark, sf_dir, "customer").join(
+        F.broadcast(cn), F.col("c_nationkey") == F.col("cn_nationkey")
+    ).select("c_custkey")
+    o = scan(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    p = scan(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    sn = scan(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    s = scan(spark, sf_dir, "supplier").join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("sn_nationkey")
+    ).select("s_suppkey", "supp_nation")
+    li = scan(spark, sf_dir, "lineitem")
+    vol = dround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+        "decimal(20,4)"
+    )
+    zero = F.lit(0).cast("decimal(20,4)")
+    trade = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return trade.groupBy("o_year").agg(
+        dround(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "c14_nation_profit",
+    oracle="""
+SELECT sn.n_name AS nation,
+       year(o_orderdate) AS o_year,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY sn.n_name, year(o_orderdate)
+""",
+    survey="C14,J10,A1,F2",
+    category="composite",
+)
+def c14_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14: per-nation, per-year profit on a product family (TPC-H Q9
+    shape).  The schema has no partsupp, so supply cost is the
+    deterministic proxy 0.6 × p_retailprice — the plan shape (fact ⋈
+    orders with part-family broadcast pruning, supplier→nation
+    enrichment, two-key aggregate) is exactly Q9's.
+
+    The name-LIKE filter prunes part BEFORE broadcast, so the fact
+    scan drops ~5/6 of lines at the probe; orders joins shuffle-side
+    only to supply the year.  The profit expression mixes a revenue
+    term and a cost term in ONE dround(…, 4) quantization so the
+    money contract applies to the NET amount (quantizing the two
+    terms separately would double the rounding step and diverge from
+    the oracle).  25 nations × 7 years out — aggregate output is
+    trivially small at any scale."""
+    p = F.broadcast(
+        scan(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = F.broadcast(scan(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = F.broadcast(
+        scan(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    )
+    o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = scan(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(p, li.l_partkey == F.col("p_partkey"))
+        .join(s, li.l_suppkey == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(money_sum(amount).alias("profit"))
+    )
+
+
+@query(
+    "c15_late_priority",
+    oracle="""
+SELECT year(l_shipdate) AS ship_year,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+         AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY year(l_shipdate)
+""",
+    survey="C15,J1,A1,F4",
+    category="composite",
+)
+def c15_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15: priority mix of badly late shipments, per ship year (TPC-H
+    Q12 shape — the schema has no l_shipmode/l_receiptdate, so the
+    grouping key is ship year and "late" is ship > order + 90 days).
+
+    The lateness predicate correlates the two join sides, so it runs
+    as a post-join filter on the single fact⋈orders shuffle — there
+    is nothing else: the CASE-sums are map-side partial aggregates
+    and the output is one row per year.  The canonical
+    Q12 CASE-pivot (two conditional counts in one pass) replaces what
+    would naively be two filtered joins."""
+    o = scan(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "c16_customer_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+""",
+    survey="C16,J3,A1,A2",
+    category="composite",
+)
+def c16_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16: customer distribution by order count, zero-order customers
+    included (TPC-H Q13 shape — the comment anti-filter becomes a
+    priority filter, same left-outer semantics).
+
+    Q13's trap is the LEFT JOIN + COUNT(col): customers with no
+    qualifying orders must survive with c_count = 0.  The scale plan
+    aggregates orders per custkey FIRST (one fact shuffle, tiny
+    output) and left-joins customer against that small aggregate —
+    never the raw fact — with coalesce(cnt, 0) restoring the zero
+    bucket; the second aggregate is over per-customer rows, and the
+    histogram output is a few dozen rows at any corpus size.  The
+    filter on the join's RIGHT side (oracle: in the ON clause) runs
+    as a pushed scan filter before the first aggregate — identical
+    semantics, scan-level cost."""
+    per_order = (
+        scan(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = scan(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(per_order, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "c17_promo_revenue",
+    oracle="""
+SELECT round(
+         100.0 * (sum(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))
+                      ELSE CAST(0 AS DECIMAL(20,4)) END)::DOUBLE)
+         / (sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4)))::DOUBLE),
+         2) AS promo_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1997-09-01'
+  AND l_shipdate <  DATE '1997-10-01'
+""",
+    survey="C17,J2,A2,F4",
+    category="composite",
+)
+def c17_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17: share of one month's revenue from promo parts (TPC-H Q14
+    shape) — conditional-over-total ratio in a single global
+    aggregate.
+
+    The month filter reaches the lineitem scan (partition-prunable on
+    a date-partitioned layout); part broadcasts, so the plan is scan →
+    broadcast probe → one global partial/final aggregate — no shuffle
+    wider than one row.  Numerator and denominator use the decimal
+    money contract and meet in a single IEEE divide + stable round,
+    the same ratio discipline as c13."""
+    p = F.broadcast(scan(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    li = scan(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    vol = dround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+        "decimal(20,4)"
+    )
+    zero = F.lit(0).cast("decimal(20,4)")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            dround(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(vol).cast("double"),
+                2,
+            ).alias("promo_share")
+        )
+    )
+
+
+@query(
+    "c18_part_supplier_breadth",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+    survey="C18,J2,J5,A3",
+    category="composite",
+)
+def c18_part_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18: how many distinct (reputable) suppliers ship each part
+    profile (TPC-H Q16 shape — the schema has no partsupp, so the
+    part↔supplier bridge is lineitem itself; the comment-based
+    complaint exclusion becomes a negative-balance exclusion).
+
+    The NOT-IN decorrelates to a broadcast LEFT-ANTI join against the
+    (tiny) excluded-supplier list — never a shuffle.  The distinct
+    count collapses duplicate (profile, supplier) pairs map-side via
+    the partial-distinct aggregate; the only fact shuffle keys on the
+    group profile.  Part prunes brand/size at the scan before its
+    broadcast.  Output cardinality is bounded by |brands|×|types|×
+    |sizes| regardless of fact volume."""
+    p = F.broadcast(
+        scan(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = F.broadcast(
+        scan(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    li = scan(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("bad_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "c19_bracket_revenue",
+    oracle="""
+SELECT round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))), 2)::DOUBLE
+         AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+    survey="C19,J2,A2,P4",
+    category="composite",
+)
+def c19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19: revenue from three disjunctive (brand, size, quantity)
+    brackets (TPC-H Q19 shape) — the OR-of-ANDs predicate that tests
+    whether the planner can still prune under disjunction.
+
+    The part side is pre-filtered to the UNION of the brand/size
+    brackets (the disjunction's part-only envelope) before broadcast,
+    and the quantity envelope (1..30) is pushed to the fact scan —
+    both are implied-predicate rewrites a user would otherwise lose
+    under a single OR expression.  The exact three-way disjunction
+    then runs as a post-probe row filter.  One global money aggregate;
+    no shuffle beyond the 1-row final."""
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    p = F.broadcast(
+        scan(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#1", "Brand#12", "Brand#23")
+            & F.col("p_size").between(1, 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = scan(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(b1 | b2 | b3)
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )

@@ -90,6 +90,13 @@ SURVEY_IDS = {
     "C10",  # round-3: inactive high-balance customers (TPC-H Q22 shape)
     "C11",  # round-3: top revenue supplier, reused aggregate (TPC-H Q15 shape)
     "C12",  # round-3: important part value share (TPC-H Q11 shape)
+    "C13",  # round-3: national market share ratio (TPC-H Q8 shape)
+    "C14",  # round-3: nation/year profit (TPC-H Q9 shape)
+    "C15",  # round-3: late-shipment priority pivot (TPC-H Q12 shape)
+    "C16",  # round-3: customer order-count histogram (TPC-H Q13 shape)
+    "C17",  # round-3: promo revenue share (TPC-H Q14 shape)
+    "C18",  # round-3: distinct-supplier breadth (TPC-H Q16 shape)
+    "C19",  # round-3: disjunctive bracket revenue (TPC-H Q19 shape)
 }
 
 
