@@ -142,6 +142,11 @@ HEADLINE = [
     "c17_promo_revenue",
     "c18_part_supplier_breadth",
     "c19_bracket_revenue",
+    # round-3 batch 3: reproducible second moments, digest family,
+    # manual gaps-and-islands.
+    "a15_stats_moments",
+    "t10_gaps_islands",
+    "f12_digest_funcs",
 ]
 
 

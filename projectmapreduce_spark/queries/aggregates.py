@@ -452,3 +452,79 @@ def a14_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_price"), 2).cast("double").alias("total_price"),
         dround(F.col("sum_price").cast("double") / F.col("n_orders"), 6).alias("avg_price"),
     )
+
+
+@query(
+    "a15_stats_moments",
+    oracle="""
+WITH sums AS (
+  SELECT l_returnflag,
+         count(*)                                                            AS n,
+         sum(CAST(round(l_quantity, 4) AS DECIMAL(38,4)))::DOUBLE            AS sx,
+         sum(CAST(round(l_quantity * l_quantity, 4) AS DECIMAL(38,4)))::DOUBLE AS sx2,
+         sum(CAST(round(l_extendedprice, 4) AS DECIMAL(38,4)))::DOUBLE       AS sy,
+         sum(CAST(round(l_extendedprice * l_extendedprice, 4) AS DECIMAL(38,4)))::DOUBLE AS sy2,
+         sum(CAST(round(l_quantity * l_extendedprice, 4) AS DECIMAL(38,4)))::DOUBLE AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n,
+       round(sx / n, 6)                                    AS mean_qty,
+       round((sx2 - sx * sx / n) / n, 6)                   AS var_qty,
+       round(sqrt((sx2 - sx * sx / n) / n), 6)             AS std_qty,
+       round((sxy - sx * sy / n) / n, 6)                   AS covar_qty_price,
+       round((sxy - sx * sy / n)
+             / sqrt((sx2 - sx * sx / n) * (sy2 - sy * sy / n)), 6) AS corr_qty_price
+FROM sums
+""",
+    survey="A15,A1",
+    category="aggregates",
+)
+def a15_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: second-moment statistics (variance, stddev, covariance,
+    correlation) under the ORDER-INDEPENDENT exact-sum contract.
+
+    Spark's built-in ``stddev/corr`` and DuckDB's use different
+    one-pass update algorithms (Welford-style merge vs two-pass), so
+    their doubles drift with partition order and count — the same
+    irreproducibility class the money contract fixed for sums.  The
+    cure is the same: every aggregated TERM (x, x², y, y², xy) is
+    quantized with the engine-stable round and summed as exact
+    DECIMAL — order-independent integers — and all derived moments
+    are computed from those five exact sums with an IDENTICAL IEEE
+    expression on both engines, so the results are bit-equal at any
+    scale and any partitioning.  One hash-aggregate shuffle carrying
+    five decimal partials per group; map-side combine applies; the
+    derived-moment math runs on the handful of output rows.  At
+    100 TB this is the only reproducible way to ship a corr() —
+    the built-ins are fine for exploration but cannot be
+    golden-pinned."""
+    li = scan(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+
+    def dsum(expr):
+        return F.sum(dround(expr, 4).cast("decimal(38,4)")).cast("double")
+
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q).alias("sx"),
+        dsum(q * q).alias("sx2"),
+        dsum(p).alias("sy"),
+        dsum(p * p).alias("sy2"),
+        dsum(q * p).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sx2, sy, sy2, sxy = (F.col(c) for c in ("sx", "sx2", "sy", "sy2", "sxy"))
+    mvar = (sx2 - sx * sx / n) / n
+    return sums.select(
+        "l_returnflag",
+        "n",
+        dround(sx / n, 6).alias("mean_qty"),
+        dround(mvar, 6).alias("var_qty"),
+        dround(F.sqrt(mvar), 6).alias("std_qty"),
+        dround((sxy - sx * sy / n) / n, 6).alias("covar_qty_price"),
+        dround(
+            (sxy - sx * sy / n) / F.sqrt((sx2 - sx * sx / n) * (sy2 - sy * sy / n)), 6
+        ).alias("corr_qty_price"),
+    )

@@ -263,3 +263,74 @@ def t9_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mn").alias("min_value"),
         F.max("mx").alias("max_value"),
     )
+
+
+@query(
+    "t10_gaps_islands",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 600000000
+              THEN 1 ELSE 0 END AS new_island
+  FROM events
+),
+numbered AS (
+  SELECT *, sum(new_island) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM marked
+),
+islands AS (
+  SELECT user_id, island_id,
+         count(*) AS n_events,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+  FROM numbered
+  GROUP BY user_id, island_id
+)
+SELECT user_id,
+       count(*)         AS n_islands,
+       max(n_events)    AS max_island_events,
+       max(span_us)     AS max_island_span_us
+FROM islands
+GROUP BY user_id
+""",
+    survey="T10,W2,W3,A1",
+    category="events",
+)
+def t10_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: gaps-and-islands — activity bursts separated by >10-minute
+    silences, summarized per user.  This is the MANUAL islands
+    surface (lag → boundary flag → running-sum island id → two-level
+    aggregate) that t3's built-in ``session_window`` compiles away;
+    exposing it matters because real pipelines need the island id for
+    joins, not just the collapsed session row.
+
+    Scale shape: ONE shuffle.  The window sorts within user
+    partitions; the (user, island) aggregate then requires only
+    co-location of equal (user, island) pairs, which the existing
+    hash-partitioning on user already satisfies, so both aggregates
+    and the window ride the same exchange (no second shuffle — same
+    ClusteredDistribution-subsumption argument as m4's secondary
+    sort).  Span is integer microseconds end-to-end; nothing floats.
+    Skew note: a single pathological user serializes one partition —
+    the 100 TB mitigation is the same watermarked streaming variant
+    (t3/t9s) that bounds state by time."""
+    ev = scan(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_island", F.when(gap_us > 600000000, 1).otherwise(0)
+    )
+    numbered = marked.withColumn(
+        "island_id",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = numbered.groupBy("user_id", "island_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("n_events").alias("max_island_events"),
+        F.max("span_us").alias("max_island_span_us"),
+    )

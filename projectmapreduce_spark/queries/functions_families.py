@@ -454,3 +454,38 @@ def f11_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("v")).alias("q_v"),
         F.split(F.parse_url(url, F.lit("HOST")), r"\.").getItem(0).alias("subdomain"),
     )
+
+
+@query(
+    "f12_digest_funcs",
+    oracle="""
+SELECT o_orderkey,
+       md5(o_orderpriority)                     AS prio_md5,
+       sha256(o_orderstatus)                    AS status_sha256,
+       to_base64(o_orderpriority::BLOB)         AS prio_b64,
+       hex(o_orderstatus)                       AS status_hex,
+       md5(o_orderkey::VARCHAR)                 AS key_md5
+FROM orders WHERE o_orderkey < 2000
+""",
+    survey="F12,F1",
+    category="functions",
+)
+def f12_digest_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: digest/encoding function family — md5, sha2-256, base64,
+    hex over UTF-8 bytes.  These are the fingerprint primitives the
+    dedup tier builds on (l1 keys on sha256; l22 on xxhash-style
+    rolling hashes): proving the scalar surface hash-matches DuckDB
+    guarantees the dedup keys themselves are cross-engine portable.
+    All JVM codegen expressions — zero-shuffle projection; the only
+    subtlety is byte-level agreement (UTF-8 encode before digest,
+    lowercase hex for digests, uppercase for hex(), no padding
+    differences in base64), which the oracle pins exactly."""
+    o = scan(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.md5("o_orderpriority").alias("prio_md5"),
+        F.sha2("o_orderstatus", 256).alias("status_sha256"),
+        F.base64(F.col("o_orderpriority").cast("binary")).alias("prio_b64"),
+        F.hex("o_orderstatus").alias("status_hex"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("key_md5"),
+    )

@@ -135,6 +135,21 @@ SHOWCASE = {
         "from the driver-bounded probe set), with DPP stacked on top; "
         "everything downstream matches l4d."
     ),
+    "c16_customer_distribution": (
+        "Q13 shape: the orders fact is aggregated to per-customer "
+        "counts FIRST (one shuffle, partial_count before the "
+        "exchange); customer left-joins that small aggregate — the "
+        "raw fact never reaches the outer join, and the priority "
+        "filter is a pushed scan predicate, not a join-time one."
+    ),
+    "c19_bracket_revenue": (
+        "Q19 shape: the quantity envelope (1..30) of the three-way "
+        "OR appears in the lineitem scan's PushedFilters and the "
+        "brand/size envelope prunes part before its BroadcastExchange "
+        "— disjunctive predicates still prune both scans; the exact "
+        "OR-of-ANDs runs as a post-probe row filter inside the same "
+        "WholeStageCodegen span as the broadcast join."
+    ),
 }
 
 

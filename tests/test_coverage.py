@@ -32,6 +32,7 @@ SURVEY_IDS = {
     "A12",  # round-2: count-min sketch
     "A13",  # round-2: persistable HLL sketch union
     "A14",  # round-2: incremental aggregate maintenance
+    "A15",  # round-3: second moments (var/std/corr) under the exact-sum contract
     # §2.5 windows
     "W1", "W2", "W3", "W4", "W5", "W6",
     "W7",  # round-2: windowed distinct count
@@ -48,11 +49,13 @@ SURVEY_IDS = {
     "F9",  # round-2: VariantType semi-structured path (Spark 4)
     "F10",  # round-2: bitwise function family
     "F11",  # round-3: URL parsing / canonicalization family
+    "F12",  # round-3: digest/encoding family (md5, sha2, base64, hex)
     # §2.9 streaming-shaped (batch forms)
     "T1", "T2", "T3", "T4", "T5", "T6",
     "T7",  # round-2: stream-stream interval join
     "T8",  # round-2: foreachBatch idempotent sink
     "T9",  # round-3: hierarchical rollup from mergeable hourly partials
+    "T10",  # round-3: gaps-and-islands burst detection (manual islands surface)
     # §2.10 MR-heritage surface
     "M1", "M2", "M3", "M4", "M5", "M6", "M7", "M8",
     "M9",  # round-2: job counters
