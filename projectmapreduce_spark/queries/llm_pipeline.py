@@ -91,17 +91,46 @@ WITH tok AS (
   SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM documents
 ),
 sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+df AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+ranked AS (
+  SELECT t.doc_id, t.token,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token) AS rk,
+         s.n_tok
+  FROM tok t JOIN df d USING (token) JOIN sizes s USING (doc_id)
+),
+-- Prefix filter (Chaudhuri/Bayardo/Xiao, exact): J(A,B) >= 4/5 implies
+-- |A inter B| >= max(ceil(0.8|A|), ceil(0.8|B|)), so the per-doc
+-- (n - ceil(0.8 n) + 1)-prefixes under ONE global rarity order must
+-- share a token.  ceil(0.8 n) = (4n + 4) // 5 in pure integers (a
+-- float 0.8*n would misround at multiples of 5 and silently DROP
+-- candidates).  Without this the naive token self-join is
+-- posting-list-quadratic and never finishes at sf1.
+prefix AS (
+  SELECT doc_id, token, n_tok FROM ranked
+  WHERE rk <= n_tok - (4 * n_tok + 4) // 5 + 1
+),
+-- Size band (also exact): J >= 4/5 forces 4|A| <= 5|B| and 4|B| <= 5|A|.
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a JOIN prefix b
+    ON a.token = b.token AND a.doc_id < b.doc_id
+   AND 4 * a.n_tok <= 5 * b.n_tok AND 4 * b.n_tok <= 5 * a.n_tok
+),
+-- Verify candidates by list intersection (no (pair x token) row
+-- explosion — the candidate set times list length stays in registers).
+lists AS (SELECT doc_id, list(token) AS toks FROM tok GROUP BY doc_id),
+verified AS (
+  SELECT id_a, id_b,
+         len(list_intersect(la.toks, lb.toks)) AS n_inter,
+         len(la.toks) AS na, len(lb.toks) AS nb
+  FROM cand
+  JOIN lists la ON la.doc_id = id_a
+  JOIN lists lb ON lb.doc_id = id_b
 )
 SELECT id_a, id_b,
-       round(n_inter::DOUBLE / (sa.n_tok + sb.n_tok - n_inter), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE n_inter::DOUBLE / (sa.n_tok + sb.n_tok - n_inter) >= 0.8
+       round(n_inter::DOUBLE / (na + nb - n_inter), 4) AS jaccard
+FROM verified
+WHERE n_inter::DOUBLE / (na + nb - n_inter) >= 0.8
 """,
     survey="L2",
     category="llm",

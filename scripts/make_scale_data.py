@@ -51,9 +51,12 @@ N = {
 #-word vocab at 50k docs makes EVERY 1-gram posting list huge, which
 # degenerates any token-join (Jaccard dedup, and its DuckDB oracle) into
 # ~1e9 candidate pairs — an artifact of unrealistic data, not a property
-# of the operators.  20k uniform tokens keep posting lists ~300 docs at
-# sf1 (bounded pair joins) while still producing shared-token overlap.
-_VOCAB_SIZE = 20_000
+# of the operators.  Round 3: content tokens are drawn ZIPFIAN over 200k
+# ids (df(k) ∝ 1/k over 200k ids — Heaps-law-sized for a 5.7M-token corpus, so the df tail genuinely reaches 1).  This is what similarity-join
+# prefix filtering assumes: each doc's globally-rarest tokens have
+# df ≈ 1-10, so candidate generation stays near the true pair count
+# (uniform draws — every token df ≈ 300 — were the pathological case).
+_VOCAB_SIZE = 200_000
 _FUNCTION_WORDS = [
     "the", "a", "of", "and", "is", "fast", "big", "small", "slow", "dup", "spark",
 ]
@@ -103,11 +106,23 @@ def gen(spark: SparkSession) -> None:
     )
     c.write.mode("overwrite").parquet(f"{OUT}/customer.parquet")
 
+    # p_name/p_type use the FIXTURE value style ("adj noun" names, the
+    # six real type values) so type/name-filtered queries (c13, c14,
+    # c17) select real rows at sf1 instead of vacuously-empty sets.
+    adjs = F.array(*[F.lit(x) for x in ("small", "red", "blue", "hot", "big", "green", "cold", "dim")])
+    nouns = F.array(*[F.lit(x) for x in ("ring", "widget", "bolt", "gear", "gizmo", "cog", "plate", "washer")])
     p = _ids(spark, N["part"], "p_partkey").select(
         F.col("p_partkey"),
-        F.concat(F.lit("part "), F.col("p_partkey")).alias("p_name"),
+        F.concat_ws(
+            " ",
+            F.element_at(adjs, (_u(F.col("p_partkey"), "pa", 8) + 1).cast("int")),
+            F.element_at(nouns, (_u(F.col("p_partkey"), "pn", 8) + 1).cast("int")),
+        ).alias("p_name"),
         F.concat(F.lit("Brand#"), _u(F.col("p_partkey"), "pb", 25) + 1).alias("p_brand"),
-        F.concat(F.lit("TYPE "), _u(F.col("p_partkey"), "pt", 20)).alias("p_type"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")]),
+            (_u(F.col("p_partkey"), "pt", 6) + 1).cast("int"),
+        ).alias("p_type"),
         (_u(F.col("p_partkey"), "ps", 50) + 1).cast("int").alias("p_size"),
         (900.0 + _u(F.col("p_partkey"), "pr", 100_000) / 100.0).alias("p_retailprice"),
     )
@@ -184,11 +199,20 @@ def gen(spark: SparkSession) -> None:
 
     def tok_at(i):
         h = F.crc32(F.concat(base_id.cast("string"), F.lit(":"), i.cast("string")))
-        # every 8th position a function word, else a uniform vocab token
+        # Every 8th position a function word; the rest drawn ZIPFIAN
+        # (log-uniform inverse CDF: id = floor(V^u) gives df(k) ∝ 1/k).
+        # Round-3 change from uniform: a uniform 20k vocab is the WORST
+        # case for prefix-filtered similarity joins (every doc's
+        # "rarest" token still has df ≈ 300 at sf1, so the l2b oracle's
+        # candidate set exploded to ~21M pairs); real corpora are
+        # Zipfian, where per-doc rare tokens have df ≈ 1-10 and prefix
+        # filtering collapses candidates to ~the true near-dup pairs.
+        u = F.pmod(h, F.lit(1_000_003)) / F.lit(1_000_003.0)
+        zipf_id = F.floor(F.pow(F.lit(float(_VOCAB_SIZE)), u)).cast("long")
         return F.when(
             F.pmod(h, F.lit(8)) == 0,
             F.element_at(fw, (F.pmod(h, F.lit(len(_FUNCTION_WORDS))) + 1).cast("int")),
-        ).otherwise(F.concat(F.lit("tok"), F.pmod(h, F.lit(_VOCAB_SIZE))))
+        ).otherwise(F.concat(F.lit("tok"), zipf_id))
 
     tokens = F.transform(F.sequence(F.lit(1), n_tok), tok_at)
     tokens = F.when(
