@@ -170,10 +170,21 @@ def gen(spark: SparkSession) -> None:
     )
     li.write.mode("overwrite").parquet(f"{OUT}/lineitem.parquet")
 
+    # Event TIME ORDER must match the fixture contract: the driver's
+    # events table is an append-ordered log (corr(event_id, ts) ≈ 1.0,
+    # ZERO out-of-order rows at sf0.1).  A uniform-random ts breaks
+    # every watermark-bearing streaming query at volume — arrival order
+    # becomes random in event time, the watermark races to the max seen
+    # and drops ~94% of rows as late (caught by the sf1 sweep:
+    # t3s_stream_session 62k vs 963k).  ts is therefore monotone in
+    # event_id: a fixed 31-second stride plus a bounded jitter smaller
+    # than the stride (order preserved, spacing still irregular).
     ev = _ids(spark, N["events"], "event_id").select(
         F.col("event_id"),
         F.timestamp_add(
-            "SECOND", _u(F.col("event_id"), "et", 365 * 86_400).cast("int"), base_ts
+            "SECOND",
+            (F.col("event_id") * 31 + _u(F.col("event_id"), "et", 31)).cast("int"),
+            base_ts,
         ).alias("ts"),
         _u(F.col("event_id"), "eu", 1500).alias("user_id"),
         F.element_at(
