@@ -128,11 +128,23 @@ FROM events GROUP BY user_id
     category="streaming",
 )
 def x5s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom applyInPandasWithState operator: the fixture is one file →
-    one micro-batch → the single update per key equals the batch
-    aggregate, so the custom stateful path is fully hash-checked."""
+    """Custom applyInPandasWithState operator, update-mode drain.
+
+    The memory sink in update mode APPENDS each micro-batch's updated
+    rows, so a multi-file replay leaves one snapshot per (key, batch)
+    — at sf1 (32 part files) that was 32×1500 rows, caught by the
+    round-3 sf1 sweep (the single-file fixture had hidden it: one
+    batch ≡ final state).  The totals are CUMULATIVE, so the final
+    state per key is exactly the row with the maximal n_events —
+    reduce the drain with max/max_by instead of trusting batch count.
+    This is also the correct reading of an update-mode changelog at
+    any scale: last-write-wins per key."""
     stream = read_events_stream(spark, sf_dir)
-    return _drain(spark, running_user_totals(stream), "update")
+    drained = _drain(spark, running_user_totals(stream), "update")
+    return drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.expr("max_by(total_value, n_events)").alias("total_value"),
+    )
 
 
 @query(

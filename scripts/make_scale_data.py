@@ -198,6 +198,21 @@ def gen(spark: SparkSession) -> None:
         ).alias("props"),
     )
     ev.write.mode("overwrite").parquet(f"{OUT}/events.parquet")
+    # Spark's file-stream source replays files OLDEST-MTIME-FIRST, and
+    # all 32 part files land with near-identical mtimes — replay order
+    # becomes arbitrary, so later-time files can be consumed first and
+    # the watermark then drops earlier files WHOLE (t3s at sf1: 90k of
+    # 963k sessions survived).  A production log directory accumulates
+    # files in time order; recreate that contract deterministically:
+    # part-0000i holds id range i = time range i (spark.range
+    # partitioning is contiguous), so bump mtimes in filename order.
+    import glob as _glob
+    import time as _time
+
+    files = sorted(_glob.glob(f"{OUT}/events.parquet/part-*"))
+    t0 = _time.time() - 2 * len(files)
+    for i, f in enumerate(files):
+        os.utime(f, (t0 + 2 * i, t0 + 2 * i))
 
     fw = F.array(*[F.lit(w) for w in _FUNCTION_WORDS])
     # Near-dups re-generate their parent's token stream (same base id),
