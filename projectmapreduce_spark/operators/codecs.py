@@ -1,11 +1,17 @@
 """Pure-Python media codecs (SURVEY.md §2.11 L11 — the de-stubbed tier).
 
-The container has no PIL/ffmpeg/torchaudio, but three classic formats
-are simple enough to decode exactly with numpy + struct alone:
+The container has no PIL/ffmpeg/torchaudio, but five classic formats
+are simple enough to decode exactly with numpy + struct + zlib alone:
 
 * **BMP** — 24-bit uncompressed ``BI_RGB`` Windows bitmaps: 14-byte
   file header, 40-byte ``BITMAPINFOHEADER``, bottom-up BGR rows padded
   to 4 bytes ([MS-WMF] / Windows SDK public layout).
+* **PNG** — RFC 2083 / ISO 15948: signature + CRC-checked chunks,
+  IHDR geometry, concatenated IDAT zlib stream, and the full 5-type
+  per-row filter reconstruction (None/Sub/Up/Average/Paeth); 8-bit
+  truecolor (type 2), truecolor+alpha (6, alpha dropped) and
+  grayscale (0, replicated) decode to the same (H, W, 3) contract as
+  BMP; palette/interlace/16-bit stay behind the codec boundary.
 * **PPM (P6)** — Netpbm binary RGB, maxval 255: ASCII header then raw
   RGB triplets, row-major top-down.
 * **WAV** — RIFF/WAVE with a PCM16 ``fmt `` chunk and a ``data``
@@ -19,7 +25,7 @@ are simple enough to decode exactly with numpy + struct alone:
 These are REAL decoders: every byte of the pixel/sample payload is
 interpreted per the published layout, and the unit tests pin
 hand-built golden byte strings to exact pixel/sample arrays.  Formats
-beyond these (JPEG/PNG/MP3/video) remain behind the documented
+beyond these (JPEG/MP3/MP4) remain behind the documented
 ``NotImplementedError`` codec boundary in ``multimodal.py``.
 
 Scale note: all functions here are *per-payload kernels* executed
@@ -31,16 +37,22 @@ wrap them distribute trivially.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
 # ---------- sniffing ----------
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
 
 def sniff(payload: bytes) -> str | None:
-    """Identify a payload by magic bytes: 'bmp' | 'ppm' | 'wav' | 'avi' | None."""
+    """Identify a payload by magic bytes:
+    'bmp' | 'png' | 'ppm' | 'wav' | 'avi' | None."""
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:8] == _PNG_SIG:
+        return "png"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -98,6 +110,123 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if h_signed > 0:
         rows = rows[::-1]  # stored bottom-up -> return top-down
     return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+# ---------- PNG (RFC 2083 / ISO 15948, 8-bit, non-interlaced) ----------
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (color type 2, filter 0 on every scanline, one zlib IDAT)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {a.shape}")
+    h, w, _ = a.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # scanlines: one filter-type byte (0 = None) then raw RGB bytes
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _unfilter_scanlines(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Reverse PNG per-scanline filtering → (h, w*bpp) uint8.
+
+    Each scanline is [filter_type, f(x1), f(x2), ...]; reconstruction
+    per RFC 2083 §6 with a = left pixel's byte, b = byte above,
+    c = upper-left: Sub adds a, Up adds b, Average adds (a+b)//2,
+    Paeth adds the predictor nearest to a+b-c.  Up/None vectorize;
+    Sub/Average/Paeth carry a within-row dependency, computed with an
+    int16 running loop (payload kernels see one image at a time)."""
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        raise ValueError(f"truncated PNG raster: need {h * (stride + 1)}, have {len(raw)}")
+    mat = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(mat[y, 0])
+        line = mat[y, 1:].astype(np.int16)
+        prev = out[y - 1].astype(np.int16) if y > 0 else np.zeros(stride, dtype=np.int16)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            rec = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype} on row {y}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to (H, W, 3) uint8 RGB.
+
+    Walks the chunk stream (CRC-verified for IHDR/IDAT/PLTE), inflates
+    the concatenated IDAT zlib stream, reverses all five scanline
+    filters.  Color types: 2 (truecolor) decodes exactly; 6
+    (truecolor+alpha) drops the alpha plane; 0 (grayscale) replicates
+    the gray plane.  Palette (3), interlaced, and non-8-bit images
+    raise ``NotImplementedError`` — the documented codec boundary."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype in (b"IHDR", b"IDAT", b"PLTE"):
+            (crc,) = struct.unpack_from(">I", payload, pos + 8 + size)
+            if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG {ctype.decode()} chunk CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype_n, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or interlace != 0 or ctype_n not in (0, 2, 6):
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced gray/RGB/RGBA PNG supported "
+            f"(depth={depth}, color={ctype_n}, interlace={interlace})"
+        )
+    bpp = {0: 1, 2: 3, 6: 4}[ctype_n]
+    planes = _unfilter_scanlines(zlib.decompress(bytes(idat)), w, h, bpp).reshape(h, w, bpp)
+    if ctype_n == 0:
+        return np.repeat(planes, 3, axis=2).copy()
+    return planes[:, :, :3].copy()
 
 
 # ---------- PPM (P6, maxval 255) ----------

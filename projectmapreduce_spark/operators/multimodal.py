@@ -8,17 +8,18 @@ Arrow-batched ``mapInPandas`` whose batch size is bounded by
 
 Codec tiers:
 
-* **Real decode** (``fake=False``): BMP (24-bit BI_RGB), PPM (P6),
-  WAV (RIFF PCM16) and AVI (RIFF, uncompressed 24-bit DIB stream)
-  payloads are decoded byte-exactly by the pure-Python codecs in
-  ``operators/codecs.py`` — pixel/sample/frame arrays, dimensions,
+* **Real decode** (``fake=False``): BMP (24-bit BI_RGB), PNG (8-bit
+  RFC 2083, full 5-filter reconstruction, stdlib zlib inflate), PPM
+  (P6), WAV (RIFF PCM16) and AVI (RIFF, uncompressed 24-bit DIB
+  stream) payloads are decoded byte-exactly by the pure-Python codecs
+  in ``operators/codecs.py`` — pixel/sample/frame arrays, dimensions,
   frame counts and durations all come from interpreting the actual
   container layout.  ``synthesize_media`` manufactures real
-  BMP/WAV/AVI payloads deterministically from any string column so
-  every media family's decode path runs on every tier's data with no
-  external libs.
-* **Codec boundary**: payloads in formats beyond those four
-  (JPEG/PNG/MP3/MP4…) raise ``NotImplementedError`` inside the
+  BMP/PNG/WAV/AVI payloads deterministically from any string column
+  so every media family's decode path runs on every tier's data with
+  no external libs.
+* **Codec boundary**: payloads in formats beyond those five
+  (JPEG/MP3/MP4…) raise ``NotImplementedError`` inside the
   workers — PIL/ffmpeg/torchaudio are not in this container.
 * **Byte-level fake** (``fake=True``): the original deterministic
   stand-in (byte-histogram features, byte-chunk "frames") kept for
@@ -45,10 +46,12 @@ from pyspark.sql.types import (
 from projectmapreduce_spark.operators.codecs import (
     decode_avi,
     decode_bmp,
+    decode_png,
     decode_ppm,
     decode_wav,
     encode_avi,
     encode_bmp,
+    encode_png,
     encode_wav,
     resize_nearest,
     sniff,
@@ -142,18 +145,31 @@ def _synth_frames(seed: bytes) -> np.ndarray:
     return np.stack([np.roll(base, f, axis=0) for f in range(n)])
 
 
-def synthesize_media(df: DataFrame, id_col: str, text_col: str, kind: str = "image") -> DataFrame:
-    """Manufacture a media table with REAL encoded payloads (BMP for
-    ``kind='image'``, WAV PCM16 for ``kind='audio'``) derived
-    deterministically from a string column.  Unlike ``attach_payload``
-    (opaque utf-8 bytes), these payloads decode: the downstream
-    ``extract_features`` / ``resize_images`` real paths interpret the
-    actual container format, and metadata (width/height/duration_ms)
-    is computed from the synthesis constants so SQL oracles can
-    re-derive it from ``length(text)``."""
+def synthesize_media(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    kind: str = "image",
+    image_format: str = "bmp",
+) -> DataFrame:
+    """Manufacture a media table with REAL encoded payloads (BMP or
+    PNG for ``kind='image'`` per ``image_format``, WAV PCM16 for
+    ``kind='audio'``) derived deterministically from a string column.
+    Unlike ``attach_payload`` (opaque utf-8 bytes), these payloads
+    decode: the downstream ``extract_features`` / ``resize_images``
+    real paths interpret the actual container format, and metadata
+    (width/height/duration_ms) is computed from the synthesis
+    constants so SQL oracles can re-derive it from ``length(text)``."""
     if kind not in ("image", "audio", "video"):
         raise ValueError(f"synthesize_media supports image|audio|video, got {kind!r}")
-    mime = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-msvideo"}[kind]
+    if image_format not in ("bmp", "png"):
+        raise ValueError(f"image_format must be bmp|png, got {image_format!r}")
+    mime = {
+        "image": f"image/{image_format}",
+        "audio": "audio/wav",
+        "video": "video/x-msvideo",
+    }[kind]
+    encode_image = encode_bmp if image_format == "bmp" else encode_png
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -173,7 +189,7 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str, kind: str = "ima
                 seed = (text or "").encode("utf-8")
                 if kind == "image":
                     px = _synth_pixels(seed)
-                    out["payload"].append(encode_bmp(px))
+                    out["payload"].append(encode_image(px))
                     heights.append(px.shape[0])
                     widths.append(px.shape[1])
                     durs.append(None)
@@ -222,6 +238,8 @@ def extract_features(
         fmt = sniff(payload)
         if fmt == "bmp":
             px = decode_bmp(payload)
+        elif fmt == "png":
+            px = decode_png(payload)
         elif fmt == "ppm":
             px = decode_ppm(payload)
         elif fmt == "wav":
@@ -240,8 +258,8 @@ def extract_features(
             )
         else:
             raise NotImplementedError(
-                "payload is not BMP/PPM/WAV — codecs for other formats are not "
-                "available in this environment (pass fake=True for the "
+                "payload is not BMP/PNG/PPM/WAV/AVI — codecs for other formats "
+                "are not available in this environment (pass fake=True for the "
                 "byte-level stand-in)"
             )
         return px.shape[1], px.shape[0], None, _hist_features(px, dim)
@@ -274,9 +292,10 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
     ``fake=False``: REAL decode → nearest-neighbor resample →
     re-encode.  BMP payloads are decoded per the 24-bit BI_RGB layout,
     resized on the deterministic ``resize_nearest`` grid and re-encoded
-    as BMP (PPM handled the same, staying PPM); other formats raise
-    ``NotImplementedError`` (codec boundary).  ``fake=True`` keeps the
-    byte truncate/pad plumbing stand-in."""
+    as BMP (PNG and PPM handled the same, each staying in its own
+    format); other formats raise ``NotImplementedError`` (codec
+    boundary).  ``fake=True`` keeps the byte truncate/pad plumbing
+    stand-in."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
@@ -289,6 +308,8 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
                     fmt = sniff(p)
                     if fmt == "bmp":
                         out.append(encode_bmp(resize_nearest(decode_bmp(p), width, height)))
+                    elif fmt == "png":
+                        out.append(encode_png(resize_nearest(decode_png(p), width, height)))
                     elif fmt == "ppm":
                         from projectmapreduce_spark.operators.codecs import encode_ppm
 
@@ -301,8 +322,8 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
                         out.append(encode_avi(resized, fps))
                     else:
                         raise NotImplementedError(
-                            "payload is not BMP/PPM — image codecs for other "
-                            "formats are not available (pass fake=True)"
+                            "payload is not BMP/PNG/PPM/AVI — image codecs for "
+                            "other formats are not available (pass fake=True)"
                         )
             res = pdf.copy()
             res["payload"] = out

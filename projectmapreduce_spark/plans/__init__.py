@@ -2,19 +2,25 @@
 plan Catalyst picked is the one the 100 TB design calls for."""
 
 from projectmapreduce_spark.plans.inspect import (
+    count_shuffle_exchanges,
     explain_str,
     has_broadcast_hash_join,
     has_cartesian,
     has_partition_filters,
+    has_partitionless_window,
     has_pushed_filters,
     has_wholestage_codegen,
+    physical_node_names,
 )
 
 __all__ = [
+    "count_shuffle_exchanges",
     "explain_str",
     "has_broadcast_hash_join",
     "has_cartesian",
     "has_partition_filters",
+    "has_partitionless_window",
     "has_pushed_filters",
     "has_wholestage_codegen",
+    "physical_node_names",
 ]

@@ -38,6 +38,52 @@ def has_partition_filters(df: DataFrame) -> bool:
     return "PartitionFilters: [" in s and "PartitionFilters: []" not in s
 
 
+def _walk_physical(node):
+    """Yield every node of a physical plan tree, descending through the
+    AQE wrapper (the initial plan — AQE neither adds nor removes
+    Window/Sort/Join *logic*, it only re-plans exchanges, so the
+    initial plan is the right place to assert operator strategy)."""
+    name = node.getClass().getSimpleName()
+    yield name, node
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk_physical(node.initialPlan())
+        return
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_physical(children.apply(i))
+
+
+def physical_node_names(df: DataFrame) -> list[str]:
+    """Class names of every physical-plan node (pre-execution)."""
+    root = df._jdf.queryExecution().executedPlan()
+    return [name for name, _ in _walk_physical(root)]
+
+
+def has_partitionless_window(df: DataFrame) -> bool:
+    """True if any WindowExec / WindowGroupLimitExec has an EMPTY
+    partition spec — the single-partition exchange that moves the
+    whole input to one task, the canonical 100×-scale-killer.  Checked
+    on the exact JVM plan tree, not the rendered string."""
+    root = df._jdf.queryExecution().executedPlan()
+    for name, node in _walk_physical(root):
+        if "Window" in name:
+            try:
+                if node.partitionSpec().isEmpty():
+                    return True
+            except Exception:  # pragma: no cover - node without partitionSpec
+                continue
+    return False
+
+
+def count_shuffle_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange nodes (broadcast exchanges excluded)
+    in the pre-execution plan — the structural shuffle budget of the
+    query, robust to explain-string format drift."""
+    return sum(
+        1 for n in physical_node_names(df) if n == "ShuffleExchangeExec"
+    )
+
+
 def has_wholestage_codegen(df: DataFrame) -> bool:
     # Under AQE the codegen spans only exist in the FINAL plan, which
     # materializes when THIS DataFrame executes (a derived .count()

@@ -573,6 +573,49 @@ def l11b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l11f_png_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       8::INT                                                    AS width,
+       greatest(1, least(64, (octet_length(encode(text)) + 23) // 24))::INT
+                                                                 AS height,
+       16::INT                                                   AS dim,
+       1.0::DOUBLE                                               AS feat_sum
+FROM documents
+""",
+    survey="L11,X2",
+    category="llm",
+)
+def l11f_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG feature extraction with a REAL decode (round 4): every
+    document renders to an actual RFC-2083 PNG (zlib-deflated IDAT,
+    CRC-stamped chunks), and ``extract_features(fake=False)`` walks
+    the chunk stream, verifies CRCs, inflates, reverses the scanline
+    filters — width/height come from parsing IHDR.  The oracle
+    re-derives the geometry from ``length(text)`` and the synthesis
+    constants exactly as l11b does for BMP; n_bytes is deliberately
+    NOT pinned (deflate output size is zlib-version-dependent — the
+    geometry and normalized features are the portable contract).
+    Cross-codec pixel equality (PNG decode == BMP decode of the same
+    seed, all 5 filter types) is pinned in tests/test_codecs.py.
+    Scale: same scan → mapInPandas shape as l11b, shuffle-free."""
+    from projectmapreduce_spark.operators.multimodal import synthesize_media
+
+    d = scan(spark, sf_dir, "documents")
+    media = synthesize_media(d, "doc_id", "text", kind="image", image_format="png")
+    feats = extract_features(media, dim=16, fake=False)
+    return feats.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.size("features").alias("dim"),
+        dround(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
+    )
+
+
+@query(
     "l11d_audio_decode",
     oracle="""
 SELECT doc_id AS media_id,
@@ -1077,11 +1120,13 @@ def l20_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic permutation key plus the materialized position for
     epoch 0.  Keys are exact bigint multiplicative hashes (identical in
     any engine, any cluster size, any partition layout — the
-    reproducibility rand() cannot give).  At 100 TB the position
-    materializes via repartitionByRange on the key (range shuffle, no
-    global single-node sort); the window here is the small-fixture
-    equivalent."""
+    reproducibility rand() cannot give).  The epoch-0 position
+    materializes via ``global_sort_rank``: repartitionByRange on the
+    key (range shuffle) + per-range local rank + broadcast cumulative
+    offsets — never a global single-partition window, so the declared
+    query IS the 100 TB path."""
     from projectmapreduce_spark.operators.pipeline import epoch_shuffle
+    from projectmapreduce_spark.operators.rank import global_sort_rank
 
     d = scan(spark, sf_dir, "documents")
     out = epoch_shuffle(
@@ -1090,13 +1135,10 @@ def l20_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch=1,
         key_col="key_e1",
     )
-    w = Window.orderBy("key_e0", "doc_id")
-    return out.select(
-        "doc_id",
-        "key_e0",
-        "key_e1",
-        F.row_number().over(w).cast("long").alias("epoch0_pos"),
+    ranked = global_sort_rank(
+        out, [F.col("key_e0"), F.col("doc_id")], rank_col="epoch0_pos", dtype="long"
     )
+    return ranked.select("doc_id", "key_e0", "key_e1", "epoch0_pos")
 
 
 @query(

@@ -33,13 +33,17 @@ WHERE o_orderstatus = 'F'
 )
 def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global total order (multi-key, desc + asc tiebreak) made
-    hash-checkable by materializing the position.  The sort itself is
-    range-partitioned; the verification window is the test artifact,
-    not the scale path."""
+    hash-checkable by materializing the position via
+    ``global_sort_rank`` — the TeraSort range shuffle + per-range
+    local rank + broadcast cumulative offsets.  No single-partition
+    WindowExec anywhere: the plan that runs here is the plan that
+    runs at 100× (pinned catalog-wide in tests/test_plans.py)."""
+    from projectmapreduce_spark.operators.rank import global_sort_rank
+
     o = scan(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).select(
-        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("sort_pos")
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    return global_sort_rank(o, order, rank_col="sort_pos", dtype="int").select(
+        "o_orderkey", "o_totalprice", "sort_pos"
     )
 
 
@@ -170,3 +174,54 @@ def o6_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(50)
         .limit(25)
     )
+
+
+@query(
+    "o6b_keyset_pagination",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
+),
+b AS (
+  SELECT o_totalprice AS bp, o_orderkey AS bk
+  FROM o ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 1 OFFSET 49
+)
+SELECT o_orderkey, o_totalprice
+FROM o, b
+WHERE o_totalprice < b.bp OR (o_totalprice = b.bp AND o_orderkey > b.bk)
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+""",
+    survey="O6,O2",
+    category="sort",
+)
+def o6b_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 keyset (cursor) pagination — the scale path O6's own docs
+    prescribe for deep pages.  The cursor is the LAST ROW OF THE
+    PREVIOUS PAGE (here: row 50 of the total order, fetched as a
+    driver-side 1-row TakeOrdered — in a live API the client supplies
+    it); the page is then ``(price, key) after cursor ORDER BY ...
+    LIMIT k``.  The strict-inequality predicate carries LITERALS, so
+    it lands in the parquet scan's PushedFilters: unlike OFFSET (cost
+    grows linearly with page depth), every page is the same
+    TakeOrderedAndProject over a cursor-pruned scan — page 10⁶ costs
+    what page 1 costs.  Returns page 3 (rows 51–75), row-identical to
+    ``o6_pagination``."""
+    raw = scan(spark, sf_dir, "orders")
+    o = raw.select("o_orderkey", dround("o_totalprice", 2).alias("o_totalprice"))
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    cursor = o.orderBy(*order).offset(49).limit(1).collect()[0]
+    # Scan-level prune on the RAW column (the rounded page column is a
+    # computed expression parquet can't evaluate): any raw price that
+    # rounds to ≤ cursor satisfies raw ≤ cursor + 0.005, so this is an
+    # exactness-preserving superset that lands in PushedFilters; the
+    # exact keyset predicate below runs as the residual.
+    pruned = raw.filter(F.col("o_totalprice") <= F.lit(cursor.o_totalprice + 0.005)).select(
+        "o_orderkey", dround("o_totalprice", 2).alias("o_totalprice")
+    )
+    after_cursor = (F.col("o_totalprice") < F.lit(cursor.o_totalprice)) | (
+        (F.col("o_totalprice") == F.lit(cursor.o_totalprice))
+        & (F.col("o_orderkey") > F.lit(cursor.o_orderkey))
+    )
+    return pruned.filter(after_cursor).orderBy(*order).limit(25)

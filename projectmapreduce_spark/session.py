@@ -52,6 +52,52 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def derive_shuffle_partitions(
+    input_bytes: int,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    min_partitions: int = 1,
+    max_partitions: int = 200_000,
+) -> int:
+    """Bytes-based shuffle-partition sizing — the derivation a 100 TB
+    deployment uses instead of a pinned constant.
+
+    ``ceil(input_bytes / target)`` with a 128 MiB default target (the
+    same sizing rule as ``spark.sql.files.maxPartitionBytes`` applies
+    to scans): post-shuffle partitions land near the target size, so
+    tasks neither spill (too big) nor drown the scheduler in empty
+    tasks (too many).  At 100 TB / 128 MiB ≈ 800k raw partitions —
+    clamped by ``max_partitions`` because AQE coalescing works DOWN
+    from a high initial count (set
+    ``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` to
+    this and let AQE coalesce per-stage); ``min_partitions`` floors at
+    the cluster's core count so small inputs still use every core.
+
+    The local tiers pin shuffle=32 (cores×1, see _RUNTIME_CONF note);
+    SCALING.md "Shuffle-partition sizing" measures a heavy sf1 query
+    under the pinned vs derived counts.
+    """
+    if input_bytes < 0:
+        raise ValueError(f"input_bytes must be >= 0, got {input_bytes}")
+    raw = -(-input_bytes // target_partition_bytes)  # ceil div
+    return max(min_partitions, min(max_partitions, int(raw)))
+
+
+def scan_size_bytes(spark: SparkSession, paths: list[str]) -> int:
+    """Total on-disk size of the inputs a job will shuffle — the
+    ``input_bytes`` feed for ``derive_shuffle_partitions``.  Uses the
+    Hadoop FileSystem API (works for any supported filesystem, not
+    just local), summed driver-side over the listed roots."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    total = 0
+    for p in paths:
+        path = jvm.org.apache.hadoop.fs.Path(p)
+        fs = path.getFileSystem(conf)
+        if fs.exists(path):
+            total += fs.getContentSummary(path).getLength()
+    return total
+
+
 def get_spark(
     app_name: str = "projectmapreduce-spark",
     cpus: int | str | None = None,

@@ -290,3 +290,169 @@ def test_video_synthesis_and_real_frame_sampling(spark):
             np.testing.assert_array_equal(
                 decode_bmp(by_doc[r.doc_id][i]), stack[i]
             )
+
+
+# ---------- PNG ----------
+
+
+def test_png_golden_all_five_filters():
+    """Hand-built 2×5 RGB PNG exercising every scanline filter type.
+    The filtered bytes are derived BY HAND from RFC 2083 §6 (written
+    in the comments), so a decoder whose unfilter math is wrong in any
+    of the five reconstructions cannot pass."""
+    import zlib
+
+    from projectmapreduce_spark.operators.codecs import decode_png
+
+    # target pixels (top-down RGB), stride = 6:
+    want = np.array(
+        [
+            [(10, 20, 30), (40, 50, 60)],      # row0, filter 0 None
+            [(15, 25, 35), (20, 30, 40)],      # row1, filter 1 Sub
+            [(115, 125, 135), (220, 230, 240)],  # row2, filter 2 Up
+            [(120, 130, 140), (200, 210, 220)],  # row3, filter 3 Average
+            [(100, 110, 120), (50, 60, 70)],   # row4, filter 4 Paeth
+        ],
+        np.uint8,
+    )
+    raw = bytes(
+        [0, 10, 20, 30, 40, 50, 60]              # None: raw == recon
+        + [1, 15, 25, 35, 5, 5, 5]               # Sub: x<3 raw, then 20-15 etc.
+        + [2, 100, 100, 100, 200, 200, 200]      # Up: 115-15, 220-20 etc.
+        + [3, 63, 68, 73, 30, 30, 30]            # Avg: 120-(0+115)//2, 200-(120+220)//2
+        + [4, 236, 236, 236, 106, 106, 106]      # Paeth: 100-120 mod 256, 50-200 mod 256
+    )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 5, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert sniff(payload) == "png"
+    np.testing.assert_array_equal(decode_png(payload), want)
+
+
+def test_png_rgba_drops_alpha_and_gray_replicates():
+    import zlib
+
+    from projectmapreduce_spark.operators.codecs import decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # 2×1 RGBA (color type 6): alpha bytes must be dropped, not blended
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0)
+    raw = bytes([0, 1, 2, 3, 99, 4, 5, 6, 77])
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(
+        decode_png(p), np.array([[(1, 2, 3), (4, 5, 6)]], np.uint8)
+    )
+    # 2×1 grayscale (color type 0): gray plane replicated to RGB
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    raw = bytes([0, 9, 200])
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(
+        decode_png(p), np.array([[(9, 9, 9), (200, 200, 200)]], np.uint8)
+    )
+
+
+def test_png_crc_mismatch_and_boundary_raise():
+    import zlib
+
+    from projectmapreduce_spark.operators.codecs import decode_png, encode_png
+
+    good = encode_png(np.zeros((2, 2, 3), np.uint8))
+    # flip one byte inside the IDAT body -> CRC check must fire
+    idat_at = good.index(b"IDAT")
+    bad = bytearray(good)
+    bad[idat_at + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # palette (color type 3) is the documented codec boundary
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(p)
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 3), (3, 5, 3), (64, 8, 3)])
+def test_png_roundtrip_exact(shape):
+    from projectmapreduce_spark.operators.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_png(encode_png(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_png_synthesis_matches_bmp_decode_pixel_exact(spark):
+    """Cross-codec oracle: the PNG and BMP renditions of the same seed
+    must decode to IDENTICAL pixel arrays (and both equal the numpy
+    synthesis reference) — a container bug in either codec breaks the
+    agreement."""
+    from projectmapreduce_spark.operators.codecs import decode_bmp, decode_png
+
+    rows = [(1, "hello png world"), (2, ""), (3, "x" * 500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    png = {
+        r.media_id: bytes(r.payload)
+        for r in synthesize_media(df, "doc_id", "text", kind="image", image_format="png").collect()
+    }
+    bmp = {
+        r.media_id: bytes(r.payload)
+        for r in synthesize_media(df, "doc_id", "text", kind="image").collect()
+    }
+    for i, text in rows:
+        ref = _synth_pixels(text.encode())
+        np.testing.assert_array_equal(decode_png(png[i]), ref)
+        np.testing.assert_array_equal(decode_png(png[i]), decode_bmp(bmp[i]))
+
+
+def test_png_resize_real_decode(spark):
+    from projectmapreduce_spark.operators.codecs import decode_png
+
+    df = spark.createDataFrame([(1, "resize me please, twelve")], "doc_id long, text string")
+    media = synthesize_media(df, "doc_id", "text", kind="image", image_format="png")
+    out = resize_images(media, 4, 4, fake=False).collect()[0]
+    px = decode_png(bytes(out.payload))
+    ref = resize_nearest(_synth_pixels(b"resize me please, twelve"), 4, 4)
+    np.testing.assert_array_equal(px, ref)

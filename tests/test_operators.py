@@ -837,3 +837,81 @@ def test_x6_arrow_trim_matches_oracle_on_hostile_whitespace(spark, tmp_path):
     )
     compare(QUERIES["x6_map_in_arrow"](spark, str(tmp_path)), ORACLES["x6_map_in_arrow"], con)
     con.close()
+
+
+def test_global_sort_rank_equals_window_formulation(spark):
+    """The zipWithIndex-shaped rank (range shuffle + local rank +
+    broadcast offsets) must be row-identical to the single-partition
+    window it replaces, including under ties and across repeated
+    evaluation (the counts job and the main job must agree on range
+    bounds)."""
+    from pyspark.sql.window import Window
+
+    from projectmapreduce_spark.operators.rank import global_sort_rank
+
+    o = scan(spark, SF_CORRECT, "orders").filter(F.col("o_orderstatus") == "F")
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    w = Window.orderBy(*order)
+    ref = {
+        tuple(r)
+        for r in o.select(
+            "o_orderkey", "o_totalprice", F.row_number().over(w).alias("sort_pos")
+        ).collect()
+    }
+    got_df = global_sort_rank(o, order, rank_col="sort_pos", dtype="int").select(
+        "o_orderkey", "o_totalprice", "sort_pos"
+    )
+    got1 = {tuple(r) for r in got_df.collect()}
+    got2 = {tuple(r) for r in got_df.collect()}  # re-evaluation: same bounds
+    assert got1 == ref
+    assert got2 == ref
+
+
+def test_global_sort_rank_no_partitionless_window(spark):
+    from projectmapreduce_spark.operators.rank import global_sort_rank
+    from projectmapreduce_spark.plans import has_partitionless_window
+
+    o = scan(spark, SF_SMOKE, "orders")
+    df = global_sort_rank(o, [F.col("o_orderkey")], rank_col="pos")
+    assert not has_partitionless_window(df)
+
+
+def test_global_sort_rank_tiny_and_skewed_inputs(spark):
+    """Fewer rows than partitions, all-equal sort keys (total order
+    restored by the tiebreak), and an empty frame."""
+    from projectmapreduce_spark.operators.rank import global_sort_rank
+
+    few = spark.createDataFrame([(i,) for i in (5, 3, 9)], "k long")
+    got = {
+        (r.k, r.pos)
+        for r in global_sort_rank(few, [F.col("k")], rank_col="pos", num_partitions=8).collect()
+    }
+    assert got == {(3, 1), (5, 2), (9, 3)}
+
+    same = spark.createDataFrame([(1, i) for i in range(40)], "k long, id long")
+    rows = global_sort_rank(
+        same, [F.col("k"), F.col("id")], rank_col="pos", num_partitions=4
+    ).collect()
+    assert sorted((r.id, r.pos) for r in rows) == [(i, i + 1) for i in range(40)]
+
+    empty = spark.createDataFrame([], "k long")
+    assert global_sort_rank(empty, [F.col("k")], rank_col="pos").count() == 0
+
+
+def test_derive_shuffle_partitions_sizing(spark):
+    from projectmapreduce_spark.session import derive_shuffle_partitions, scan_size_bytes
+
+    GiB = 1024**3
+    # 1 TiB at the 128 MiB target → 8192 partitions
+    assert derive_shuffle_partitions(1024 * GiB) == 8192
+    # 100 TB clamps at the initialPartitionNum ceiling
+    assert derive_shuffle_partitions(100 * 10**12) == 200_000
+    # small inputs floor at the core count, never 0
+    assert derive_shuffle_partitions(1, min_partitions=32) == 32
+    assert derive_shuffle_partitions(0) == 1
+    # exact multiples don't round up an extra partition
+    assert derive_shuffle_partitions(256 * 1024 * 1024) == 2
+
+    sz = scan_size_bytes(spark, [f"{SF_SMOKE}/lineitem.parquet"])
+    assert sz > 0
+    assert derive_shuffle_partitions(sz, min_partitions=8) == 8

@@ -26,6 +26,38 @@ def test_prefix_filter_exactly_matches_naive(spark, threshold, n):
     assert filt == naive
 
 
+def test_arrays_join_modes_output_identical(spark):
+    """The size-aware verification join (auto / forced-broadcast /
+    forced-shuffle attachment of the per-doc token arrays) must be a
+    pure physical-strategy choice — same pairs, same jaccard, in every
+    mode (round-4 fix of the unconditional broadcast)."""
+    d = scan(spark, SF_SMOKE, "documents")
+    outs = [
+        {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_join(
+                d, "doc_id", "text", 0.8, n=1, arrays_join=mode
+            ).collect()
+        }
+        for mode in ("auto", "broadcast", "shuffle")
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0], "fixture must produce at least one duplicate pair"
+
+
+def test_arrays_join_shuffle_mode_has_no_arrays_broadcast(spark):
+    """In shuffle mode the arrays table must attach via SortMergeJoin —
+    the 100 TB path where a corpus-sized broadcast would OOM the
+    driver.  (Auto mode on small fixtures may legitimately broadcast;
+    the mode knob is what makes the scale path testable.)"""
+    from projectmapreduce_spark.plans import explain_str
+
+    d = scan(spark, SF_SMOKE, "documents")
+    df = ngram_jaccard_join(d, "doc_id", "text", 0.8, n=1, arrays_join="shuffle")
+    s = explain_str(df, "simple")
+    assert "SortMergeJoin" in s, s
+
+
 def test_prefix_filter_handles_injected_edge_cases(spark):
     rows = [
         (1, "a b c d e"),
