@@ -48,6 +48,18 @@ def scratch_path(name: str) -> str:
     return os.path.join(_SCRATCH, name)
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """True if ``path`` exists on its filesystem (Hadoop FS API — works
+    for any supported scheme, not just local files).  Used to
+    distinguish 'sink not created yet' from real analysis errors:
+    catching AnalysisException for that is too broad (schema drift or a
+    corrupt footer would silently masquerade as first-batch)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1 — parquet scan of one named table from a scale-factor dir.
 

@@ -634,7 +634,8 @@ WITH partval AS (
 )
 SELECT l_partkey, part_value
 FROM partval
-WHERE part_value > (SELECT 0.001 * sum(part_value) FROM partval)
+WHERE part_value >
+      (SELECT 0.001 * (sum(CAST(part_value AS DECIMAL(20,2)))::DOUBLE) FROM partval)
 """,
     survey="C12,A1,A2",
     category="composite",
@@ -648,15 +649,13 @@ def c12_important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     the grand-total scalar and the filter, so the fact is scanned and
     shuffled once; the supplier nation filter rides a broadcast probe
     on the scan side, killing ~80% of lines before the shuffle.  The
-    grand total is a sum over the ALREADY-ROUNDED per-part doubles
-    (each exact by the money contract), summed in DOUBLE on both
-    engines — at ~200k part groups the double sum of cent-quantized
-    values is exact to far below the 0.001× threshold's resolution,
-    and the fractional threshold multiply is one IEEE op, identical
-    cross-engine.  (A threshold compare against an UNROUNDED double
-    grand total would NOT be stable — that is exactly the defect class
-    the sf1 sweep caught in round 3 — so the contract quantizes per
-    part first.)"""
+    grand total is EXACT: the per-part values are cent-quantized by
+    the money contract, so they are summed as DECIMAL(20,2) (an
+    order-independent integer sum — a double accumulation would be
+    order-dependent in the last ulps, and a part landing inside that
+    window would flip inclusion cross-engine), cast to double ONCE,
+    then multiplied by the threshold fraction in one IEEE op that is
+    identical on both engines."""
     s = F.broadcast(
         scan(spark, sf_dir, "supplier")
         .filter(F.col("s_nationkey") < 5)
@@ -671,7 +670,12 @@ def c12_important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value")
         )
     )
-    total = partval.agg((F.lit(0.001) * F.sum("part_value")).alias("threshold"))
+    total = partval.agg(
+        (
+            F.lit(0.001)
+            * F.sum(F.col("part_value").cast("decimal(20,2)")).cast("double")
+        ).alias("threshold")
+    )
     return (
         partval.join(F.broadcast(total))
         .filter(F.col("part_value") > F.col("threshold"))

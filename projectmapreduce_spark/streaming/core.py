@@ -260,6 +260,14 @@ def sink_stream_foreach_batch(
     from projectmapreduce_spark.io import overwrite_partitions
 
     cols = (["batch_id"] if include_batch_id else []) + list(partition_cols or [])
+    if not cols:
+        # Dynamic-partition-overwrite with NO layout columns degrades
+        # to a full-dataset overwrite on every micro-batch — silent
+        # destruction of all prior batches.  Refuse the combination.
+        raise ValueError(
+            "sink_stream_foreach_batch needs at least one layout column: "
+            "pass partition_cols and/or include_batch_id=True"
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if include_batch_id:
@@ -303,9 +311,11 @@ def sink_stream_merge_upsert(
     the table — the hypertable maintenance contract at 100 TB-day
     volume.
     """
-    from pyspark.sql.utils import AnalysisException
-
-    from projectmapreduce_spark.io import overwrite_partitions, upsert_by_rewrite
+    from projectmapreduce_spark.io import (
+        overwrite_partitions,
+        path_exists,
+        upsert_by_rewrite,
+    )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -313,10 +323,16 @@ def sink_stream_merge_upsert(
         touched = [r[0] for r in batch_df.select(partition_col).distinct().collect()]
         if not touched:
             return
-        try:
+        # First batch is detected by an EXPLICIT existence check, not
+        # by catching AnalysisException: a broad catch would also
+        # swallow schema drift or a corrupt footer on the partials
+        # lake and silently overwrite the touched partitions with
+        # only this batch's rows.  Any real analysis failure now
+        # propagates and fails the streaming query.
+        if path_exists(spark, path):
             cur = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
             merged = upsert_by_rewrite(cur, batch_df, keys)
-        except AnalysisException:
+        else:
             merged = batch_df
         # One shuffle partition per partition value → one file per
         # rewritten partition; without this the writer splits every

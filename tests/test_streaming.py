@@ -137,3 +137,51 @@ def test_stream_stream_interval_join_equals_batch(spark):
     cols = ["view_id", "click_id", "lag_us"]
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() > 0
+
+
+def test_foreach_batch_sink_refuses_empty_layout(spark):
+    """include_batch_id=False with no partition columns would make
+    every micro-batch a full-dataset overwrite (silent destruction of
+    all prior batches) — the sink must refuse the combination."""
+    import pytest
+
+    from projectmapreduce_spark.streaming import (
+        read_events_stream,
+        sink_stream_foreach_batch,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    with pytest.raises(ValueError, match="layout column"):
+        sink_stream_foreach_batch(
+            stream, "/tmp/pmr_never_written", "/tmp/pmr_never_ckpt",
+            include_batch_id=False, partition_cols=None,
+        )
+
+
+def test_merge_upsert_propagates_corrupt_lake_errors(spark, tmp_path):
+    """A corrupt partials lake must FAIL the merge-upsert stream, not
+    be silently treated as 'first batch' (which would replace the
+    touched partitions with only the current batch's rows)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from projectmapreduce_spark.streaming import read_events_stream
+
+    lake = tmp_path / "lake"
+    part = lake / "day=2024-01-01"
+    part.mkdir(parents=True)
+    # parquet magic but garbage footer -> AnalysisException on read,
+    # which the old broad catch would have swallowed
+    (part / "part-00000.parquet").write_bytes(b"PAR1garbagegarbage")
+
+    from projectmapreduce_spark.streaming import sink_stream_merge_upsert
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    agg = stream.groupBy(
+        F.to_date("ts").alias("day"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    q = sink_stream_merge_upsert(
+        agg, str(lake), str(tmp_path / "ckpt"), keys=["day", "user_id"], partition_col="day"
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
