@@ -147,6 +147,14 @@ HEADLINE = [
     "a15_stats_moments",
     "t10_gaps_islands",
     "f12_digest_funcs",
+    # round-4 batch: the de-single-partitioned global rank pair (o1's
+    # range-shuffle zipWithIndex shape and l20's epoch materialize are
+    # now the 100 TB path, so their cost belongs in the headline),
+    # keyset pagination, and the PNG real-decode path.
+    "o1_global_sort",
+    "l20_epoch_shuffle",
+    "o6b_keyset_pagination",
+    "l11f_png_decode",
 ]
 
 

@@ -159,7 +159,10 @@ def synthesize_media(
     decode: the downstream ``extract_features`` / ``resize_images``
     real paths interpret the actual container format, and metadata
     (width/height/duration_ms) is computed from the synthesis
-    constants so SQL oracles can re-derive it from ``length(text)``."""
+    constants so SQL oracles can re-derive it from ``length(text)``.
+    A NULL source string synthesizes the same payload as an EMPTY one
+    (the seed is ``text or ""``) — oracles mirror this with
+    ``coalesce(text, '')``."""
     if kind not in ("image", "audio", "video"):
         raise ValueError(f"synthesize_media supports image|audio|video, got {kind!r}")
     if image_format not in ("bmp", "png"):
@@ -232,7 +235,12 @@ def extract_features(
     the raw container bytes (identical Arrow path, no decode).
     """
 
-    def one(payload: bytes) -> tuple[int | None, int | None, int | None, list[float]]:
+    def one(payload: bytes) -> tuple[int | None, int | None, int | None, list[float] | None]:
+        # NULL payload → typed-null metadata and NULL features (no
+        # decode to attempt); callers that want "null doc = empty doc"
+        # coalesce upstream (synthesize_media does).
+        if payload is None:
+            return None, None, None, None
         if fake:
             return None, None, None, list(_fake_features(payload, dim))
         fmt = sniff(payload)
@@ -271,7 +279,10 @@ def extract_features(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "n_bytes": pd.array(
+                        [len(p) if p is not None else None for p in pdf["payload"]],
+                        dtype="Int64",
+                    ),
                     "width": pd.array([d[0] for d in decoded], dtype="Int32"),
                     "height": pd.array([d[1] for d in decoded], dtype="Int32"),
                     "n_samples": pd.array([d[2] for d in decoded], dtype="Int64"),
@@ -301,10 +312,16 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
         target = width * height
         for pdf in it:
             if fake:
-                out = [bytes(p[:target]).ljust(target, b"\0") for p in pdf["payload"]]
+                out = [
+                    bytes(p[:target]).ljust(target, b"\0") if p is not None else None
+                    for p in pdf["payload"]
+                ]
             else:
                 out = []
                 for p in pdf["payload"]:
+                    if p is None:  # null media passes through as null
+                        out.append(None)
+                        continue
                     fmt = sniff(p)
                     if fmt == "bmp":
                         out.append(encode_bmp(resize_nearest(decode_bmp(p), width, height)))
@@ -358,6 +375,11 @@ def sample_frames(
         for pdf in it:
             rows = {"media_id": [], "frame_idx": [], "frame_payload": []}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                # NULL payload (e.g. a NULL source document) = no
+                # media = zero frames, in both tiers — the SQL twin is
+                # the oracle's length(text) > 0 guard.
+                if p is None:
+                    continue
                 if fake:
                     for i, off in enumerate(range(0, len(p), every_n_bytes)):
                         rows["media_id"].append(mid)

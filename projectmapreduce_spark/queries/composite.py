@@ -463,7 +463,17 @@ def c9_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = scan(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
-    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    # NULL-suppkey lines must be invisible to the per-order supplier
+    # stats: in the correlated form `l2.l_suppkey <> l1.l_suppkey` is
+    # never TRUE for a null row, so such lines witness neither
+    # "another supplier exists" nor "another supplier was late".
+    # Without this guard the window counts treated the null group as a
+    # supplier (caught by the hostile-domain sweep).
+    li = (
+        scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey").isNotNull())
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
     per_supp = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .withColumn(
@@ -570,6 +580,10 @@ WITH revenue AS (
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1996-04-01'
+    -- mirror the engine's null guard: without it a NULL-suppkey line
+    -- group would set the max and then vanish in the supplier join
+    -- (caught by the hostile-domain sweep)
+    AND l_suppkey IS NOT NULL
   GROUP BY l_suppkey
 )
 SELECT s_suppkey, s_name, total_revenue

@@ -331,13 +331,18 @@ def f8_cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH j AS (
   SELECT o_orderkey,
-         concat('{"order":{"key":', o_orderkey, ',"cust":', o_custkey,
+         -- render a NULL cust as JSON null: engines disagree on
+         -- concat-with-NULL (Spark nulls the whole string, DuckDB
+         -- skips the arg and emits MALFORMED json) — caught by the
+         -- hostile-domain sweep
+         concat('{"order":{"key":', o_orderkey, ',"cust":',
+                coalesce(o_custkey::VARCHAR, 'null'),
                 '},"tags":["', o_orderpriority, '","', o_orderstatus, '"]}') AS js
   FROM orders WHERE o_orderkey < 3000
 )
 SELECT o_orderkey,
        json_extract(js, '$.order.key')::BIGINT  AS v_key,
-       json_extract(js, '$.order.cust')::BIGINT AS v_cust,
+       TRY_CAST(json_extract(js, '$.order.cust') AS BIGINT) AS v_cust,
        json_extract_string(js, '$.tags[0]')     AS v_tag0,
        json_extract(js, '$.order.missing')::BIGINT AS v_missing
 FROM j
@@ -361,7 +366,9 @@ def f9_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = scan(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
     js = F.concat(
         F.lit('{"order":{"key":'), F.col("o_orderkey").cast("string"),
-        F.lit(',"cust":'), F.col("o_custkey").cast("string"),
+        # NULL cust renders as JSON null (see the oracle note: bare
+        # concat-with-NULL diverges between engines)
+        F.lit(',"cust":'), F.coalesce(F.col("o_custkey").cast("string"), F.lit("null")),
         F.lit('},"tags":["'), F.col("o_orderpriority"),
         F.lit('","'), F.col("o_orderstatus"), F.lit('"]}'),
     )

@@ -532,10 +532,10 @@ def l11_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id AS media_id,
        'image' AS kind,
-       (54 + 24 * greatest(1, least(64, (octet_length(encode(text)) + 23) // 24)))::BIGINT
+       (54 + 24 * greatest(1, least(64, (octet_length(encode(coalesce(text, ''))) + 23) // 24)))::BIGINT
                                                                  AS n_bytes,
        8::INT                                                    AS width,
-       greatest(1, least(64, (octet_length(encode(text)) + 23) // 24))::INT
+       greatest(1, least(64, (octet_length(encode(coalesce(text, ''))) + 23) // 24))::INT
                                                                  AS height,
        16::INT                                                   AS dim,
        1.0::DOUBLE                                               AS feat_sum
@@ -578,7 +578,7 @@ def l11b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id AS media_id,
        'image' AS kind,
        8::INT                                                    AS width,
-       greatest(1, least(64, (octet_length(encode(text)) + 23) // 24))::INT
+       greatest(1, least(64, (octet_length(encode(coalesce(text, ''))) + 23) // 24))::INT
                                                                  AS height,
        16::INT                                                   AS dim,
        1.0::DOUBLE                                               AS feat_sum
@@ -620,10 +620,10 @@ def l11f_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id AS media_id,
        'audio' AS kind,
-       (44 + 2 * octet_length(encode(text)))::BIGINT        AS n_bytes,
-       octet_length(encode(text))::BIGINT                   AS n_samples,
-       (octet_length(encode(text)) * 1000 // 16000)::INT    AS duration_ms,
-       CASE WHEN octet_length(encode(text)) = 0 THEN 0.0 ELSE 1.0 END::DOUBLE
+       (44 + 2 * octet_length(encode(coalesce(text, ''))))::BIGINT        AS n_bytes,
+       octet_length(encode(coalesce(text, '')))::BIGINT                   AS n_samples,
+       (octet_length(encode(coalesce(text, ''))) * 1000 // 16000)::INT    AS duration_ms,
+       CASE WHEN octet_length(encode(coalesce(text, ''))) = 0 THEN 0.0 ELSE 1.0 END::DOUBLE
                                                             AS feat_sum
 FROM documents
 """,
@@ -681,11 +681,18 @@ def l12_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "l11c_frame_sampling",
     oracle="""
+-- frame counts follow the UTF-8 BYTE length of the payload, not the
+-- character length: they differ on multi-byte (astral-plane) text —
+-- caught by the hostile-domain sweep
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb
+  FROM documents WHERE doc_id < 50
+)
 SELECT doc_id AS media_id,
-       generate_subscripts(range((length(text) + 63) // 64), 1) - 1 AS frame_idx,
-       least(64, length(text) - (generate_subscripts(range((length(text) + 63) // 64), 1) - 1) * 64) AS frame_bytes
-FROM documents
-WHERE doc_id < 50 AND length(text) > 0
+       generate_subscripts(range((nb + 63) // 64), 1) - 1 AS frame_idx,
+       least(64, nb - (generate_subscripts(range((nb + 63) // 64), 1) - 1) * 64) AS frame_bytes
+FROM d
+WHERE nb > 0
 """,
     survey="L11,M2",
     category="llm",
@@ -709,8 +716,8 @@ def l11c_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH g AS (
   SELECT doc_id,
-         octet_length(encode(text)) AS n,
-         greatest(1, least(64, (octet_length(encode(text)) + 23) // 24)) AS h
+         octet_length(encode(coalesce(text, ''))) AS n,
+         greatest(1, least(64, (octet_length(encode(coalesce(text, ''))) + 23) // 24)) AS h
   FROM documents WHERE doc_id < 200
 )
 SELECT doc_id AS media_id,
