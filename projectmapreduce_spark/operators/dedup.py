@@ -66,9 +66,17 @@ def tokens_of(
     """
     arr = F.split(F.col(text_col), r"\s+")
     if n > 1:
-        arr = F.transform(
+        # A doc with fewer than n tokens has ZERO n-grams (the SQL
+        # twin is `CASE WHEN len(t) >= n THEN ... ELSE [] END`).
+        # Without the guard, sequence(0, size-n) DESCENDS for short
+        # docs and slice() throws on start=0 — caught by the
+        # hostile-domain sweep's empty/whitespace documents.
+        shingles = F.transform(
             F.sequence(F.lit(0), F.size(arr) - n),
             lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
+        )
+        arr = F.when(F.size(arr) >= n, shingles).otherwise(
+            F.array().cast("array<string>")
         )
     out = fan_out(df).select(F.col(id_col).alias("id"), F.explode(arr).alias("token"))
     return out.distinct() if distinct else out

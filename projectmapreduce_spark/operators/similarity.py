@@ -97,12 +97,21 @@ def int_dot(a, b) -> Column:
 
 def normalized(emb: DataFrame, id_col: str, vec_col: str, dim: int | None = None) -> DataFrame:
     """All columns of ``emb`` plus ``vn`` = unit-normalized double vector
-    (computed once per vector — prerequisite for dot-only cosine)."""
+    (computed once per vector — prerequisite for dot-only cosine).
+
+    ZERO-NORM vectors are EXCLUDED: they have no direction, so cosine
+    against them is undefined (and ANSI mode rightly refuses the 0/0
+    — caught by the hostile-domain sweep's zero embeddings).  Every
+    similarity operator in this module shares that exclusion policy,
+    and the SQL oracles mirror it with a ``dot(v, v) > 0`` guard."""
     v = as_double(F.col(vec_col))
     norm_in = v if dim is None else F.col(vec_col)
-    return emb.withColumn("__n", norm(norm_in, dim)).withColumn(
-        "vn", F.transform(v, lambda x: x / F.col("__n"))
-    ).drop("__n")
+    return (
+        emb.withColumn("__n", norm(norm_in, dim))
+        .filter(F.col("__n") > 0)
+        .withColumn("vn", F.transform(v, lambda x: x / F.col("__n")))
+        .drop("__n")
+    )
 
 
 def cosine_pairs(
@@ -129,7 +138,8 @@ def cosine_pairs(
     # all-double oracle in the last ulp (caught by the sf0.001 sweep).
     # The unrolled path casts per element inside dot() already.
     norm_in = as_double(F.col(vec_col)) if dim is None else F.col(vec_col)
-    unit = fan_out(emb).withColumn("__n", norm(norm_in, dim))
+    # zero-norm vectors excluded (no direction — see `normalized`)
+    unit = fan_out(emb).withColumn("__n", norm(norm_in, dim)).filter(F.col("__n") > 0)
     a = unit.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
@@ -184,10 +194,13 @@ def brute_force_topk(
     # getItem (projection collapse would re-evaluate it per element —
     # O(dim²) interpreted work per pair).
     cast_side = (lambda c: F.col(c)) if dim is not None else (lambda c: as_double(F.col(c)))
-    q = queries.select(F.col(q_id_col).alias("q_id"), cast_side(q_vec_col).alias("qv"))
+    # zero-norm vectors excluded on BOTH sides (see `normalized`)
+    q = queries.select(F.col(q_id_col).alias("q_id"), cast_side(q_vec_col).alias("qv")).filter(
+        norm(F.col("qv"), dim) > 0
+    )
     n = fan_out(emb).select(
         F.col(id_col).alias("neighbor_id"), cast_side(vec_col).alias("nv")
-    )
+    ).filter(norm(F.col("nv"), dim) > 0)
     scored = (
         n.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("neighbor_id"))
@@ -262,6 +275,10 @@ def lsh_ann_topk(
     O(Q·N·T·(1+planes)/2^planes) expected comparisons; only the (small)
     query side is expanded, then broadcast.
     """
+    # zero-norm vectors excluded on both sides (see `normalized`)
+    emb = emb.filter(norm(as_double(F.col(vec_col))) > 0)
+    queries = queries.filter(norm(as_double(F.col(q_vec_col))) > 0)
+
     def tables(vec, make_row):
         per_table = [
             make_row(t, lsh_bucket(vec, dim, n_planes, seed + t)) for t in range(n_tables)
@@ -399,6 +416,9 @@ def ivf_ann_topk(
     (tighter lists when the corpus is clustered), at the price of the
     k-means fit passes.
     """
+    # zero-norm vectors excluded on both sides (see `normalized`)
+    emb = emb.filter(norm(as_double(F.col(vec_col))) > 0)
+    queries = queries.filter(norm(as_double(F.col(q_vec_col))) > 0)
     cents = ivf_fit(emb, id_col, vec_col, k_clusters, iters)
     vec_sql = f"cast(`{vec_col}` as array<double>)"
     q_vec_sql = f"cast(`{q_vec_col}` as array<double>)"
@@ -475,6 +495,9 @@ def ivf_int8_ann_topk(
     only reorders near-ties, and ties deeper than rerank_mult·k are
     outside the final top-k with high probability).
     """
+    # zero-norm vectors excluded on both sides (see `normalized`)
+    emb = emb.filter(norm(as_double(F.col(vec_col))) > 0)
+    queries = queries.filter(norm(as_double(F.col(q_vec_col))) > 0)
     cents = ivf_fit(emb, id_col, vec_col, k_clusters, iters)
     vec_sql = f"cast(`{vec_col}` as array<double>)"
     q_vec_sql = f"cast(`{q_vec_col}` as array<double>)"
@@ -575,6 +598,9 @@ def semantic_dedup(
     )
     n = (
         assigned.withColumn("__n", norm(as_double(F.col("__v"))))
+        # zero-norm vectors can't be near-dups of anything (see
+        # `normalized`); they stay in `assigned` and survive
+        .filter(F.col("__n") > 0)
         .withColumn("vn", F.transform(as_double(F.col("__v")), lambda x: x / F.col("__n")))
         .drop("__n")
     )
@@ -628,6 +654,8 @@ def build_ivf_index(
     import json
     import os
 
+    # zero-norm vectors excluded from the index (see `normalized`)
+    emb = emb.filter(norm(as_double(F.col(vec_col))) > 0)
     cents = ivf_fit(emb, id_col, vec_col, k_clusters, iters)
     vec_sql = f"cast(`{vec_col}` as array<double>)"
     idx = quantize_int8(emb, id_col, vec_col).select(
@@ -671,6 +699,8 @@ def query_ivf_index(
 
     with open(os.path.join(path, "_centroids.json")) as f:
         cents = json.load(f)
+    # zero-norm queries excluded; the index side was filtered at build
+    queries = queries.filter(norm(as_double(F.col(q_vec_col))) > 0)
     q_vec_sql = f"cast(`{q_vec_col}` as array<double>)"
     probes = F.expr(
         f"transform(slice(reverse(array_sort({_centroid_scores_sql(q_vec_sql, cents)}"

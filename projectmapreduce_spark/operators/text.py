@@ -64,7 +64,11 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "mean_token_len"
         ),
         (n_stop / n_tok).alias("stopword_ratio"),
-        (n_alpha / F.length(text_col)).alias("alpha_ratio"),
+        # empty doc → NULL ratio (try_divide), mirrored by the oracle's
+        # nullif(n_chars, 0) — a plain divide is an ANSI error on the
+        # hostile tier's empty documents.  n_tok is never 0 (split of
+        # '' is ['']), so the divisions above stay plain.
+        F.try_divide(n_alpha, F.length(text_col)).alias("alpha_ratio"),
     )
 
 

@@ -159,9 +159,12 @@ WITH e AS (
   SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
 ),
 n AS (
+  -- zero-norm vectors excluded from pair generation (they can't be
+  -- near-dups of anything) but SURVIVE in the final select below,
+  -- mirroring the engine (operators/similarity.py)
   SELECT vec_id, label,
          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
-  FROM e
+  FROM e WHERE list_dot_product(v, v) > 0
 ),
 dup_ids AS (
   SELECT DISTINCT b.vec_id
@@ -196,9 +199,11 @@ WITH e AS (
   SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
 ),
 n AS (
+  -- zero-norm vectors have no direction: excluded, mirroring the
+  -- engine's shared exclusion policy (operators/similarity.py)
   SELECT vec_id, label,
          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
-  FROM e
+  FROM e WHERE list_dot_product(v, v) > 0
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.vn, b.vn), 6) AS cos_sim
@@ -222,7 +227,10 @@ def l3_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l4_topk_nn",
     oracle="""
 WITH e AS (
+  -- zero-norm vectors excluded on both sides (engine policy:
+  -- operators/similarity.py `normalized`)
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+  WHERE list_dot_product(embedding, embedding) > 0
 ),
 q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE q_id < 8),
 scored AS (
@@ -352,9 +360,9 @@ def l5_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l6_tokenize",
     oracle="""
 SELECT doc_id,
-       len(string_split_regex(trim(text), '\\s+'))  AS n_tokens,
-       string_split_regex(trim(text), '\\s+')[1]    AS first_token,
-       string_split_regex(trim(text), '\\s+')[-1]   AS last_token
+       len(string_split_regex(trim(text, ' '), '\\s+'))  AS n_tokens,
+       string_split_regex(trim(text, ' '), '\\s+')[1]    AS first_token,
+       string_split_regex(trim(text, ' '), '\\s+')[-1]   AS last_token
 FROM documents
 """,
     survey="L6",
@@ -409,9 +417,9 @@ def l7b_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT doc_id,
          length(text) AS n_chars,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         len(string_split_regex(trim(text, ' '), '\\s+')) AS n_tokens,
          length(regexp_replace(text, '\\s+', '', 'g')) AS solid_chars,
-         len(list_filter(string_split_regex(trim(text), '\\s+'),
+         len(list_filter(string_split_regex(trim(text, ' '), '\\s+'),
                          t -> list_contains(['a','the','of','and','is'], t))) AS n_stop,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
   FROM documents
@@ -419,7 +427,8 @@ WITH t AS (
 SELECT doc_id, n_chars, n_tokens,
        round(solid_chars::DOUBLE / n_tokens, 6) AS mean_token_len,
        round(n_stop::DOUBLE / n_tokens, 6)      AS stopword_ratio,
-       round(n_alpha::DOUBLE / n_chars, 6)      AS alpha_ratio
+       -- empty doc: NULL ratio (engine try_divide)
+       round(n_alpha::DOUBLE / nullif(n_chars, 0), 6) AS alpha_ratio
 FROM t
 """,
     survey="L8",
@@ -443,7 +452,7 @@ def l8_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l9_tfidf",
     oracle="""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+  SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '\\s+')) AS token FROM documents
 ),
 tf AS (SELECT doc_id AS id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
 dfreq AS (SELECT token, count(DISTINCT doc_id) AS df_docs FROM tok GROUP BY token),
@@ -470,7 +479,7 @@ WITH lex(word, weight) AS (
   VALUES ('fast', 2), ('big', 1), ('small', 1), ('slow', -2), ('dup', -1), ('spark', 2)
 ),
 tok AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+  SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '\\s+')) AS token FROM documents
 ),
 hits AS (
   SELECT doc_id AS id, sum(weight) AS score, count(*) AS n_hits
@@ -992,7 +1001,7 @@ def l17_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l18_repetition_filter",
     oracle="""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  SELECT doc_id, string_split_regex(trim(text, ' '), '\\s+') AS toks
   FROM documents
 ),
 base AS (
@@ -1058,7 +1067,7 @@ def l18_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l19_contamination_check",
     oracle="""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(text, ' '), '\\s+') AS t FROM documents
 ),
 sh AS (
   SELECT DISTINCT doc_id, gram FROM (
@@ -1312,7 +1321,10 @@ def l23_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l24_context_chunking",
     oracle="""
 WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  -- null = empty doc (one empty chunk): engines disagree downstream on
+  -- NULL arrays (array_to_string(NULL) is NULL, Spark's concat_ws
+  -- renders '') -- caught by the hostile-domain sweep
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents
 ),
 idx AS (
   SELECT doc_id, toks,
@@ -1348,7 +1360,8 @@ def l24_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition by hash(doc_id) so downstream packing reads co-located
     chunks."""
     d = scan(spark, sf_dir, "documents")
-    arr = F.split("text", " ")
+    # null = empty doc, mirrored in the oracle's coalesce (see note)
+    arr = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     n = F.size(arr)
     # ceil((n - 32) / 24) extra chunks past the first; (n-32+23) = n-9.
     n_chunks = F.when(
@@ -1428,7 +1441,7 @@ def l25_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l26_bm25_scoring",
     oracle="""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+  SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '\\s+')) AS token FROM documents
 ),
 tf AS (SELECT doc_id AS id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id AS id, count(*) AS dl FROM tok GROUP BY 1),
@@ -1604,9 +1617,9 @@ def l28_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
 q AS (
   SELECT * FROM en
-  WHERE len(string_split_regex(trim(text), '\\s+')) >= 10
+  WHERE len(string_split_regex(trim(text, ' '), '\\s+')) >= 10
     AND length(regexp_replace(text, '\\s+', '', 'g'))
-        / len(string_split_regex(trim(text), '\\s+')) <= 12.0
+        / len(string_split_regex(trim(text, ' '), '\\s+')) <= 12.0
 ),
 dd AS (
   SELECT * FROM (
@@ -1691,7 +1704,7 @@ def l30_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l31_bigram_perplexity",
     oracle="""
 WITH tok AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(trim(text, ' '), '\\s+') AS toks FROM documents
 ),
 bg AS (
   SELECT doc_id, t1.tok AS w1, toks[t1.i + 1] AS w2

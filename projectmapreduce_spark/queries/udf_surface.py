@@ -238,7 +238,7 @@ def x5_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        length(text)::BIGINT AS n_chars_py,
-       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens_py
+       len(string_split_regex(trim(text, ' '), '\\s+'))::BIGINT AS n_tokens_py
 FROM documents
 """,
     survey="X6",

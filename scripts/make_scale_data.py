@@ -482,7 +482,13 @@ def gen_hostile(spark: SparkSession) -> None:
     li = _ids(spark, N["lineitem"], "rid").select(
         # ~2% orphan order FKs (aggregate-then-join shapes must not
         # resurrect them through a semi-join)
-        F.when(_u(rid, "lo?", 100) < 2, N["orders"] + _u(rid, "lod", 1000))
+        # ~2% orphan order FKs (aggregate-then-join shapes must not
+        # resurrect them), spread over a WIDE key range: a narrow range
+        # (first cut: 1000 keys) packed ~120 lines per phantom order,
+        # whose per-order supplier cliques made the m11 co-supply graph
+        # pathologically dense (C(120,2) edges × 1000 keys) — the
+        # hostility target is dangling-FK semantics, not graph density.
+        F.when(_u(rid, "lo?", 100) < 2, N["orders"] + _u(rid, "lod", 1_000_000))
         .otherwise(F.col("rid") % N["orders"])
         .alias("l_orderkey"),
         # ~1% NULL part / supplier FKs — null group keys and null join

@@ -10,7 +10,7 @@ clobbers another's findings.
 
 from __future__ import annotations
 
-MARKERS = ("HEAVY", "GRAPH", "STREAM", "SKEW")
+MARKERS = ("HEAVY", "GRAPH", "STREAM", "SKEW", "SHUFFLE", "HOSTILE")
 
 
 def _bounds(marker: str) -> tuple[str, str]:
