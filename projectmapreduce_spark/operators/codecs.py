@@ -1,6 +1,6 @@
 """Pure-Python media codecs (SURVEY.md §2.11 L11 — the de-stubbed tier).
 
-The container has no PIL/ffmpeg/torchaudio, but five classic formats
+The container has no PIL/ffmpeg/torchaudio, but six classic formats
 are simple enough to decode exactly with numpy + struct + zlib alone:
 
 * **BMP** — 24-bit uncompressed ``BI_RGB`` Windows bitmaps: 14-byte
@@ -12,6 +12,10 @@ are simple enough to decode exactly with numpy + struct + zlib alone:
   truecolor (type 2), truecolor+alpha (6, alpha dropped) and
   grayscale (0, replicated) decode to the same (H, W, 3) contract as
   BMP; palette/interlace/16-bit stay behind the codec boundary.
+* **GIF (87a/89a)** — logical screen + color tables, variable-width
+  LSB-first LZW with clear/EOI and mid-stream dictionary resets,
+  4-pass de-interlacing; first frame to the same (H, W, 3) contract
+  (GIF spec / Welch 1984 — public layouts).
 * **PPM (P6)** — Netpbm binary RGB, maxval 255: ASCII header then raw
   RGB triplets, row-major top-down.
 * **WAV** — RIFF/WAVE with a PCM16 ``fmt `` chunk and a ``data``
@@ -48,11 +52,13 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def sniff(payload: bytes) -> str | None:
     """Identify a payload by magic bytes:
-    'bmp' | 'png' | 'ppm' | 'wav' | 'avi' | None."""
+    'bmp' | 'png' | 'gif' | 'ppm' | 'wav' | 'avi' | None."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:8] == _PNG_SIG:
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -227,6 +233,185 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ctype_n == 0:
         return np.repeat(planes, 3, axis=2).copy()
     return planes[:, :, :3].copy()
+
+
+# ---------- GIF (87a/89a, LZW, first frame) ----------
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a single-frame GIF89a
+    with a global color table (≤256 unique colors — the format's hard
+    limit; more raises ValueError) and a real LZW-compressed raster."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {a.shape}")
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF supports at most 256 colors, image has {len(colors)}")
+    # palette size: power of two ≥ n_colors, minimum 2
+    depth = max(1, int(len(colors) - 1).bit_length())
+    table = np.zeros((1 << depth, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    header = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0)
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+
+    # LZW encode (variable-width codes, LSB-first packing)
+    min_code = max(2, depth)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    codes: list[int] = [clear]
+    dict_: dict[tuple[int, ...], int] = {(i,): i for i in range(1 << min_code)}
+    next_code = eoi + 1
+    run: tuple[int, ...] = ()
+    for px in inverse.tolist():
+        cand = run + (px,)
+        if cand in dict_:
+            run = cand
+            continue
+        codes.append(dict_[run])
+        run = (px,)
+        if next_code < 4096:  # codes are 12-bit max; never assign 4096
+            dict_[cand] = next_code
+            next_code += 1
+        else:
+            codes.append(clear)
+            dict_ = {(i,): i for i in range(1 << min_code)}
+            next_code = eoi + 1
+    if run:
+        codes.append(dict_[run])
+    codes.append(eoi)
+    # pack: code width grows when next_code would exceed the width
+    out = bytearray()
+    acc = bits = 0
+    width = min_code + 1
+    n_emitted = eoi + 1
+    for c in codes:
+        acc |= c << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+        if c == clear:
+            n_emitted = eoi + 1
+            width = min_code + 1
+        else:
+            n_emitted += 1
+            if n_emitted > (1 << width) and width < 12:
+                width += 1
+    if bits:
+        out.append(acc & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        header
+        + table.tobytes()
+        + img_desc
+        + bytes([min_code])
+        + bytes(blocks)
+        + b"\x00"
+        + b"\x3b"
+    )
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode a GIF87a/89a payload's FIRST image to (H, W, 3) uint8
+    RGB: logical-screen + color tables per the GIF spec, variable-width
+    LSB-first LZW with clear/EOI handling, Adam-style 4-pass
+    de-interlacing when the interlace flag is set.  Transparency and
+    later animation frames are out of contract (first frame only)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x} at {pos}")
+        _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF image has no color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            size = payload[pos]
+            data += payload[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        pos += 1
+
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        dict_: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        acc = bits = bit_pos = 0
+        prev: bytes | None = None
+        out = bytearray()
+        while True:
+            while bits < width:
+                if bit_pos >= len(data):
+                    raise ValueError("truncated GIF LZW stream")
+                acc |= data[bit_pos] << bits
+                bits += 8
+                bit_pos += 1
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                dict_ = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                entry = dict_[code]
+            elif code < len(dict_):
+                entry = dict_[code]
+                dict_.append(prev + entry[:1])
+            elif code == len(dict_):
+                entry = prev + prev[:1]
+                dict_.append(entry)
+            else:
+                raise ValueError(f"invalid GIF LZW code {code}")
+            out += entry
+            prev = entry
+            if len(dict_) >= (1 << width) and width < 12:
+                width += 1
+        idx = np.frombuffer(bytes(out[: w * h]), np.uint8)
+        if len(idx) < w * h:
+            raise ValueError(f"truncated GIF raster: need {w * h}, have {len(idx)}")
+        rows = table[idx].reshape(h, w, 3)
+        if iflags & 0x40:  # interlaced: rows stored in 4 passes
+            order = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            deinter = np.empty_like(rows)
+            deinter[order] = rows
+            rows = deinter
+        return rows.copy()
+    raise ValueError("GIF contains no image block")
 
 
 # ---------- PPM (P6, maxval 255) ----------

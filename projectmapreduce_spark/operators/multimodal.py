@@ -9,8 +9,9 @@ Arrow-batched ``mapInPandas`` whose batch size is bounded by
 Codec tiers:
 
 * **Real decode** (``fake=False``): BMP (24-bit BI_RGB), PNG (8-bit
-  RFC 2083, full 5-filter reconstruction, stdlib zlib inflate), PPM
-  (P6), WAV (RIFF PCM16) and AVI (RIFF, uncompressed 24-bit DIB
+  RFC 2083, full 5-filter reconstruction, stdlib zlib inflate), GIF
+  (variable-width LZW, de-interlacing), PPM (P6), WAV (RIFF PCM16)
+  and AVI (RIFF, uncompressed 24-bit DIB
   stream) payloads are decoded byte-exactly by the pure-Python codecs
   in ``operators/codecs.py`` — pixel/sample/frame arrays, dimensions,
   frame counts and durations all come from interpreting the actual
@@ -18,7 +19,7 @@ Codec tiers:
   BMP/PNG/WAV/AVI payloads deterministically from any string column
   so every media family's decode path runs on every tier's data with
   no external libs.
-* **Codec boundary**: payloads in formats beyond those five
+* **Codec boundary**: payloads in formats beyond those six
   (JPEG/MP3/MP4…) raise ``NotImplementedError`` inside the
   workers — PIL/ffmpeg/torchaudio are not in this container.
 * **Byte-level fake** (``fake=True``): the original deterministic
@@ -46,6 +47,7 @@ from pyspark.sql.types import (
 from projectmapreduce_spark.operators.codecs import (
     decode_avi,
     decode_bmp,
+    decode_gif,
     decode_png,
     decode_ppm,
     decode_wav,
@@ -248,6 +250,8 @@ def extract_features(
             px = decode_bmp(payload)
         elif fmt == "png":
             px = decode_png(payload)
+        elif fmt == "gif":
+            px = decode_gif(payload)
         elif fmt == "ppm":
             px = decode_ppm(payload)
         elif fmt == "wav":

@@ -456,3 +456,101 @@ def test_png_resize_real_decode(spark):
     px = decode_png(bytes(out.payload))
     ref = resize_nearest(_synth_pixels(b"resize me please, twelve"), 4, 4)
     np.testing.assert_array_equal(px, ref)
+
+
+# ---------- GIF ----------
+
+
+def test_gif_golden_2x2_hand_packed_lzw():
+    """Hand-assembled GIF89a: 2×2, 4-color global palette, LZW stream
+    packed BY HAND (clear,0,1,2,3,eoi with the 3→4-bit width growth at
+    dictionary size 8) — an encoder/decoder pair that share a wrong
+    width rule cannot pass."""
+    from projectmapreduce_spark.operators.codecs import decode_gif
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    payload = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x91, 0, 0)
+        + palette
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+        + bytes([0x02])                      # LZW min code size
+        + bytes([0x03, 0x44, 0x34, 0x05])    # hand-packed code stream
+        + b"\x00" + b"\x3b"
+    )
+    assert sniff(payload) == "gif"
+    from projectmapreduce_spark.operators.codecs import decode_gif
+
+    out = decode_gif(payload)
+    want = np.array(
+        [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]], np.uint8
+    )
+    np.testing.assert_array_equal(out, want)
+
+
+def test_gif_interlaced_rows_reordered():
+    """Same pixels, interlace flag set: stored row order is the 4-pass
+    schedule (h=5 → 0,4,2,1,3); the decoder must undo it."""
+    from projectmapreduce_spark.operators.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 4, size=(5, 3), dtype=np.uint8)
+    rgb = np.stack([img * 60, img * 10, 255 - img * 60], axis=2).astype(np.uint8)
+    plain = bytearray(encode_gif(rgb))
+    # rewrite the raster with rows in interlace order and set the flag
+    desc_at = plain.index(0x2C, 13)
+    iflags_at = desc_at + 9
+    order = [0, 4, 2, 1, 3]
+    inter = rgb[order]
+    reenc = bytearray(encode_gif(inter))
+    reenc_desc = reenc.index(0x2C, 13)
+    reenc[reenc_desc + 9] |= 0x40
+    np.testing.assert_array_equal(decode_gif(bytes(reenc)), rgb)
+    assert plain is not None and iflags_at > 0  # (layout sanity)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (3, 5), (16, 16), (40, 8)])
+def test_gif_roundtrip_exact(shape):
+    from projectmapreduce_spark.operators.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    # ≤16 distinct colors so the palette fits easily
+    idx = rng.integers(0, 16, size=shape, dtype=np.uint8)
+    arr = np.stack([idx * 16, 255 - idx * 16, idx * 3], axis=2).astype(np.uint8)
+    np.testing.assert_array_equal(decode_gif(encode_gif(arr)), arr)
+
+
+def test_gif_roundtrip_forces_dict_reset():
+    """A long noisy image forces the LZW dictionary past 4096 entries →
+    the encoder must emit a mid-stream clear and the decoder must
+    resync."""
+    from projectmapreduce_spark.operators.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 256, size=(256, 64), dtype=np.uint8)
+    arr = np.stack([idx, idx, idx], axis=2).astype(np.uint8)  # 256 gray levels
+    np.testing.assert_array_equal(decode_gif(encode_gif(arr)), arr)
+
+
+def test_gif_too_many_colors_raises():
+    from projectmapreduce_spark.operators.codecs import encode_gif
+
+    g = np.arange(32 * 32, dtype=np.uint16)
+    arr = np.stack([g % 256, g // 256, np.zeros_like(g)], axis=1).astype(np.uint8)
+    with pytest.raises(ValueError, match="256 colors"):
+        encode_gif(arr.reshape(32, 32, 3))
+
+
+def test_gif_extract_features_through_spark(spark):
+    from projectmapreduce_spark.operators.codecs import encode_gif
+
+    img = np.array([[(10, 20, 30), (40, 50, 60)]], np.uint8)
+    rows = [(1, "gif", bytearray(encode_gif(img)), "image/gif", None, None, None)]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    out = extract_features(media, dim=16, fake=False).collect()[0]
+    assert (out.width, out.height) == (2, 1)
+    assert abs(sum(out.features) - 1.0) < 1e-9
