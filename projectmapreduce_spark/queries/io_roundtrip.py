@@ -80,7 +80,11 @@ def s3_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s4_text_roundtrip",
     oracle="""
-SELECT count(*) AS n_lines, sum(length(text))::BIGINT AS total_chars
+SELECT count(*) AS n_lines,
+       sum(length(replace(replace(replace(coalesce(text, ''),
+             chr(92), chr(92) || chr(92)),
+             chr(10), chr(92) || 'n'),
+             chr(13), chr(92) || 'r')))::BIGINT AS total_chars
 FROM documents
 """,
     survey="S4",
@@ -88,8 +92,27 @@ FROM documents
 )
 def s4_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text sink (one line per doc) → line scan (the MR TextInputFormat
-    shape) → line count + char mass == source."""
-    d = scan(spark, sf_dir, "documents").select("text")
+    shape) → line count + char mass == source.
+
+    Records are NEWLINE-ESCAPED before the write (backslash-escape of
+    \\, \\n, \\r — literal `F.replace`, no regex), because a line sink
+    is only a roundtrip for newline-free records: a document
+    containing \\n becomes several lines and silently changes both
+    counts (caught by the hostile-domain sweep).  NULL docs write as
+    empty lines.  The oracle applies the identical escape, so the
+    char mass is checked on the exact bytes that hit the sink."""
+    esc = F.replace(
+        F.replace(
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")), F.lit("\\"), F.lit("\\\\")
+            ),
+            F.lit("\n"),
+            F.lit("\\n"),
+        ),
+        F.lit("\r"),
+        F.lit("\\r"),
+    )
+    d = scan(spark, sf_dir, "documents").select(esc.alias("text"))
     path = _p("documents_text")
     d.write.mode("overwrite").text(path)
     back = scan_text(spark, path)
@@ -581,10 +604,17 @@ def s16_malformed_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.write("not_a_number,Supplier#X,7,123.45\n")
         fh.write("\n")
     schema = "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    # multiLine: names may legitimately contain QUOTED newlines (the
+    # writer quotes them correctly); without it the reader splits the
+    # quoted field at the newline and DROPMALFORMED silently discards
+    # REAL rows (caught by the hostile-domain sweep).  Cost note:
+    # multiLine CSV files are not split within a file — at 100 TB keep
+    # dirty CSV ingest many-files-small, or pre-normalize newlines.
     back = (
         spark.read.schema(schema)
         .option("header", "false")
         .option("mode", "DROPMALFORMED")
+        .option("multiLine", "true")
         .csv(path)
     )
     return back.agg(

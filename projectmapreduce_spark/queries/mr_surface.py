@@ -56,11 +56,14 @@ def m2_mappartitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def per_batch(batches):
         for pdf in batches:
+            # nullable Int dtypes: a NULL doc must surface as NULL
+            # counts (the oracle's len(string_split(NULL)) is NULL) —
+            # plain int32 astype throws on the NaN (hostile sweep)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_tokens": pdf["text"].str.split(" ").str.len().astype("int32"),
-                    "chars_mod7": (pdf["n_chars"] % 7).astype("int64"),
+                    "n_tokens": pdf["text"].str.split(" ").str.len().astype("Int32"),
+                    "chars_mod7": (pdf["n_chars"] % 7).astype("Int64"),
                 }
             )
 

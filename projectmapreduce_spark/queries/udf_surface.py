@@ -157,6 +157,10 @@ def x4b_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, pos int, token string")
     class SplitTokens:
         def eval(self, doc_id: int, text: str):
+            # NULL doc → no rows, matching the oracle's unnest(NULL)
+            # and x4's explode(NULL) (hostile-domain sweep)
+            if text is None:
+                return
             for i, t in enumerate(text.split(" ")):
                 yield doc_id, i, t
 
