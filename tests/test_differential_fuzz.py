@@ -198,3 +198,107 @@ def test_fuzz_timestamp_funcs_match_duckdb(spark, rows):
         )
     )
     assert got == want
+
+
+# --- round 4: the hostile-domain divergence classes, fuzzed ---
+
+text_rows = st.lists(
+    st.tuples(
+        st.integers(0, 50),
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.sampled_from(
+                    list("ab c\t\n ") + ["\U00010348", "\U0001f984", "é"]
+                ),
+                max_size=12,
+            ),
+        ),
+    ),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=text_rows)
+@settings(**_SETTINGS)
+def test_fuzz_tokenize_matches_duckdb_on_hostile_text(spark, rows):
+    """The engine's trim+split tokenizer vs the oracle convention
+    (`trim(text, ' ')` + regex split): NULL docs, unicode whitespace
+    (NBSP must NOT be trimmed), astral-plane chars, embedded
+    tabs/newlines — the exact classes the round-4 hostile sweep caught
+    in fixed queries, here fuzzed so regressions can't hide between
+    fixtures."""
+    sdf = _spark_df(spark, rows, "id int, text string").select(
+        "id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.length(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")).alias("n_bytes"),
+    )
+    ddf = _duck(
+        rows,
+        "id int, text varchar",
+        """
+        SELECT id,
+               len(string_split_regex(trim(text, ' '), '\\s+'))::INT AS n_tokens,
+               length(text)::INT AS n_chars,
+               octet_length(encode(coalesce(text, '')))::INT AS n_bytes
+        FROM t
+        """,
+    )
+    assert _canon_frame(sdf.toPandas()) == _canon_frame(ddf)
+
+
+@given(rows=text_rows)
+@settings(**_SETTINGS)
+def test_fuzz_null_safe_concat_json_matches_duckdb(spark, rows):
+    """Null-propagation asymmetry: bare concat diverges (Spark nulls
+    the result, DuckDB skips the arg), so the convention is explicit
+    coalesce — fuzz that the CONVENTION holds on arbitrary nullable
+    text."""
+    sdf = _spark_df(spark, rows, "id int, text string").select(
+        "id",
+        F.concat(
+            F.lit("v="), F.coalesce(F.col("text"), F.lit("null")), F.lit(";")
+        ).alias("s"),
+    )
+    ddf = _duck(
+        rows,
+        "id int, text varchar",
+        "SELECT id, concat('v=', coalesce(text, 'null'), ';') AS s FROM t",
+    )
+    assert _canon_frame(sdf.toPandas()) == _canon_frame(ddf)
+
+
+vec_rows = st.lists(
+    st.tuples(
+        st.integers(0, 30),
+        st.lists(
+            st.sampled_from([0.0, 1.0, -1.0, 0.5, 2.0]), min_size=4, max_size=4
+        ),
+    ),
+    min_size=0,
+    max_size=15,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=vec_rows)
+@settings(**_SETTINGS)
+def test_fuzz_zero_norm_exclusion_matches_duckdb(spark, rows):
+    """The similarity tier's zero-norm exclusion policy (ANSI division
+    edge): norms and the norm>0 survivor set must agree on vectors
+    including all-zero ones."""
+    sdf = _spark_df(spark, rows, "id int, v array<double>").select(
+        "id",
+        F.sqrt(
+            F.aggregate(F.zip_with("v", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+        ).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    ddf = _duck(
+        rows,
+        "id int, v double[]",
+        "SELECT id, sqrt(list_dot_product(v, v)) AS nrm FROM t WHERE list_dot_product(v, v) > 0",
+    )
+    assert _canon_frame(sdf.toPandas()) == _canon_frame(ddf)
