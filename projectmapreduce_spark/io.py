@@ -48,16 +48,44 @@ def scratch_path(name: str) -> str:
     return os.path.join(_SCRATCH, name)
 
 
-def path_exists(spark: SparkSession, path: str) -> bool:
-    """True if ``path`` exists on its filesystem (Hadoop FS API — works
-    for any supported scheme, not just local files).  Used to
-    distinguish 'sink not created yet' from real analysis errors:
-    catching AnalysisException for that is too broad (schema drift or a
-    corrupt footer would silently masquerade as first-batch)."""
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — the one
+    py4j filesystem-access idiom, shared by every helper that needs it
+    (works for any supported scheme, not just local files)."""
     jvm = spark.sparkContext._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jpath
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """True if ``path`` exists on its filesystem.  Used to distinguish
+    'sink not created yet' from real analysis errors: catching
+    AnalysisException for that is too broad (schema drift or a corrupt
+    footer would silently masquerade as first-batch)."""
+    fs, jpath = hadoop_fs(spark, path)
     return bool(fs.exists(jpath))
+
+
+def has_committed_files(spark: SparkSession, path: str) -> bool:
+    """True if ``path`` contains at least one COMMITTED data file — a
+    file none of whose path segments under ``path`` starts with ``.``
+    or ``_``.  A directory holding only committer debris
+    (``.spark-staging-*``, ``_temporary``) after a mid-write crash
+    exists but has no committed data; treating bare existence as
+    'table present' would wedge a restarted sink on an unreadable
+    path forever."""
+    fs, jpath = hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return False
+    root = jpath.toUri().getPath().rstrip("/")
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        rel = p.toUri().getPath()[len(root) :].lstrip("/")
+        parts = rel.split("/")
+        if parts and not any(seg.startswith((".", "_")) for seg in parts):
+            return True
+    return False
 
 
 def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

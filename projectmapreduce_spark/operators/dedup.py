@@ -111,8 +111,12 @@ def ngram_jaccard_join(
     output-identical to the naive join in tests.)
 
     ``prefix_filter=False`` is the naive inverted-index join kept for
-    differential testing.
+    differential testing; its verification is a token-join count, so
+    ``arrays_join`` (which picks how the prefix-filtered path attaches
+    the per-doc token arrays) does not apply there.
     """
+    if arrays_join not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"arrays_join must be auto|broadcast|shuffle, got {arrays_join!r}")
     tok = tokens_of(df, id_col, text_col, n)
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
     if prefix_filter:
@@ -165,8 +169,6 @@ def ngram_jaccard_join(
         # the mode for differential tests (tests/test_prefix_filter.py
         # proves both modes output-identical; tests/test_plans.py pins
         # the shuffle-mode plan to SortMergeJoin).
-        if arrays_join not in ("auto", "broadcast", "shuffle"):
-            raise ValueError(f"arrays_join must be auto|broadcast|shuffle, got {arrays_join!r}")
         arrays = tok.groupBy("id").agg(
             F.sort_array(F.collect_list("token")).alias("toks")
         )

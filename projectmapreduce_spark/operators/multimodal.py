@@ -53,6 +53,7 @@ from projectmapreduce_spark.operators.codecs import (
     decode_wav,
     encode_avi,
     encode_bmp,
+    encode_gif,
     encode_png,
     encode_wav,
     resize_nearest,
@@ -331,6 +332,8 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
                         out.append(encode_bmp(resize_nearest(decode_bmp(p), width, height)))
                     elif fmt == "png":
                         out.append(encode_png(resize_nearest(decode_png(p), width, height)))
+                    elif fmt == "gif":
+                        out.append(encode_gif(resize_nearest(decode_gif(p), width, height)))
                     elif fmt == "ppm":
                         from projectmapreduce_spark.operators.codecs import encode_ppm
 
@@ -343,8 +346,8 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
                         out.append(encode_avi(resized, fps))
                     else:
                         raise NotImplementedError(
-                            "payload is not BMP/PNG/PPM/AVI — image codecs for "
-                            "other formats are not available (pass fake=True)"
+                            "payload is not BMP/PNG/GIF/PPM/AVI — image codecs "
+                            "for other formats are not available (pass fake=True)"
                         )
             res = pdf.copy()
             res["payload"] = out

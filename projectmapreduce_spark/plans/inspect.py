@@ -42,9 +42,18 @@ def _walk_physical(node):
     """Yield every node of a physical plan tree, descending through the
     AQE wrapper (the initial plan — AQE neither adds nor removes
     Window/Sort/Join *logic*, it only re-plans exchanges, so the
-    initial plan is the right place to assert operator strategy)."""
+    initial plan is the right place to assert operator strategy) AND
+    into subquery-expression plans (a scalar/IN subquery carries its
+    own physical subtree that `children()` does not reach — a
+    partition-less window hiding there must still fail the gate)."""
     name = node.getClass().getSimpleName()
     yield name, node
+    try:
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            yield from _walk_physical(subs.apply(i))
+    except Exception:  # pragma: no cover - node without subqueries()
+        pass
     if name == "AdaptiveSparkPlanExec":
         yield from _walk_physical(node.initialPlan())
         return

@@ -84,17 +84,16 @@ def derive_shuffle_partitions(
 
 def scan_size_bytes(spark: SparkSession, paths: list[str]) -> int:
     """Total on-disk size of the inputs a job will shuffle — the
-    ``input_bytes`` feed for ``derive_shuffle_partitions``.  Uses the
-    Hadoop FileSystem API (works for any supported filesystem, not
-    just local), summed driver-side over the listed roots."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    ``input_bytes`` feed for ``derive_shuffle_partitions``.  Summed
+    driver-side over the listed roots via the shared
+    ``io.hadoop_fs`` accessor (any supported filesystem scheme)."""
+    from projectmapreduce_spark.io import hadoop_fs
+
     total = 0
     for p in paths:
-        path = jvm.org.apache.hadoop.fs.Path(p)
-        fs = path.getFileSystem(conf)
-        if fs.exists(path):
-            total += fs.getContentSummary(path).getLength()
+        fs, jpath = hadoop_fs(spark, p)
+        if fs.exists(jpath):
+            total += fs.getContentSummary(jpath).getLength()
     return total
 
 

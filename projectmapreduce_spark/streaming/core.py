@@ -312,8 +312,8 @@ def sink_stream_merge_upsert(
     volume.
     """
     from projectmapreduce_spark.io import (
+        has_committed_files,
         overwrite_partitions,
-        path_exists,
         upsert_by_rewrite,
     )
 
@@ -323,13 +323,16 @@ def sink_stream_merge_upsert(
         touched = [r[0] for r in batch_df.select(partition_col).distinct().collect()]
         if not touched:
             return
-        # First batch is detected by an EXPLICIT existence check, not
-        # by catching AnalysisException: a broad catch would also
+        # First batch is detected by an EXPLICIT committed-data check,
+        # not by catching AnalysisException: a broad catch would also
         # swallow schema drift or a corrupt footer on the partials
         # lake and silently overwrite the touched partitions with
-        # only this batch's rows.  Any real analysis failure now
-        # propagates and fails the streaming query.
-        if path_exists(spark, path):
+        # only this batch's rows.  Bare directory existence is not
+        # enough either — a mid-write crash leaves committer debris
+        # (.spark-staging/_temporary) that exists but cannot be read,
+        # which would wedge every restart.  Any real analysis failure
+        # on committed data propagates and fails the streaming query.
+        if has_committed_files(spark, path):
             cur = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
             merged = upsert_by_rewrite(cur, batch_df, keys)
         else:

@@ -341,9 +341,15 @@ def gen_skew(spark: SparkSession) -> None:
     for t in sorted(list(N) + ["nation", "region"]):
         if t == "lineitem":
             continue
+        src = f"{OUT}/{t}.parquet"
+        if not os.path.exists(src):
+            raise FileNotFoundError(
+                f"{src} missing — generate the sf1 tier first "
+                "(python scripts/make_scale_data.py), then --skew"
+            )
         dst = f"{OUT_SKEW}/{t}.parquet"
         if not os.path.exists(dst):
-            os.symlink(f"{OUT}/{t}.parquet", dst)
+            os.symlink(src, dst)
 
 
 OUT_HOSTILE = os.path.join(
@@ -480,8 +486,6 @@ def gen_hostile(spark: SparkSession) -> None:
 
     rid = F.col("rid")
     li = _ids(spark, N["lineitem"], "rid").select(
-        # ~2% orphan order FKs (aggregate-then-join shapes must not
-        # resurrect them through a semi-join)
         # ~2% orphan order FKs (aggregate-then-join shapes must not
         # resurrect them), spread over a WIDE key range: a narrow range
         # (first cut: 1000 keys) packed ~120 lines per phantom order,

@@ -29,13 +29,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 def plan_facts(df) -> dict:
     from projectmapreduce_spark.plans import (
+        count_shuffle_exchanges,
         has_partitionless_window,
         physical_node_names,
     )
 
     names = physical_node_names(df)
     return {
-        "shuffles": sum(1 for n in names if n == "ShuffleExchangeExec"),
+        "shuffles": count_shuffle_exchanges(df),
         "broadcasts": sum(1 for n in names if n == "BroadcastExchangeExec"),
         "cartesian": any(
             n in ("CartesianProductExec", "BroadcastNestedLoopJoinExec") for n in names

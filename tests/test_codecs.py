@@ -554,3 +554,21 @@ def test_gif_extract_features_through_spark(spark):
     out = extract_features(media, dim=16, fake=False).collect()[0]
     assert (out.width, out.height) == (2, 1)
     assert abs(sum(out.features) - 1.0) < 1e-9
+
+
+def test_gif_resize_real_decode(spark):
+    from projectmapreduce_spark.operators.codecs import decode_gif, encode_gif
+
+    img = np.array([[(10, 20, 30), (40, 50, 60)], [(5, 5, 5), (7, 7, 7)]], np.uint8)
+    rows = [(1, "gif", bytearray(encode_gif(img)), "image/gif", None, None, None)]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    out = resize_images(media, 4, 4, fake=False).collect()[0]
+    from projectmapreduce_spark.operators.codecs import resize_nearest
+
+    np.testing.assert_array_equal(
+        decode_gif(bytes(out.payload)), resize_nearest(img, 4, 4)
+    )

@@ -227,3 +227,17 @@ def test_t9_rolls_up_from_partials(spark):
     s = explain_str(df)
     assert s.count("events.parquet") == 1, s
     assert len(re.findall(r"^\(\d+\) Exchange$", s, flags=re.M)) == 2, s
+
+
+def test_partitionless_window_detected_inside_subquery(spark):
+    """The catalog gate's detector must see windows hiding in
+    scalar-subquery plans (children() doesn't reach them)."""
+    from projectmapreduce_spark.plans import has_partitionless_window
+
+    scan(spark, SF_CORRECT, "orders").createOrReplaceTempView("o_subq_test")
+    df = spark.sql(
+        "SELECT o_orderkey FROM o_subq_test WHERE o_totalprice > "
+        "(SELECT max(rn) * 0.0 FROM (SELECT row_number() OVER "
+        "(ORDER BY o_totalprice) AS rn FROM o_subq_test))"
+    )
+    assert has_partitionless_window(df)

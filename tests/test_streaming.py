@@ -185,3 +185,21 @@ def test_merge_upsert_propagates_corrupt_lake_errors(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException):
         q.awaitTermination()
+
+
+def test_has_committed_files_ignores_committer_debris(spark, tmp_path):
+    """A sink directory holding only .spark-staging/_temporary debris
+    (mid-write crash) must read as 'no committed data' so a restarted
+    merge-upsert sink treats it as first batch instead of wedging on
+    an unreadable path; real data under a partition dir flips it."""
+    from projectmapreduce_spark.io import has_committed_files
+
+    lake = tmp_path / "lake"
+    (lake / ".spark-staging-0001").mkdir(parents=True)
+    (lake / ".spark-staging-0001" / "part-0.parquet").write_bytes(b"x")
+    (lake / "_temporary").mkdir()
+    assert not has_committed_files(spark, str(lake))
+    (lake / "day=2024-01-01").mkdir()
+    (lake / "day=2024-01-01" / "part-0.parquet").write_bytes(b"x")
+    assert has_committed_files(spark, str(lake))
+    assert not has_committed_files(spark, str(tmp_path / "missing"))
