@@ -30,8 +30,12 @@ def test_arrays_join_modes_output_identical(spark):
     """The size-aware verification join (auto / forced-broadcast /
     forced-shuffle attachment of the per-doc token arrays) must be a
     pure physical-strategy choice — same pairs, same jaccard, in every
-    mode (round-4 fix of the unconditional broadcast)."""
-    d = scan(spark, SF_SMOKE, "documents")
+    mode (round-4 fix of the unconditional broadcast).  Runs at the
+    sf0.01 correctness tier, so mode-equality plus l2b's driver
+    hash-match transitively oracle-checks the shuffle path there."""
+    from tests.conftest import SF_CORRECT
+
+    d = scan(spark, SF_CORRECT, "documents")
     outs = [
         {
             (r.id_a, r.id_b, round(r.jaccard, 9))
