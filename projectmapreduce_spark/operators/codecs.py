@@ -1,7 +1,7 @@
 """Pure-Python media codecs (SURVEY.md §2.11 L11 — the de-stubbed tier).
 
-The container has no PIL/ffmpeg/torchaudio, but six classic formats
-are simple enough to decode exactly with numpy + struct + zlib alone:
+The container has no PIL/ffmpeg/torchaudio, but seven classic formats
+decode with numpy + struct + zlib alone:
 
 * **BMP** — 24-bit uncompressed ``BI_RGB`` Windows bitmaps: 14-byte
   file header, 40-byte ``BITMAPINFOHEADER``, bottom-up BGR rows padded
@@ -16,6 +16,12 @@ are simple enough to decode exactly with numpy + struct + zlib alone:
   LSB-first LZW with clear/EOI and mid-stream dictionary resets,
   4-pass de-interlacing; first frame to the same (H, W, 3) contract
   (GIF spec / Welch 1984 — public layouts).
+* **JPEG (baseline)** — ITU-T T.81 sequential DCT: full marker
+  parse, canonical Huffman entropy decode with byte unstuffing and
+  restart markers, dequantize + dezigzag + exact float IDCT, BT.601
+  YCbCr→RGB; the one LOSSY tier (tests assert bounded quantization
+  error plus a hand-packed DC-only golden).  Progressive/arithmetic/
+  12-bit/subsampled streams stay behind the codec boundary.
 * **PPM (P6)** — Netpbm binary RGB, maxval 255: ASCII header then raw
   RGB triplets, row-major top-down.
 * **WAV** — RIFF/WAVE with a PCM16 ``fmt `` chunk and a ``data``
@@ -29,8 +35,8 @@ are simple enough to decode exactly with numpy + struct + zlib alone:
 These are REAL decoders: every byte of the pixel/sample payload is
 interpreted per the published layout, and the unit tests pin
 hand-built golden byte strings to exact pixel/sample arrays.  Formats
-beyond these (JPEG/MP3/MP4) remain behind the documented
-``NotImplementedError`` codec boundary in ``multimodal.py``.
+beyond these (MP3/MP4/H.264 — real DSP codecs) remain behind the
+documented ``NotImplementedError`` codec boundary in ``multimodal.py``.
 
 Scale note: all functions here are *per-payload kernels* executed
 inside Arrow-batched ``mapInPandas`` workers — they never see more
@@ -52,13 +58,15 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def sniff(payload: bytes) -> str | None:
     """Identify a payload by magic bytes:
-    'bmp' | 'png' | 'gif' | 'ppm' | 'wav' | 'avi' | None."""
+    'bmp' | 'png' | 'gif' | 'jpeg' | 'ppm' | 'wav' | 'avi' | None."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:8] == _PNG_SIG:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -412,6 +420,416 @@ def decode_gif(payload: bytes) -> np.ndarray:
             rows = deinter
         return rows.copy()
     raise ValueError("GIF contains no image block")
+
+
+# ---------- JPEG (baseline sequential, ITU-T T.81 / JFIF) ----------
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K (T.81) example quantization + Huffman tables — the public
+# spec's own values, used by essentially every baseline encoder.
+_Q_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+_Q_CHR = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman code table {symbol: (code, length)} from the
+    DHT BITS/HUFFVAL form (T.81 Annex C flow)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DCT_M = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(category, value-bits) magnitude coding of a nonzero coefficient."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a baseline sequential
+    JFIF JPEG: 4:4:4 (no chroma subsampling), Annex-K quantization and
+    Huffman tables, BT.601 RGB→YCbCr.  Lossy by nature — round-trip
+    tests assert bounded error, not equality."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {a.shape}")
+    h, w, _ = a.shape
+    r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [y, cb, cr]
+    qs = [_Q_LUM, _Q_CHR, _Q_CHR]
+    dc_tabs = [_huff_codes(*_DC_LUM), _huff_codes(*_DC_CHR), _huff_codes(*_DC_CHR)]
+    ac_tabs = [_huff_codes(*_AC_LUM), _huff_codes(*_AC_CHR), _huff_codes(*_AC_CHR)]
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    bh, bwid = -(-h // 8), -(-w // 8)
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(3):
+                plane = planes[ci]
+                blk = np.empty((8, 8))
+                ys, xs = by * 8, bx * 8
+                src = plane[ys : ys + 8, xs : xs + 8]
+                blk[: src.shape[0], : src.shape[1]] = src
+                if src.shape[0] < 8:  # edge replication padding
+                    blk[src.shape[0] :, :] = blk[src.shape[0] - 1 : src.shape[0], :]
+                if src.shape[1] < 8:
+                    blk[:, src.shape[1] :] = blk[:, src.shape[1] - 1 : src.shape[1]]
+                coef = _DCT_M @ (blk - 128.0) @ _DCT_M.T
+                q = np.round(coef / qs[ci]).astype(np.int64)
+                zz = q.reshape(64)[_ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s, bits = _mag_bits(diff) if diff else (0, 0)
+                code, ln = dc_tabs[ci][s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(bits, s)
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tabs[ci][0xF0]  # ZRL
+                        bw.put(code, ln)
+                        run -= 16
+                    s, bits = _mag_bits(v)
+                    code, ln = ac_tabs[ci][(run << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(bits, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_tabs[ci][0x00]  # EOB
+                    bw.put(code, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(q.reshape(64)[_ZIGZAG].astype(np.uint8)))
+
+    def dht(cls: int, tid: int, bits, vals) -> bytes:
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    jfif = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + jfif + dqt(0, _Q_LUM) + dqt(1, _Q_CHR)
+        + dht(0, 0, *_DC_LUM) + dht(1, 0, *_AC_LUM)
+        + dht(0, 1, *_DC_CHR) + dht(1, 1, *_AC_CHR)
+        + sof + sos + bytes(bw.out) + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # restart marker: consumed by caller
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02x} in entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.n = 0
+        self.acc = 0
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a BASELINE sequential JPEG (SOF0, 8-bit, 4:4:4 or
+    grayscale, optional restart intervals) to (H, W, 3) uint8 RGB —
+    full marker parse, canonical Huffman entropy decode with byte
+    unstuffing, dequantize + dezigzag + exact float IDCT, BT.601
+    YCbCr→RGB.  Progressive (SOF2), arithmetic coding, 12-bit, and
+    subsampled chroma raise ``NotImplementedError`` — the documented
+    codec boundary."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int, int]] = []  # (id, q_tid, sampling)
+    h = w = 0
+    restart = 0
+    scan_map: list[tuple[int, int, int]] = []  # (comp_idx, dc_tid, ac_tid)
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tid = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables unsupported")
+                q = np.zeros(64, dtype=np.int64)
+                q[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, i + 1)
+                qtabs[tid] = q.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nval = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nval])
+                fwd = _huff_codes(bits, vals)
+                htabs[(cls, tid)] = {(c, l): sym for sym, (c, l) in fwd.items()}
+                i += 17 + nval
+        elif marker == 0xC0 or marker == 0xC1:
+            _prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            for c in range(nc):
+                cid, samp, qtid = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        f"subsampled chroma unsupported (sampling 0x{samp:02x})"
+                    )
+                comps.append((cid, qtid, samp))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"non-baseline JPEG (SOF marker 0x{marker:02x})")
+        elif marker == 0xDD:
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            ns = body[0]
+            for c in range(ns):
+                cid, tids = body[1 + 2 * c], body[2 + 2 * c]
+                ci = next(i for i, (q_cid, _, _) in enumerate(comps) if q_cid == cid)
+                scan_map.append((ci, tids >> 4, tids & 0x0F))
+            pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if not comps or not scan_map:
+        raise ValueError("missing SOF/SOS")
+
+    br = _BitReader(payload, pos)
+    bh, bwid = -(-h // 8), -(-w // 8)
+    planes = [np.zeros((bh * 8, bwid * 8)) for _ in comps]
+    pred = [0] * len(comps)
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bwid):
+            if restart and mcu and mcu % restart == 0:
+                # DNL-aligned restart: skip to the RSTn marker
+                br.align()
+                p = br.pos
+                while not (payload[p] == 0xFF and 0xD0 <= payload[p + 1] <= 0xD7):
+                    p += 1
+                br.pos = p + 2
+                pred = [0] * len(comps)
+            mcu += 1
+            for ci, dc_tid, ac_tid in scan_map:
+                try:
+                    s = _huff_decode(br, htabs[(0, dc_tid)])
+                except _RestartMarker:
+                    raise ValueError("unexpected restart marker") from None
+                diff = _extend(br.bits(s), s) if s else 0
+                pred[ci] += diff
+                zz = np.zeros(64, dtype=np.int64)
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(br, htabs[(1, ac_tid)])
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError(f"invalid AC symbol 0x{sym:02x}")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = _extend(br.bits(size), size)
+                    k += 1
+                q = np.zeros(64, dtype=np.int64)
+                q[_ZIGZAG] = zz
+                coef = q.reshape(8, 8) * qtabs[comps[ci][1]]
+                blk = _DCT_M.T @ coef @ _DCT_M + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        yp = np.clip(planes[0], 0, 255)
+        return np.repeat(yp[:, :, None], 3, axis=2).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).round().astype(np.uint8)
 
 
 # ---------- PPM (P6, maxval 255) ----------

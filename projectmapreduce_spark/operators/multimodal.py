@@ -10,18 +10,20 @@ Codec tiers:
 
 * **Real decode** (``fake=False``): BMP (24-bit BI_RGB), PNG (8-bit
   RFC 2083, full 5-filter reconstruction, stdlib zlib inflate), GIF
-  (variable-width LZW, de-interlacing), PPM (P6), WAV (RIFF PCM16)
+  (variable-width LZW, de-interlacing), baseline JPEG (Huffman +
+  IDCT, the one lossy tier), PPM (P6), WAV (RIFF PCM16)
   and AVI (RIFF, uncompressed 24-bit DIB
-  stream) payloads are decoded byte-exactly by the pure-Python codecs
+  stream) payloads are decoded by the pure-Python codecs
   in ``operators/codecs.py`` — pixel/sample/frame arrays, dimensions,
   frame counts and durations all come from interpreting the actual
   container layout.  ``synthesize_media`` manufactures real
   BMP/PNG/WAV/AVI payloads deterministically from any string column
   so every media family's decode path runs on every tier's data with
   no external libs.
-* **Codec boundary**: payloads in formats beyond those six
-  (JPEG/MP3/MP4…) raise ``NotImplementedError`` inside the
-  workers — PIL/ffmpeg/torchaudio are not in this container.
+* **Codec boundary**: payloads in formats beyond those seven
+  (MP3/MP4/H.264, progressive JPEG…) raise ``NotImplementedError``
+  inside the workers — PIL/ffmpeg/torchaudio are not in this
+  container.
 * **Byte-level fake** (``fake=True``): the original deterministic
   stand-in (byte-histogram features, byte-chunk "frames") kept for
   plumbing tests over arbitrary payloads.
@@ -48,12 +50,14 @@ from projectmapreduce_spark.operators.codecs import (
     decode_avi,
     decode_bmp,
     decode_gif,
+    decode_jpeg,
     decode_png,
     decode_ppm,
     decode_wav,
     encode_avi,
     encode_bmp,
     encode_gif,
+    encode_jpeg,
     encode_png,
     encode_wav,
     resize_nearest,
@@ -253,6 +257,8 @@ def extract_features(
             px = decode_png(payload)
         elif fmt == "gif":
             px = decode_gif(payload)
+        elif fmt == "jpeg":
+            px = decode_jpeg(payload)
         elif fmt == "ppm":
             px = decode_ppm(payload)
         elif fmt == "wav":
@@ -271,7 +277,8 @@ def extract_features(
             )
         else:
             raise NotImplementedError(
-                "payload is not BMP/PNG/PPM/WAV/AVI — codecs for other formats "
+                "payload is not BMP/PNG/GIF/JPEG/PPM/WAV/AVI — codecs for other "
+                "formats "
                 "are not available in this environment (pass fake=True for the "
                 "byte-level stand-in)"
             )
@@ -334,6 +341,9 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
                         out.append(encode_png(resize_nearest(decode_png(p), width, height)))
                     elif fmt == "gif":
                         out.append(encode_gif(resize_nearest(decode_gif(p), width, height)))
+                    elif fmt == "jpeg":
+                        # lossy re-encode — the format's own contract
+                        out.append(encode_jpeg(resize_nearest(decode_jpeg(p), width, height)))
                     elif fmt == "ppm":
                         from projectmapreduce_spark.operators.codecs import encode_ppm
 

@@ -572,3 +572,92 @@ def test_gif_resize_real_decode(spark):
     np.testing.assert_array_equal(
         decode_gif(bytes(out.payload)), resize_nearest(img, 4, 4)
     )
+
+
+# ---------- JPEG ----------
+
+
+def test_jpeg_golden_dc_only_grayscale():
+    """Hand-assembled baseline JPEG: one 8×8 grayscale block whose
+    entropy data is packed BY HAND — DC category 5 (code 110) + value
+    bits 10000 (diff 16) + EOB (code 1010), padded with 1s.  The
+    decoded block must be the constant round(16·Q00/8) + 128 = 160:
+    a decoder with wrong canonical-code construction, wrong magnitude
+    extension, or wrong IDCT scaling cannot produce it."""
+    from projectmapreduce_spark.operators.codecs import (
+        _DC_LUM,
+        _AC_LUM,
+        _Q_LUM,
+        _ZIGZAG,
+        decode_jpeg,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes(_Q_LUM.reshape(64)[_ZIGZAG].astype(np.uint8)))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(_DC_LUM[0]) + bytes(_DC_LUM[1]))
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes(_AC_LUM[0]) + bytes(_AC_LUM[1]))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    payload = (
+        b"\xff\xd8" + dqt + dht_dc + dht_ac + sof + sos
+        + bytes([0xD0, 0xAF])  # hand-packed: 110 10000 1010 + 1-padding
+        + b"\xff\xd9"
+    )
+    assert sniff(payload) == "jpeg"
+    out = decode_jpeg(payload)
+    np.testing.assert_array_equal(out, np.full((8, 8, 3), 160, np.uint8))
+
+
+def test_jpeg_roundtrip_bounded_error():
+    """JPEG is lossy; the contract is BOUNDED quantization error.  A
+    smooth gradient (energy in low frequencies) must round-trip within
+    a few codes; a flat field within ±2."""
+    from projectmapreduce_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [yy * 255 / (h - 1), xx * 255 / (w - 1), (yy + xx) * 255 / (h + w - 2)],
+        axis=2,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 12 and err.mean() <= 3.0
+
+    flat = np.full((8, 8, 3), 119, np.uint8)
+    assert np.abs(decode_jpeg(encode_jpeg(flat)).astype(int) - 119).max() <= 2
+
+
+def test_jpeg_odd_dimensions_and_boundaries():
+    from projectmapreduce_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    odd = rng.integers(0, 256, (13, 11, 3), np.uint8)
+    assert decode_jpeg(encode_jpeg(odd)).shape == (13, 11, 3)
+
+    # progressive (SOF2) is the documented boundary
+    p = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    sof_at = bytes(p).index(b"\xff\xc0")
+    p[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(p))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01")
+
+
+def test_jpeg_extract_features_through_spark(spark):
+    from projectmapreduce_spark.operators.codecs import encode_jpeg
+
+    img = np.full((9, 7, 3), 100, np.uint8)
+    rows = [(1, "jpeg", bytearray(encode_jpeg(img)), "image/jpeg", None, None, None)]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    out = extract_features(media, dim=16, fake=False).collect()[0]
+    assert (out.width, out.height) == (7, 9)
+    assert abs(sum(out.features) - 1.0) < 1e-9
