@@ -155,6 +155,9 @@ HEADLINE = [
     "l20_epoch_shuffle",
     "o6b_keyset_pagination",
     "l11f_png_decode",
+    # round-4 batch 2: the lossy-codec decode path (bounded 500-doc
+    # slice — the per-block Python DCT is the documented heavy kernel)
+    "l11g_jpeg_decode",
 ]
 
 

@@ -172,14 +172,14 @@ def synthesize_media(
     ``coalesce(text, '')``."""
     if kind not in ("image", "audio", "video"):
         raise ValueError(f"synthesize_media supports image|audio|video, got {kind!r}")
-    if image_format not in ("bmp", "png"):
-        raise ValueError(f"image_format must be bmp|png, got {image_format!r}")
+    if image_format not in ("bmp", "png", "jpeg"):
+        raise ValueError(f"image_format must be bmp|png|jpeg, got {image_format!r}")
     mime = {
         "image": f"image/{image_format}",
         "audio": "audio/wav",
         "video": "video/x-msvideo",
     }[kind]
-    encode_image = encode_bmp if image_format == "bmp" else encode_png
+    encode_image = {"bmp": encode_bmp, "png": encode_png, "jpeg": encode_jpeg}[image_format]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

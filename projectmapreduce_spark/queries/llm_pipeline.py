@@ -625,6 +625,50 @@ def l11f_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l11g_jpeg_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       8::INT                                                    AS width,
+       greatest(1, least(64, (octet_length(encode(coalesce(text, ''))) + 23) // 24))::INT
+                                                                 AS height,
+       16::INT                                                   AS dim,
+       1.0::DOUBLE                                               AS feat_sum
+FROM documents
+WHERE doc_id < 500
+""",
+    survey="L11,X2",
+    category="llm",
+)
+def l11g_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG feature extraction with a REAL decode (round 4):
+    documents render to actual T.81 sequential JPEGs (FDCT + Annex-K
+    quantization + canonical Huffman), and ``extract_features``
+    entropy-decodes, dequantizes, and IDCTs them back.  JPEG is LOSSY,
+    so unlike l11b/l11f the oracle pins only the LOSSLESS properties:
+    geometry (SOF0 dims survive exactly), feature dimensionality, and
+    the L1 normalization of the histogram (sums to 1 whatever the
+    pixel error).  Pixel-error bounds and the DC-only golden live in
+    tests/test_codecs.py.  The doc_id < 500 slice keeps the Python
+    DCT work bounded at every tier (the kernel cost is per-block —
+    this is the one codec whose encode is genuinely compute-heavy).
+    Scale: same scan → mapInPandas shape as l11b, shuffle-free."""
+    from projectmapreduce_spark.operators.multimodal import synthesize_media
+
+    d = scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = synthesize_media(d, "doc_id", "text", kind="image", image_format="jpeg")
+    feats = extract_features(media, dim=16, fake=False)
+    return feats.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.size("features").alias("dim"),
+        dround(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
+    )
+
+
+@query(
     "l11d_audio_decode",
     oracle="""
 SELECT doc_id AS media_id,
