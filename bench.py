@@ -6,14 +6,25 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 time per query (action = count() over the result, which executes the
 full plan without driver-side materialization cost dominating).
 
-Output: {"metric": "suite_wall_sec", "value": <total>, "unit": "sec",
-         "queries": {name: sec, ...}, "sf": 0.1,
-         "queries_warm": {name: sec, ...}, "value_warm": <total>}
+Output contract (round-5 fix — the external driver captures only the
+LAST ~2000 chars of stdout, so the old single ~5 kB JSON line was
+truncated and BENCH_r03/r04 recorded ``parsed: null``):
 
-``queries``/``value`` are FIRST-run (cold) times — directly comparable
-with BENCH_r01/r02 and the BASELINE.md table.  ``queries_warm`` is a
-second execution of the same plan in the same JVM: codegen, broadcast
-builds and Python-worker pools are already hot, so warm numbers isolate
+- one ``{"q": name, "cold": sec, "warm": sec}`` line per query as it
+  completes (progress + full per-query record in the captured tail's
+  upstream log),
+- the FULL per-query detail written to ``BENCH_DETAIL.json`` next to
+  this script (the durable artifact),
+- the FINAL stdout line is a compact summary kept well under 1900
+  chars: ``{"metric": "suite_wall_sec", "value": <cold total>,
+  "unit": "sec", "value_warm": <warm total>, "sf": ..,
+  "n_headline": .., "n_declared_queries": ..,
+  "queries": {<10 slowest cold>}, "detail": "BENCH_DETAIL.json"}``.
+
+``value`` totals FIRST-run (cold) times — directly comparable with
+BENCH_r01/r02 and the BASELINE.md table.  ``value_warm`` is a second
+execution of the same plan in the same JVM: codegen, broadcast builds
+and Python-worker pools are already hot, so warm numbers isolate
 per-byte execution cost.  Queries whose cold time is dominated by
 one-time codegen (l2_minhash_lsh's 64-wide min-aggregate,
 x6_map_in_arrow's worker spin-up) show a large cold/warm gap —
@@ -187,21 +198,47 @@ def main() -> None:
         dt = time.perf_counter() - t0
         warm[name] = round(dt, 3)
         total_warm += dt
+        # Per-query progress line — NOT the final summary.  The full
+        # record also lands in BENCH_DETAIL.json below.
+        print(json.dumps({"q": name, "cold": times[name], "warm": warm[name]}))
+        sys.stdout.flush()
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "queries_warm": warm,
-                "value_warm": round(total_warm, 3),
-                "n_declared_queries": len(QUERIES),
-            }
-        )
+    detail = {
+        "metric": "suite_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "queries_warm": warm,
+        "value_warm": round(total_warm, 3),
+        "n_headline": len(HEADLINE),
+        "n_declared_queries": len(QUERIES),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    # FINAL line: compact summary the driver's 2000-char tail capture
+    # always parses whole.  `queries` carries only the 10 slowest cold
+    # queries (the regression-watch set); the complete dict is in
+    # BENCH_DETAIL.json.
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    summary = {
+        "metric": "suite_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "value_warm": round(total_warm, 3),
+        "sf": sf,
+        "n_headline": len(HEADLINE),
+        "n_declared_queries": len(QUERIES),
+        "queries": slowest,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary)
+    assert len(line) < 1900, f"summary line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -277,12 +277,18 @@ def upsert_by_rewrite(base: DataFrame, updates: DataFrame, key: str | list[str])
     ``overwrite_partitions`` (S8) — merge cost then tracks the batch,
     not the table.  Delta/Iceberg give the same semantics
     transactionally; this is the engine-level primitive they compile
-    to.  The anti-join broadcasts the (small) update batch, so the
-    base table is never shuffled.
-    """
-    from pyspark.sql import functions as F
+    to.
 
+    Join strategy (round-5 fix): NO forced ``F.broadcast`` hint.  The
+    typical update batch is small, so Catalyst's size estimate (or
+    AQE's runtime stats) picks a broadcast anti-join on its own and the
+    base table is never shuffled — but a caller handing a base-sized
+    batch now gets a sort-merge plan instead of a driver/executor OOM.
+    Same defect family as the l2b verification-join fix
+    (operators/dedup.py ``arrays_join="auto"``); pinned both ways in
+    tests/test_plans.py::test_upsert_join_strategy_follows_size.
+    """
     keys = [key] if isinstance(key, str) else list(key)
     cols = base.columns
-    survivors = base.join(F.broadcast(updates.select(*keys)), keys, "left_anti")
+    survivors = base.join(updates.select(*keys), keys, "left_anti")
     return updates.select(*cols).unionByName(survivors)

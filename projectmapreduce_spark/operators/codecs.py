@@ -410,6 +410,14 @@ def decode_gif(payload: bytes) -> np.ndarray:
         idx = np.frombuffer(bytes(out[: w * h]), np.uint8)
         if len(idx) < w * h:
             raise ValueError(f"truncated GIF raster: need {w * h}, have {len(idx)}")
+        if int(idx.max()) >= len(table):
+            # A color table smaller than 1<<min_code (or corrupt LZW
+            # output) would otherwise surface as a numpy IndexError —
+            # keep the codec's ValueError contract.
+            raise ValueError(
+                f"GIF pixel index {int(idx.max())} out of range for "
+                f"{len(table)}-entry color table"
+            )
         rows = table[idx].reshape(h, w, 3)
         if iflags & 0x40:  # interlaced: rows stored in 4 passes
             order = np.concatenate(
@@ -751,6 +759,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 i += 17 + nval
         elif marker == 0xC0 or marker == 0xC1:
             _prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if nc not in (1, 3):
+                # Adobe CMYK/YCCK baseline streams carry 4 components
+                # whose samplings are all 0x11 — without this gate they
+                # would pass every guard and silently decode as
+                # 3-component YCbCr, dropping the K plane.
+                raise NotImplementedError(f"{nc}-component JPEG (CMYK/YCCK) unsupported")
             for c in range(nc):
                 cid, samp, qtid = body[6 + 3 * c : 9 + 3 * c]
                 if samp != 0x11:
@@ -791,30 +805,34 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 pred = [0] * len(comps)
             mcu += 1
             for ci, dc_tid, ac_tid in scan_map:
+                # The whole per-block entropy decode converts a stray
+                # RSTn (possible anywhere in DC/AC huff decode or a
+                # magnitude-bits read on truncated/foreign DRI streams)
+                # into the codec's ValueError contract.
                 try:
                     s = _huff_decode(br, htabs[(0, dc_tid)])
+                    diff = _extend(br.bits(s), s) if s else 0
+                    pred[ci] += diff
+                    zz = np.zeros(64, dtype=np.int64)
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _huff_decode(br, htabs[(1, ac_tid)])
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError(f"invalid AC symbol 0x{sym:02x}")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        zz[k] = _extend(br.bits(size), size)
+                        k += 1
                 except _RestartMarker:
                     raise ValueError("unexpected restart marker") from None
-                diff = _extend(br.bits(s), s) if s else 0
-                pred[ci] += diff
-                zz = np.zeros(64, dtype=np.int64)
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(br, htabs[(1, ac_tid)])
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError(f"invalid AC symbol 0x{sym:02x}")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(br.bits(size), size)
-                    k += 1
                 q = np.zeros(64, dtype=np.int64)
                 q[_ZIGZAG] = zz
                 coef = q.reshape(8, 8) * qtabs[comps[ci][1]]
@@ -823,7 +841,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     planes = [p[:h, :w] for p in planes]
     if len(planes) == 1:
-        yp = np.clip(planes[0], 0, 255)
+        # .round() matches the color path — truncation here gave up to
+        # one intensity level of systematic downward bias.
+        yp = np.clip(planes[0], 0, 255).round()
         return np.repeat(yp[:, :, None], 3, axis=2).astype(np.uint8)
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     r = y + 1.402 * cr

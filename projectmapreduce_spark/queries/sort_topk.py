@@ -211,7 +211,14 @@ def o6b_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = scan(spark, sf_dir, "orders")
     o = raw.select("o_orderkey", dround("o_totalprice", 2).alias("o_totalprice"))
     order = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
-    cursor = o.orderBy(*order).offset(49).limit(1).collect()[0]
+    # Guarded 1-row take: a <50-row orders table has no page-2 cursor —
+    # return the empty page instead of an IndexError.  (This fetch is a
+    # deliberate eager Spark job at query-construction time: it stands
+    # in for the cursor value a live API's CLIENT supplies.)
+    cursor_rows = o.orderBy(*order).offset(49).limit(1).take(1)
+    if not cursor_rows:
+        return o.limit(0)
+    cursor = cursor_rows[0]
     # Scan-level prune on the RAW column (the rounded page column is a
     # computed expression parquet can't evaluate): any raw price that
     # rounds to ≤ cursor satisfies raw ≤ cursor + 0.005, so this is an

@@ -661,3 +661,122 @@ def test_jpeg_extract_features_through_spark(spark):
     out = extract_features(media, dim=16, fake=False).collect()[0]
     assert (out.width, out.height) == (7, 9)
     assert abs(sum(out.features) - 1.0) < 1e-9
+
+
+# ---------- round-5 advice regressions ----------
+
+
+def test_jpeg_rejects_4_component_cmyk():
+    """Adobe CMYK/YCCK baseline: 4 components, each sampling 0x11 —
+    must hit the codec boundary (NotImplementedError), never silently
+    decode as YCbCr with the K plane dropped."""
+    from projectmapreduce_spark.operators.codecs import decode_jpeg
+
+    sof_body = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([4]) + bytes(
+        b for c in range(4) for b in (c + 1, 0x11, 0)
+    )
+    payload = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    with pytest.raises(NotImplementedError, match="4-component"):
+        decode_jpeg(payload)
+
+
+def test_jpeg_grayscale_rounds_like_color():
+    """Grayscale (1-component) decode must .round() like the color
+    path, not truncate.  Hand-build a 1-component stream (the encoder
+    only emits 3-component), then pin decode output against an exact
+    independent IDCT reference computed with .round() — truncation
+    shifts every fractional reconstruction ≥ x.5 down one level."""
+    from projectmapreduce_spark.operators import codecs as C
+
+    g = (np.arange(64, dtype=np.float64).reshape(8, 8) * 3.7 + 10.0) % 256
+
+    # quantize one 8x8 block exactly as the encoder does
+    coef = C._DCT_M @ (g - 128.0) @ C._DCT_M.T
+    q = np.round(coef / C._Q_LUM).astype(np.int64)
+    zz = q.reshape(64)[C._ZIGZAG]
+
+    dc_tab = C._huff_codes(*C._DC_LUM)
+    ac_tab = C._huff_codes(*C._AC_LUM)
+    bw = C._BitWriter()
+    s, bits = C._mag_bits(int(zz[0])) if zz[0] else (0, 0)
+    code, ln = dc_tab[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(bits, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        s, bits = C._mag_bits(v)
+        code, ln = ac_tab[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(bits, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]
+        bw.put(code, ln)
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes(C._Q_LUM.reshape(64)[C._ZIGZAG].astype(np.uint8)))
+        + seg(0xC4, bytes([0x00]) + bytes(C._DC_LUM[0]) + bytes(C._DC_LUM[1]))
+        + seg(0xC4, bytes([0x10]) + bytes(C._AC_LUM[0]) + bytes(C._AC_LUM[1]))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+
+    dec = C.decode_jpeg(payload)
+    recon = C._DCT_M.T @ (q * C._Q_LUM).astype(np.float64) @ C._DCT_M + 128.0
+    expected = np.clip(recon, 0, 255).round().astype(np.uint8)
+    # the reference includes sub-half fractional values, so truncation
+    # would diverge — guard that the pin is actually discriminating
+    frac = np.abs(recon - np.floor(recon) - 0.5)
+    assert (np.abs(recon - np.round(recon)) > 1e-9).any() and (frac < 0.49).any()
+    np.testing.assert_array_equal(dec[:, :, 0], expected)
+    np.testing.assert_array_equal(dec[:, :, 1], expected)
+
+
+def test_gif_out_of_range_palette_index_is_valueerror():
+    """A raster whose LZW output indexes past the color table must
+    raise the codec's ValueError, not a numpy IndexError (table has 2
+    entries, pixel code 3 is representable at min_code=2)."""
+    from projectmapreduce_spark.operators.codecs import decode_gif
+
+    header = b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0x80, 0, 0)  # GCT depth 1 (2 entries)
+    table = bytes(6)
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+    # min_code=2: codes [clear=4, 3, eoi=5] packed LSB-first at width 3
+    lzw = bytes([2, 2, 0x5C, 0x01, 0])
+    payload = header + table + img_desc + lzw + b"\x3b"
+    with pytest.raises(ValueError, match="out of range"):
+        decode_gif(payload)
+
+
+def test_jpeg_stray_restart_marker_is_valueerror():
+    """An RSTn encountered mid-entropy-decode on a stream with no DRI
+    must surface as ValueError from any decode position (DC, AC, or
+    magnitude bits), never the internal _RestartMarker."""
+    from projectmapreduce_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    arr = np.full((8, 8, 3), 128, dtype=np.uint8)
+    payload = bytearray(encode_jpeg(arr))
+    sos = payload.find(b"\xff\xda")
+    (ln,) = struct.unpack_from(">H", payload, sos + 2)
+    scan_start = sos + 2 + ln
+    # overwrite the first entropy bytes with an RST0 marker
+    payload[scan_start : scan_start + 2] = b"\xff\xd0"
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))

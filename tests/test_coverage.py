@@ -7,8 +7,9 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 151 operator rows across 13 categories
+# The full §2 inventory: 161 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
+# The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "S1", "S2", "S3", "S4", "S5", "S6",

@@ -241,3 +241,28 @@ def test_partitionless_window_detected_inside_subquery(spark):
         "(ORDER BY o_totalprice) AS rn FROM o_subq_test))"
     )
     assert has_partitionless_window(df)
+
+
+def test_upsert_join_strategy_follows_size(spark):
+    """S11 (round-5 fix): ``upsert_by_rewrite`` no longer force-
+    broadcasts the update batch.  A small batch still broadcasts via
+    Catalyst's size estimate; with the broadcast threshold disabled —
+    the proxy for a base-sized batch whose estimate exceeds it — the
+    anti-join plans as a shuffle join instead of an OOM-bound forced
+    broadcast."""
+    from projectmapreduce_spark.io import upsert_by_rewrite
+
+    base = scan(spark, SF_CORRECT, "orders")
+    updates = base.limit(10)
+    merged = upsert_by_rewrite(base, updates, "o_orderkey")
+    assert has_broadcast_hash_join(merged), explain_str(merged)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = upsert_by_rewrite(base, base, "o_orderkey")
+        s = explain_str(big, "simple")
+        assert "SortMergeJoin" in s or "ShuffledHashJoin" in s, s
+        assert "BroadcastHashJoin" not in s.split("== Initial Plan ==")[0], s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
