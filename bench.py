@@ -169,6 +169,12 @@ HEADLINE = [
     # round-4 batch 2: the lossy-codec decode path (bounded 500-doc
     # slice — the per-block Python DCT is the documented heavy kernel)
     "l11g_jpeg_decode",
+    # round-5 batch: the last two TPC-H composite shapes (Q4, Q20) and
+    # the capped+DOULION triangle estimate — the production dense-graph
+    # path (m11's exact count stays out, per its sf0.1 exclusion note).
+    "c20_priority_check",
+    "c21_concentrated_suppliers",
+    "m11b_triangle_estimate",
 ]
 
 

@@ -171,3 +171,71 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         "n_triangles",
         F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6).alias("clustering"),
     )
+
+
+# DOULION sampling probability: an edge survives iff the first two hex
+# chars of md5("u_v") are < '33' — exactly 51 of 256 prefixes, so
+# p = 51/256.  The estimate rescales by 1/p³ = (256/51)³ using exact
+# int64 arithmetic (floor division; sampled counts are ≤ ~10⁷ so the
+# product stays < 2⁵³ « 2⁶³).
+DOULION_HEX_BOUND = "33"
+DOULION_P = 51.0 / 256.0
+
+
+def triangle_count_oriented(e: DataFrame) -> DataFrame:
+    """Exact triangle count over canonical undirected simple edges
+    (columns ``u`` < ``v``, distinct) via degree orientation — the same
+    O(m^1.5) wedge-join strategy as ``triangle_stats``, returned as a
+    single-row (n_triangles) frame for composition (DOULION rescaling,
+    per-snapshot counting)."""
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst_id"),
+    ).localCheckpoint(eager=True)
+    x = oriented.alias("x")
+    y = oriented.alias("y")
+    cand = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src"))
+        & (
+            (F.col("x.dst_deg") < F.col("y.dst_deg"))
+            | (
+                (F.col("x.dst_deg") == F.col("y.dst_deg"))
+                & (F.col("x.dst_id") < F.col("y.dst_id"))
+            )
+        ),
+    ).select(F.col("x.dst").alias("p"), F.col("y.dst").alias("q"))
+    closing = oriented.select(F.col("src").alias("p"), F.col("dst").alias("q"))
+    return cand.join(closing, ["p", "q"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def doulion_sample(e: DataFrame) -> DataFrame:
+    """DOULION edge sparsification (Tsourakakis et al., KDD 2009) with
+    a DETERMINISTIC coin: keep edge (u, v) iff the md5 of "u_v" starts
+    below ``DOULION_HEX_BOUND`` (p = 51/256 ≈ 0.199).  md5 is a proper
+    mixing function — a linear-congruential coin correlates across
+    edges sharing endpoints and was measured 40% off on the dense
+    co-supply fixture, vs ~14% for md5 at the same p — and both Spark
+    and DuckDB evaluate the identical expression, so the sampled graph
+    (and therefore the estimate) is engine-reproducible, not a seeded
+    RNG artifact."""
+    coin = F.substring(
+        F.md5(F.concat_ws("_", F.col("u").cast("string"), F.col("v").cast("string"))),
+        1,
+        2,
+    )
+    return e.filter(coin < DOULION_HEX_BOUND)

@@ -1093,3 +1093,130 @@ def c19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "c20_priority_check",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+""",
+    survey="C20,J4,A1",
+    category="composite",
+)
+def c20_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20 (TPC-H Q4 shape): order-priority counts for one quarter's
+    orders that have at least one late line (EXISTS per order; the
+    fixtures carry no commit/receipt dates, so "late" = shipped >30
+    days after order date, the same lateness proxy as C9).
+
+    The oracle keeps the textbook correlated EXISTS; the engine runs
+    the decorrelated form: the quarter filter is pushed to the orders
+    scan, the fact joins it on orderkey and the late predicate becomes
+    a row filter, then an order-key aggregate realizes the EXISTS
+    (any late line → the order counts once) — because the aggregate
+    keys on the join key, it reuses the join's partitioning, so the
+    whole query is ONE fact shuffle (or zero when AQE broadcasts the
+    quarter's orders) + a tiny priority agg.  No hint on the
+    orders⋈lineitem edge: a quarter of orders at 100 TB does not
+    broadcast, and AQE upgrades it at small SF."""
+    o = (
+        scan(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01")
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        late.groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("_n_late"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "c21_concentrated_suppliers",
+    oracle="""
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_suppkey IS NOT NULL
+    GROUP BY l_partkey, l_suppkey
+    HAVING 2 * sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                         AND l_shipdate <  TIMESTAMP '1998-01-01'
+                        THEN CAST(l_quantity AS DECIMAL(20,4))
+                        ELSE CAST(0 AS DECIMAL(20,4)) END)
+        > sum(CAST(l_quantity AS DECIMAL(20,4)))
+  )
+""",
+    survey="C21,J4,J2,A6",
+    category="composite",
+)
+def c21_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21 (TPC-H Q20 shape): suppliers in one nation who, for some
+    'small%' part, shipped MORE THAN HALF of that (part, supplier)
+    pair's all-time quantity inside 1997 — the nested-IN with a
+    correlated half-sum threshold (the fixtures carry no partsupp /
+    ps_availqty, so the Q20 threshold compares the pair's 1997 sum
+    against half its lifetime sum over the same fact).
+
+    Decorrelation: the correlated pair of sums collapses into ONE
+    conditional aggregate over the part-pruned fact (both sums in the
+    same groupBy — never two fact passes), the HAVING becomes a row
+    filter, and the surviving supplier keys drive a broadcast semi-join
+    into the nation-filtered supplier dim.  Quantities sum as exact
+    DECIMAL so the >½ comparison is order-independent on both engines
+    (money_sum discipline), and the threshold uses integer doubling —
+    no 0.5 float.  Null supplier keys are excluded on both sides (the
+    IN-subquery null trap from the hostile sweep).  One fact shuffle
+    (the pair aggregate); part and the final supplier side broadcast."""
+    p = (
+        scan(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = (
+        scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey").isNotNull())
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    )
+    in_97 = (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    qty = F.col("l_quantity").cast("decimal(20,4)")
+    zero = F.lit(0).cast("decimal(20,4)")
+    concentrated = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in_97, qty).otherwise(zero)).alias("qty_97"),
+            F.sum(qty).alias("qty_all"),
+        )
+        .filter(F.col("qty_97") * 2 > F.col("qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = scan(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = scan(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        s.join(
+            F.broadcast(concentrated), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", dround("s_acctbal", 2).alias("s_acctbal"))
+    )

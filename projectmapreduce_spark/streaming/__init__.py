@@ -7,6 +7,7 @@ from projectmapreduce_spark.streaming.core import (
     EVENTS_DDL_MICROS,
     EVENTS_DDL_NANOS,
     dedup_within_watermark,
+    materialize_paced_replay,
     read_documents_stream,
     read_events_stream,
     run_available_now,

@@ -369,3 +369,56 @@ def sink_stream_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def materialize_paced_replay(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 8
+) -> str:
+    """Re-materialize the events fixture as ``n_chunks`` TIME-ORDERED
+    parquet files with strictly increasing mtimes, so the file stream
+    source (which batches new files oldest-mtime-first) replays them as
+    ~n separate micro-batches under ``maxFilesPerTrigger=1`` — the
+    SLOWEST replay cadence, where watermark advancement and late-data
+    eviction between batches differ most from a single-batch drain.
+
+    Returns a scratch directory shaped like an sf_dir (contains
+    ``events.parquet/``) for ``read_events_stream``.  Chunk boundaries
+    come from approximate ts quantiles — they only shape the pacing;
+    the half-open ranges partition the rows exactly, so the UNION
+    across chunks is the full fixture regardless of boundary placement.
+    Time-ordering across chunks means an in-order replay loses nothing
+    to the watermark, which is precisely the batch-equality contract
+    the paced twin asserts."""
+    import glob as _glob
+    import os
+    import time as _time
+    import uuid as _uuid
+
+    from projectmapreduce_spark.io import scan
+
+    scratch = f"/tmp/pmr_paced/{_uuid.uuid4().hex[:12]}"
+    ev_dir = f"{scratch}/events.parquet"
+    os.makedirs(ev_dir, exist_ok=True)
+    ev = scan(spark, sf_dir, "events")
+    qs = [k / n_chunks for k in range(1, n_chunks)]
+    bounds = (
+        ev.select(F.col("ts").cast("double").alias("tsd"))
+        .approxQuantile("tsd", qs, 0.001)
+    )
+    base = _time.time() - 3600.0
+    seen: set[str] = set()
+    tsd = F.col("ts").cast("double")
+    for k in range(n_chunks):
+        lo = None if k == 0 else bounds[k - 1]
+        hi = None if k == n_chunks - 1 else bounds[k]
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.filter(tsd >= F.lit(lo))
+        if hi is not None:
+            chunk = chunk.filter(tsd < F.lit(hi))
+        chunk.coalesce(1).write.mode("append").parquet(ev_dir)
+        new = set(_glob.glob(f"{ev_dir}/*.parquet")) - seen
+        for f in new:
+            os.utime(f, (base + k * 60.0, base + k * 60.0))
+        seen |= new
+    return scratch

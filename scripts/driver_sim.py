@@ -51,6 +51,24 @@ def main() -> int:
         "default lets one pathological oracle page the whole machine "
         "instead of erroring (observed: 109 GB RSS at the sf1 tier)",
     )
+    ap.add_argument(
+        "--sample",
+        type=int,
+        default=0,
+        help="run a seeded random N-query subset instead of the full "
+        "catalog — the cheap pre-commit rotation that approximates the "
+        "external driver's frozen 50-query sample (the full sweep stays "
+        "the release gate)",
+    )
+    ap.add_argument("--seed", type=int, default=0, help="seed for --sample")
+    ap.add_argument(
+        "--dump-canon",
+        default="",
+        help="write {query: sha256(canonical values)} JSON here — diff "
+        "two runs (e.g. --master local[2] vs local[32]) to prove "
+        "partition-count independence INCLUDING rows-only queries the "
+        "oracle can't hash-check",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -83,12 +101,29 @@ def main() -> int:
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     names = args.names or sorted(qs)
+    if args.sample and not args.names:
+        import random
+
+        names = sorted(random.Random(args.seed).sample(names, min(args.sample, len(names))))
+        print(f"[sample] seed={args.seed} -> {len(names)} queries: {' '.join(names)}")
     n_pass = n_fail = n_rows_only = 0
+    canon_hashes: dict[str, str] = {}
+
+    def _record_canon(name: str, sp) -> None:
+        if not args.dump_canon:
+            return
+        import hashlib
+
+        canon_hashes[name] = hashlib.sha256(
+            repr(_canon_frame(sp)).encode()
+        ).hexdigest()
+
     for name in names:
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf_dir)
             sp = sdf.toPandas()
+            _record_canon(name, sp)
             if name not in oracles:
                 n_rows_only += 1
                 print(f"[rows-only] {name}: {len(sp)} rows ({time.time()-t0:.1f}s)")
@@ -115,6 +150,12 @@ def main() -> int:
             n_fail += 1
             print(f"[ERROR] {name}: {type(e).__name__}: {e}")
     print(f"\n{n_pass} pass / {n_fail} fail / {n_rows_only} rows-only")
+    if args.dump_canon:
+        import json
+
+        with open(args.dump_canon, "w") as fh:
+            json.dump(canon_hashes, fh, indent=1, sort_keys=True)
+        print(f"[canon] wrote {len(canon_hashes)} hashes to {args.dump_canon}")
     return 1 if n_fail else 0
 
 

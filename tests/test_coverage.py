@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 161 operator rows across 13 categories
+# The full §2 inventory: 163 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -101,6 +101,8 @@ SURVEY_IDS = {
     "C17",  # round-3: promo revenue share (TPC-H Q14 shape)
     "C18",  # round-3: distinct-supplier breadth (TPC-H Q16 shape)
     "C19",  # round-3: disjunctive bracket revenue (TPC-H Q19 shape)
+    "C20",  # round-5: priority check w/ EXISTS-per-order (TPC-H Q4 shape)
+    "C21",  # round-5: correlated half-sum nested IN (TPC-H Q20 shape)
 }
 
 

@@ -915,3 +915,53 @@ def test_derive_shuffle_partitions_sizing(spark):
     sz = scan_size_bytes(spark, [f"{SF_SMOKE}/lineitem.parquet"])
     assert sz > 0
     assert derive_shuffle_partitions(sz, min_partitions=8) == 8
+
+
+# ---------- round-5: DOULION triangle estimator (m11b) ----------
+
+
+def test_triangle_count_oriented_matches_triangle_stats(spark):
+    """The composable exact counter must agree with triangle_stats on
+    a sparse random graph (the orientation strategy, twice)."""
+    from projectmapreduce_spark.operators.graph import (
+        triangle_count_oriented,
+        triangle_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    pairs = {tuple(sorted(p)) for p in rng.integers(0, 60, (300, 2)).tolist() if p[0] != p[1]}
+    e = spark.createDataFrame([(int(u), int(v)) for u, v in pairs], "u long, v long")
+    exact = triangle_stats(e.select(F.col("u").alias("a"), F.col("v").alias("b"))).collect()[0]
+    composed = triangle_count_oriented(e).collect()[0]
+    assert composed["n_triangles"] == exact["n_triangles"] > 0
+
+
+def test_doulion_estimate_error_bound(spark):
+    """m11b's rescaled estimate lands within the documented 20% of the
+    exact count on the adversarially-DENSE sf0.01 co-supply graph
+    (complete K100 — worst case for shared-edge variance; measured
+    ~14%).  Deterministic coin → this is a fixed regression pin, not a
+    flaky statistical test."""
+    from projectmapreduce_spark.queries import QUERIES
+    from tests.conftest import SF_CORRECT
+
+    exact = QUERIES["m11_triangle_count"](spark, SF_CORRECT).collect()[0]["n_triangles"]
+    row = QUERIES["m11b_triangle_estimate"](spark, SF_CORRECT).collect()[0]
+    assert exact > 0
+    assert abs(row["est_triangles"] - exact) / exact < 0.20
+    # the cap is vacuous on organic data: the capped edge set is the
+    # full co-supply edge set at this SF
+    assert row["n_edges"] == 4950
+
+
+def test_doulion_sample_rate(spark):
+    """The md5 coin keeps ~p = 51/256 of edges (binomial 3σ band on
+    the 4950-edge fixture graph)."""
+    from projectmapreduce_spark.operators.graph import DOULION_P
+    from projectmapreduce_spark.queries import QUERIES
+    from tests.conftest import SF_CORRECT
+
+    row = QUERIES["m11b_triangle_estimate"](spark, SF_CORRECT).collect()[0]
+    n, kept = row["n_edges"], row["n_sampled"]
+    sigma = (n * DOULION_P * (1 - DOULION_P)) ** 0.5
+    assert abs(kept - n * DOULION_P) < 3 * sigma

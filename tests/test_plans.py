@@ -266,3 +266,28 @@ def test_upsert_join_strategy_follows_size(spark):
         assert "BroadcastHashJoin" not in s.split("== Initial Plan ==")[0], s
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_c20_single_fact_pass(spark):
+    """C20 (Q4 shape): the EXISTS decorrelates to one orderkey
+    aggregate over ONE scan of the fact — no correlated re-scan, no
+    cartesian, at most 2 hash exchanges (fact agg + tiny priority
+    agg)."""
+    df = QUERIES["c20_priority_check"](spark, SF_CORRECT)
+    s = explain_str(df, "simple").split("== Initial Plan ==")[0]
+    assert s.count("lineitem.parquet") == 1, s
+    assert s.count("Exchange hashpartitioning") <= 2, s
+    assert not has_cartesian(df)
+
+
+def test_c21_single_fact_pass(spark):
+    """C21 (Q20 shape): the correlated half-sum pair collapses into
+    one conditional aggregate — lineitem scanned once, part + the
+    supplier semi-chain broadcast, at most 2 hash exchanges (pair agg
+    + suppkey distinct)."""
+    df = QUERIES["c21_concentrated_suppliers"](spark, SF_CORRECT)
+    s = explain_str(df, "simple").split("== Initial Plan ==")[0]
+    assert s.count("lineitem.parquet") == 1, s
+    assert s.count("Exchange hashpartitioning") <= 2, s
+    assert has_broadcast_hash_join(df), "part/supplier sides must broadcast"
+    assert not has_cartesian(df)

@@ -203,3 +203,48 @@ def test_has_committed_files_ignores_committer_debris(spark, tmp_path):
     (lake / "day=2024-01-01" / "part-0.parquet").write_bytes(b"x")
     assert has_committed_files(spark, str(lake))
     assert not has_committed_files(spark, str(tmp_path / "missing"))
+
+
+def test_paced_replay_runs_many_microbatches(spark, tmp_path):
+    """The paced-replay twin's whole point: under maxFilesPerTrigger=1
+    the 6 time-ordered chunk files must drain as ≥6 separate
+    micro-batches (checkpoint offsets prove it), and the session
+    result must still equal the batch computation — cross-batch
+    state-store merging and per-batch watermark advancement are
+    lossless for in-order arrival."""
+    import shutil
+
+    from projectmapreduce_spark.streaming import materialize_paced_replay
+
+    scratch = materialize_paced_replay(spark, SF_SMOKE, n_chunks=6)
+    try:
+        stream = with_watermark(read_events_stream(spark, scratch))
+        name = "paced_test_" + uuid.uuid4().hex[:8]
+        q = (
+            session_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        offsets = list((tmp_path / "ckpt" / "offsets").iterdir())
+        assert len(offsets) >= 6, f"expected >=6 micro-batches, got {len(offsets)}"
+        got = {tuple(r) for r in spark.table(name).collect()}
+        ev = scan(spark, SF_SMOKE, "events")
+        exp = {
+            tuple(r)
+            for r in ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                "n_events",
+            )
+            .collect()
+        }
+        assert got == exp
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
