@@ -172,6 +172,10 @@ HEADLINE = [
     # round-5 batch: the last two TPC-H composite shapes (Q4, Q20) and
     # the capped+DOULION triangle estimate — the production dense-graph
     # path (m11's exact count stays out, per its sf0.1 exclusion note).
+    # l4f_ann_pq stays OUT (precedent: l4d/l4e): its cost is the PQ
+    # codebook fit — the same corpus-independent-fit profile l4c
+    # already prices in the headline; its recall/compression frontier
+    # is measured in tests/test_operators.py and the l4f docstring.
     "c20_priority_check",
     "c21_concentrated_suppliers",
     "m11b_triangle_estimate",

@@ -758,3 +758,181 @@ def query_ivf_index(
     return reranked.select(
         "q_id", "neighbor_id", "cos_sim", F.row_number().over(w2).alias("nn_rank")
     ).filter(F.col("nn_rank") <= k)
+
+
+def pq_fit(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    is split into ``m_sub`` contiguous subspaces and each subspace gets
+    its own ``k_codes``-centroid k-means — the code for a vector is
+    m_sub small integers (here 8×4 bits = 4 bytes vs 256 bytes of
+    float64), and distances are reconstructed per-subspace from lookup
+    tables.
+
+    Scale design: ALL subspaces fit together — per iteration, ONE
+    map-only assignment (m_sub nearest-centroid expressions over the
+    same scan) and ONE (m, cluster, pos) mean aggregation whose shuffle
+    is m_sub×k_codes×subdim rows (1024 doubles at the defaults) —
+    corpus-size-independent driver state, the same contract as
+    ``ivf_fit``.  Deterministic init: subvectors of the first k_codes
+    vectors by id."""
+    first = emb.select(F.size(as_double(F.col(vec_col))).alias("d")).first()
+    dim = int(first["d"])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    subdim = dim // m_sub
+    vec_sql = f"cast(`{vec_col}` as array<double>)"
+
+    def sub_sql(m: int) -> str:
+        return f"slice({vec_sql}, {m * subdim + 1}, {subdim})"
+
+    init = emb.orderBy(id_col).limit(k_codes).select(vec_col).collect()
+    vecs = [[float(x) for x in r[0]] for r in init]
+    cbs = [
+        [v[m * subdim : (m + 1) * subdim] for v in vecs] for m in range(m_sub)
+    ]
+    for _ in range(iters):
+        per_sub = ",".join(
+            f"named_struct('m', {m}, 'c', "
+            f"array_max({_centroid_scores_sql(sub_sql(m), cbs[m])}).c, "
+            f"'sub', {sub_sql(m)})"
+            for m in range(m_sub)
+        )
+        stacked = (
+            emb.select(F.expr(f"explode(array({per_sub}))").alias("t"))
+            .select("t.m", "t.c", F.posexplode("t.sub").alias("pos", "val"))
+        )
+        rows = stacked.groupBy("m", "c", "pos").agg(F.avg("val").alias("v")).collect()
+        by_mc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            by_mc.setdefault((r.m, r.c), {})[r.pos] = r.v
+        cbs = [
+            [
+                [by_mc[(m, c)][p] for p in sorted(by_mc[(m, c)])]
+                if (m, c) in by_mc
+                else cbs[m][c]
+                for c in range(k_codes)
+            ]
+            for m in range(m_sub)
+        ]
+    return cbs
+
+
+def pq_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+    k: int,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    rerank_mult: int = 4,
+) -> DataFrame:
+    """PQ asymmetric-distance ANN: 4-byte codes + per-query lookup
+    tables + float re-rank of the shortlist — the memory-bound serving
+    tier of the family (l4b LSH buckets, l4c IVF lists, l4d int8 dot,
+    l4f THIS: the corpus streamed through scoring is m_sub small ints
+    per vector, 64× smaller than float64 at the defaults).
+
+    Asymmetric distance (query stays float, corpus is quantized):
+    dot(q, recon(x)) = Σ_m LUT_m[code_m] with LUT_m[j] = dot(q_m,
+    centroid_{m,j}), and ‖recon(x)‖² = Σ_m ‖centroid_{m,code_m}‖²
+    (subspace cross-terms vanish — the subspaces are disjoint
+    coordinate blocks).  cos(q, recon(x)) then needs only the codes.
+
+    The per-query LUTs (Q × m_sub × k_codes doubles) are computed
+    DRIVER-SIDE from the collected query batch and inlined as
+    expression literals — in a production PQ server the LUT build is
+    exactly the query-node work per batch, corpus-independent; the
+    plan-literal form bounds the supported batch to Q ≲ 100 per pass
+    (the same k×dim-literal contract as ``_centroid_scores_sql``).
+    Scoring is MAP-ONLY over the codes; the only shuffles are the
+    per-query top-(rerank_mult·k) shortlist window and the bounded
+    float re-rank fetch (the ``ivf_int8_ann_topk`` tier-3 pattern)."""
+    emb = emb.filter(norm(as_double(F.col(vec_col))) > 0)
+    queries = queries.filter(norm(as_double(F.col(q_vec_col))) > 0)
+    cbs = pq_fit(emb, id_col, vec_col, m_sub, k_codes, iters)
+    dim = len(cbs[0][0]) * m_sub
+    subdim = dim // m_sub
+    vec_sql = f"cast(`{vec_col}` as array<double>)"
+
+    def sub_sql(m: int) -> str:
+        return f"slice({vec_sql}, {m * subdim + 1}, {subdim})"
+
+    codes = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[
+            F.expr(f"array_max({_centroid_scores_sql(sub_sql(m), cbs[m])}).c").alias(
+                f"__code{m}"
+            )
+            for m in range(m_sub)
+        ],
+    )
+    # query-node LUT build (Q bounded — documented above)
+    qrows = queries.select(
+        F.col(q_id_col).alias("q_id"), as_double(F.col(q_vec_col)).alias("qv")
+    ).collect()
+    n2_luts = [
+        [sum(x * x for x in cbs[m][j]) for j in range(k_codes)] for m in range(m_sub)
+    ]
+
+    def lit_arr(vals: list[float]) -> str:
+        return "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
+
+    per_query = []
+    for r in qrows:
+        qv = [float(x) for x in r["qv"]]
+        qnorm = sum(x * x for x in qv) ** 0.5
+        dot_terms = []
+        n2_terms = []
+        for m in range(m_sub):
+            qsub = qv[m * subdim : (m + 1) * subdim]
+            lut = [
+                sum(a * b for a, b in zip(qsub, cbs[m][j])) for j in range(k_codes)
+            ]
+            dot_terms.append(f"element_at({lit_arr(lut)}, __code{m} + 1)")
+            n2_terms.append(f"element_at({lit_arr(n2_luts[m])}, __code{m} + 1)")
+        dot_sql = " + ".join(dot_terms)
+        n2_sql = " + ".join(n2_terms)
+        per_query.append(
+            f"named_struct('q', {int(r['q_id'])}L, 's', "
+            f"({dot_sql}) / ({qnorm!r}D * sqrt(greatest({n2_sql}, 1e-300D))))"
+        )
+    scored = (
+        codes.select(
+            "neighbor_id", F.expr(f"explode(array({','.join(per_query)}))").alias("t")
+        )
+        .select("neighbor_id", F.col("t.q").alias("q_id"), F.col("t.s").alias("approx_cos"))
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_cos").desc(), F.col("neighbor_id"))
+    shortlist = (
+        scored.select("q_id", "neighbor_id", F.row_number().over(w).alias("__r"))
+        .filter(F.col("__r") <= rerank_mult * k)
+        .select("q_id", "neighbor_id")
+    )
+    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    qv_df = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"))
+    reranked = (
+        nv.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qv_df), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            cosine(as_double(F.col("qv")), as_double(F.col("nv"))).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return reranked.select(
+        "q_id", "neighbor_id", "cos_sim", F.row_number().over(w2).alias("nn_rank")
+    ).filter(F.col("nn_rank") <= k)

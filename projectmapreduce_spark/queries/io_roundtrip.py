@@ -486,13 +486,31 @@ def s14_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query writes events 64-ways, compacts to 4 files, and proves
     both the file counts (driver-side listing of the two directories —
     metadata, not data) and the data (read-back aggregate must equal
-    the source table's)."""
+    the source table's).
+
+    Partition-count independence (round-5 sweep catch): the
+    compaction READ must see file-grained splits, or the split
+    packing — whose ``bytesPerCore`` term scales with
+    ``defaultParallelism`` — can collapse 64 tiny files into fewer
+    than 4 partitions (observed: 2 at local[2], making files_after=2)
+    and ``coalesce(4)`` cannot split partitions back up.  A real
+    OPTIMIZE groups by FILE for the same reason; here the scan
+    granularity confs are pinned for the read and restored after the
+    rewrite action completes."""
     ev = scan(spark, sf_dir, "events").select("event_id", "value")
     frag_path = _p("s14_fragmented")
     compact_path = _p("s14_compacted")
     ev.repartition(64).write.mode("overwrite").parquet(frag_path)
-    frag = spark.read.parquet(frag_path)
-    frag.coalesce(4).write.mode("overwrite").parquet(compact_path)
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(16 * 1024))
+        frag = spark.read.parquet(frag_path)
+        frag.coalesce(4).write.mode("overwrite").parquet(compact_path)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
 
     def _n_files(path: str) -> int:
         return sum(

@@ -351,9 +351,12 @@ def m11b_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
        (``operators/graph.py:doulion_sample``), triangles are counted
        exactly on the sparsified graph (degree-oriented wedge join,
        O((pm)^1.5)), and the count rescales by 1/p³ in exact int64
-       arithmetic.  Unbiased over the coin ensemble; measured ~14%
-       off exact on the adversarially-dense sf0.01 fixture (pinned in
-       tests/test_operators.py) and convergent on sparse graphs.
+       arithmetic.  Unbiased over the coin ensemble with relative
+       std ≈ sqrt(1/(p³T)) + shared-edge terms, so it is the tool for
+       the LARGE-T dense regime that breaks the exact count (measured
+       ~14% off exact on the adversarially-dense sf0.01 fixture,
+       pinned in tests/test_operators.py); sparse small-T graphs are
+       exactly where m11's exact count runs fine and should be used.
 
     The md5 coin makes the whole query engine-deterministic, so unlike
     classic sampled estimators it carries a full SQL hash oracle, not

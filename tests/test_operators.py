@@ -965,3 +965,57 @@ def test_doulion_sample_rate(spark):
     n, kept = row["n_edges"], row["n_sampled"]
     sigma = (n * DOULION_P * (1 - DOULION_P)) ** 0.5
     assert abs(kept - n * DOULION_P) < 3 * sigma
+
+
+# ---------- round-5: product-quantization ANN (l4f) ----------
+
+
+def test_ann_pq_recall(spark):
+    """Declared l4f knobs (16 subspaces × 16 codes, rerank 24) must
+    hold a 0.85 recall floor on the near-uniform fixture with 20 query
+    vectors (measured 0.95 over the 8 declared queries at sf0.1, 6% of
+    the corpus touched in float — scoring streams 8-byte codes, a 64×
+    compression of the float64 corpus)."""
+    from projectmapreduce_spark.operators.similarity import pq_ann_topk
+
+    e = scan(spark, SF_CORRECT, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in brute_force_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", 5).collect()
+    }
+    approx = {
+        (r.q_id, r.neighbor_id)
+        for r in pq_ann_topk(
+            e, q, "vec_id", "embedding", "vec_id", "embedding", 5,
+            m_sub=16, k_codes=16, rerank_mult=24,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"PQ recall below declared floor: {recall}"
+
+
+def test_pq_reconstruction_beats_random(spark):
+    """PQ codes must actually encode geometry: the ADC shortlist at
+    rerank_mult=1 (no float safety margin) recovers ~1/3 of the true
+    top-5 on the near-uniform fixture (measured 0.325 — ADC ordering
+    is noisy exactly when true NNs sit at cos ≈ 0.35, which is why the
+    declared config carries rerank_mult=24).  Floor 0.25: a codebook
+    bug (wrong subspace slicing, LUT misindex) collapses overlap to
+    the ~1% random level, 25× below it."""
+    from projectmapreduce_spark.operators.similarity import pq_ann_topk
+
+    e = scan(spark, SF_CORRECT, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in brute_force_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", 5).collect()
+    }
+    approx = {
+        (r.q_id, r.neighbor_id)
+        for r in pq_ann_topk(
+            e, q, "vec_id", "embedding", "vec_id", "embedding", 5,
+            m_sub=16, k_codes=16, rerank_mult=1,
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.25
