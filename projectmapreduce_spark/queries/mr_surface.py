@@ -367,11 +367,17 @@ def m11b_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_count_oriented,
     )
 
+    # The distinct pair set feeds THREE arms (cap derivation, x-side,
+    # y-side); checkpointing it pins ONE fact scan + one distinct
+    # shuffle, and every arm reads the m-row materialization — without
+    # it the plan carries 5 scan subtrees (3 exchange-reused, 2 live).
+    # Same bounded-state contract as triangle_stats' oriented edges.
     s = (
         scan(spark, sf_dir, "lineitem")
         .filter(F.col("l_suppkey").isNotNull())
         .select("l_orderkey", "l_suppkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     ok = (
         s.groupBy("l_orderkey")

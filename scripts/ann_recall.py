@@ -39,6 +39,7 @@ from projectmapreduce_spark.operators.similarity import (
     ivf_ann_topk,
     ivf_int8_ann_topk,
     lsh_ann_topk,
+    pq_ann_topk,
 )
 from projectmapreduce_spark.session import get_spark
 
@@ -140,6 +141,26 @@ def main() -> int:
                 "sec": round(time.time() - t0, 1),
             }))
             declared_recalls.append(r)
+
+    # PQ serving plan (l4f, round 5): ADC scoring streams 8-byte codes
+    # (64× compression of float64) map-only over the WHOLE corpus —
+    # there is no candidate-generation stage, so the price axis is the
+    # float-fetch fraction (rerank_mult·k/(N-1)) plus the code bytes.
+    for m_sub, k_codes, rerank_mult in ([] if args.sweep else [(16, 16, 24)]):
+        t0 = time.time()
+        top = pq_ann_topk(
+            e, q, "vec_id", "embedding", "vec_id", "embedding",
+            k=args.k, m_sub=m_sub, k_codes=k_codes, rerank_mult=rerank_mult,
+        )
+        r = recall(topk_sets(top), exact, args.k)
+        print(json.dumps({
+            "algo": "pq", "m_sub": m_sub, "k_codes": k_codes,
+            "rerank_mult": rerank_mult, "recall": round(r, 4),
+            "float_fetch_frac": round(rerank_mult * args.k / (n_corpus - 1), 4),
+            "code_bytes_per_vec": m_sub * max(1, (k_codes - 1).bit_length()) / 8,
+            "sec": round(time.time() - t0, 1),
+        }))
+        declared_recalls.append(r)
 
     if args.sweep:
         return 0
