@@ -119,42 +119,13 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # Orient by (deg, id): ties broken by id keep the orientation total.
-    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
-    ranked = e.join(du, "u").join(dv, "v")
-    lower_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    # Materialize the oriented edge list once: it feeds THREE plan arms
-    # (wedge x-side, wedge y-side, closing-edge probe) and without the
-    # lineage cut each arm would re-derive the whole
-    # distinct→degree→orient chain (observed: a 74-exchange plan).
-    # Size is exactly m rows — the same bounded-state contract as
-    # pagerank's per-iteration checkpoint above.
-    oriented = ranked.select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst_id"),
-    ).localCheckpoint(eager=True)
-    # Wedge candidates from each source's out-edges, ordered by the dst
-    # RANK (deg, id) so each unordered candidate pair appears once.
-    x = oriented.alias("x")
-    y = oriented.alias("y")
-    cand = x.join(
-        y,
-        (F.col("x.src") == F.col("y.src"))
-        & (
-            (F.col("x.dst_deg") < F.col("y.dst_deg"))
-            | (
-                (F.col("x.dst_deg") == F.col("y.dst_deg"))
-                & (F.col("x.dst_id") < F.col("y.dst_id"))
-            )
-        ),
-    ).select(F.col("x.dst").alias("p"), F.col("y.dst").alias("q"))
-    closing = oriented.select(F.col("src").alias("p"), F.col("dst").alias("q"))
-    tri = cand.join(closing, ["p", "q"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    # Triangle counting itself is the shared degree-orientation core
+    # (round-5 dedup: m11b's DOULION path composes the same counter, so
+    # the orientation/tie-break logic lives in exactly one place —
+    # tests pin the two callers equal).  The helper re-derives degrees
+    # from its input, one extra m-row aggregate; the wedge join
+    # dominates at any scale.
+    tri = triangle_count_oriented(e)
     counts = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),

@@ -784,6 +784,8 @@ def pq_fit(
     ``ivf_fit``.  Deterministic init: subvectors of the first k_codes
     vectors by id."""
     first = emb.select(F.size(as_double(F.col(vec_col))).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_fit needs a non-empty corpus")
     dim = int(first["d"])
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
@@ -795,6 +797,11 @@ def pq_fit(
 
     init = emb.orderBy(id_col).limit(k_codes).select(vec_col).collect()
     vecs = [[float(x) for x in r[0]] for r in init]
+    if len(vecs) < k_codes:
+        raise ValueError(
+            f"pq_fit needs >= k_codes ({k_codes}) vectors for deterministic "
+            f"init, corpus has {len(vecs)}"
+        )
     cbs = [
         [v[m * subdim : (m + 1) * subdim] for v in vecs] for m in range(m_sub)
     ]
@@ -882,6 +889,16 @@ def pq_ann_topk(
     qrows = queries.select(
         F.col(q_id_col).alias("q_id"), as_double(F.col(q_vec_col)).alias("qv")
     ).collect()
+    if not qrows:
+        # empty (or all-zero-norm) query batch → empty result frame with
+        # the contract schema, not an unresolvable explode(array())
+        return emb.sparkSession.createDataFrame(
+            [], "q_id long, neighbor_id long, cos_sim double, nn_rank int"
+        )
+    if any(not isinstance(r["q_id"], int) for r in qrows):
+        # ids are inlined as bigint literals in the per-query score
+        # expressions — the integer-id contract of this engine's tables
+        raise TypeError("pq_ann_topk requires integer query ids")
     n2_luts = [
         [sum(x * x for x in cbs[m][j]) for j in range(k_codes)] for m in range(m_sub)
     ]

@@ -348,12 +348,13 @@ def l4f_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is a map-only pass over the codes via per-query lookup
     tables, and only the top rerank_mult·k shortlist is fetched back
     in float (`operators/similarity.py:pq_ann_topk`).  At 16
-    subspaces / 16 codes / rerank 24: recall@5 = 0.950 touching 6% of
-    the corpus in float at sf0.1 — past l4b LSH (0.925 @ 61%
-    candidates) and l4c IVF (0.919 @ 50%) on BOTH axes for the
-    adversarial near-uniform fixture geometry, because PQ prices
-    recall in shortlist depth, not candidate-generation width.
-    Floors asserted in tests/test_operators.py."""
+    subspaces / 16 codes / rerank 24: recall@5 = 0.9187 over the
+    64-query ann_recall.py measurement (0.950 over this query's 8
+    declared queries), touching 6% of the corpus in float at sf0.1 —
+    it TIES l4c IVF's recall (0.919 @ 50% candidates) while scoring
+    everything through 64×-compressed codes, because PQ prices recall
+    in shortlist depth, not candidate-generation width.  Floors
+    asserted in tests/test_operators.py."""
     e = scan(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     out = pq_ann_topk(

@@ -33,6 +33,29 @@ from projectmapreduce_spark.streaming import (
 )
 
 
+# Shared by t3s (single-batch drain) and t3r (paced replay): the twins
+# assert the SAME sessionization contract against the same portable
+# gap-and-islands SQL — one definition so they cannot drift.
+T3_SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, session_no
+"""
+
+
 def _drain(spark: SparkSession, out: DataFrame, mode: str) -> DataFrame:
     name = "pmrs_" + uuid.uuid4().hex[:12]
     run_available_now(out, f"/tmp/pmr_stream_ckpt/{name}", output_mode=mode, query_name=name)
@@ -58,24 +81,7 @@ def t1s_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t3s_stream_session",
-    oracle="""
-WITH o AS (
-  SELECT user_id, ts,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL 30 MINUTE OR
-                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-),
-s AS (
-  SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS session_no
-  FROM o
-)
-SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
-FROM s GROUP BY user_id, session_no
-""",
+    oracle=T3_SESSION_ORACLE,
     survey="T3,T4",
     category="streaming",
 )
@@ -343,24 +349,7 @@ def t9s_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t3r_session_paced_replay",
-    oracle="""
-WITH o AS (
-  SELECT user_id, ts,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL 30 MINUTE OR
-                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-),
-s AS (
-  SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS session_no
-  FROM o
-)
-SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
-FROM s GROUP BY user_id, session_no
-""",
+    oracle=T3_SESSION_ORACLE,
     survey="T3,T4",
     category="streaming",
 )

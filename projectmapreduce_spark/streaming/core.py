@@ -400,6 +400,12 @@ def materialize_paced_replay(
     ev_dir = f"{scratch}/events.parquet"
     os.makedirs(ev_dir, exist_ok=True)
     ev = scan(spark, sf_dir, "events")
+    # A NULL ts would fail every half-open range filter and silently
+    # vanish from the replay — refuse instead (event-time streaming has
+    # no meaningful place for a null event time, and a silent row drop
+    # would surface as an oracle hash mismatch far from the cause).
+    if ev.filter(F.col("ts").isNull()).limit(1).count():
+        raise ValueError("materialize_paced_replay: events fixture has NULL ts rows")
     qs = [k / n_chunks for k in range(1, n_chunks)]
     bounds = (
         ev.select(F.col("ts").cast("double").alias("tsd"))
