@@ -358,41 +358,83 @@ def _nearest_centroid(vec_sql: str, cents: list[list[float]]) -> Column:
     return F.expr(f"array_max({_centroid_scores_sql(vec_sql, cents)}).c")
 
 
+def _fit_sample(emb: DataFrame, id_col: str, vec_col: str, cap: int):
+    """Deterministic bounded quantizer-training sample, as an
+    id-sorted float64 numpy matrix.
+
+    ONE map-only corpus pass: each partition keeps its top-``cap``
+    rows by a hash PRF of the id (TakeOrderedAndProject — per-partition
+    heap, driver merge), so training cost is one scan REGARDLESS of
+    the iteration count — the faiss training contract, vs the previous
+    design's full assignment pass per Lloyd iteration.  The PRF key is
+    value-based (xxhash64 of the id, id tie-break), so the sample —
+    and every centroid derived from it — is partition-layout-
+    independent; the driver-side id sort fixes float summation order,
+    making the fit bit-deterministic across masters.
+    """
+    import numpy as np
+
+    rows = (
+        emb.select(
+            F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+        )
+        .orderBy(F.pmod(F.xxhash64(F.col("__id")), F.lit(2**31)), F.col("__id"))
+        .limit(cap)
+        .collect()
+    )
+    rows.sort(key=lambda r: r["__id"])
+    return np.array([[float(x) for x in r["__v"]] for r in rows], dtype=np.float64)
+
+
+def _lloyd(vecs, k: int, iters: int):
+    """Driver-side Lloyd's k-means over the (bounded) training sample.
+
+    Deterministic init = first k sample vectors by id; assignment is
+    argmin ‖v−c‖² via argmax v·c − ‖c‖²/2 with ties going to the
+    HIGHER centroid index — the exact rule ``_nearest_centroid``'s
+    ``array_max`` over (score, index) structs applies at assignment
+    time, so fit and serve agree.  Empty clusters keep their previous
+    centroid (same as the old SQL fit's missing-group fallback).
+    """
+    import numpy as np
+
+    k = min(k, len(vecs))
+    cents = vecs[:k].copy()
+    for _ in range(iters):
+        scores = vecs @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+        assign = (k - 1) - np.argmax(scores[:, ::-1], axis=1)
+        for c in range(k):
+            members = vecs[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in cents]
+
+
 def ivf_fit(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
     k_clusters: int = 16,
     iters: int = 2,
+    fit_cap: int = 4096,
 ) -> list[list[float]]:
-    """Tiny Lloyd's k-means for the IVF coarse quantizer.
+    """Lloyd's k-means for the IVF coarse quantizer, trained on a
+    deterministic ≤``fit_cap``-vector sample (``_fit_sample``).
 
-    Deterministic init (first k vectors by id) + ``iters`` refinement
-    passes.  Each pass is one map-only assignment (centroids are
-    expression literals — k×dim doubles, driver-resident at ANY corpus
-    scale) plus one (cluster, pos) mean aggregation whose shuffle is
-    k×dim rows, independent of corpus size.  That is the textbook
-    MapReduce k-means cost profile — fine at 100 TB.
+    Scale design: quantizer training reads the corpus ONCE (the
+    sampling pass) and then iterates driver-side over ≤ fit_cap×dim
+    doubles (~2 MB at the defaults) — corpus-size-independent state
+    and iteration cost, the same contract faiss uses (train on a
+    bounded sample, assign with one distributed pass).  The previous
+    formulation paid a full corpus scan + k×dim shuffle PER iteration;
+    at 100 TB that is ``iters`` extra full scans for 16 centroids.
+    Recall at the catalog knobs is re-measured in BASELINE.md's
+    ann_recall table (floors pinned in tests/test_operators.py).
     """
-    init = emb.orderBy(id_col).limit(k_clusters).select(vec_col).collect()
-    cents = [[float(x) for x in r[0]] for r in init]
-    vec_sql = f"cast(`{vec_col}` as array<double>)"
-    for _ in range(iters):
-        assigned = emb.select(
-            _nearest_centroid(vec_sql, cents).alias("cluster"),
-            F.col(vec_col).alias("__v"),
-        ).select("cluster", F.posexplode(as_double(F.col("__v"))).alias("pos", "val"))
-        rows = (
-            assigned.groupBy("cluster", "pos").agg(F.avg("val").alias("m")).collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
-        cents = [
-            [by_cluster[c][p] for p in sorted(by_cluster[c])] if c in by_cluster else cents[c]
-            for c in range(k_clusters)
-        ]
-    return cents
+    vecs = _fit_sample(emb, id_col, vec_col, fit_cap)
+    if not len(vecs):
+        raise ValueError("ivf_fit needs a non-empty corpus")
+    return _lloyd(vecs, k_clusters, iters)
 
 
 def ivf_ann_topk(
@@ -767,6 +809,7 @@ def pq_fit(
     m_sub: int = 8,
     k_codes: int = 16,
     iters: int = 2,
+    fit_cap: int = 4096,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
@@ -776,60 +819,28 @@ def pq_fit(
     float64), and distances are reconstructed per-subspace from lookup
     tables.
 
-    Scale design: ALL subspaces fit together — per iteration, ONE
-    map-only assignment (m_sub nearest-centroid expressions over the
-    same scan) and ONE (m, cluster, pos) mean aggregation whose shuffle
-    is m_sub×k_codes×subdim rows (1024 doubles at the defaults) —
-    corpus-size-independent driver state, the same contract as
-    ``ivf_fit``.  Deterministic init: subvectors of the first k_codes
-    vectors by id."""
-    first = emb.select(F.size(as_double(F.col(vec_col))).alias("d")).first()
-    if first is None:
+    Scale design: ALL subspaces train from ONE deterministic
+    ≤``fit_cap``-vector sample (``_fit_sample`` — a single map-only
+    corpus pass), then iterate driver-side per subspace over
+    sample×subdim doubles — corpus-size-independent state and
+    iteration cost, the same contract as ``ivf_fit``.  Deterministic
+    init: subvectors of the first k_codes sample vectors by id."""
+    vecs = _fit_sample(emb, id_col, vec_col, fit_cap)
+    if not len(vecs):
         raise ValueError("pq_fit needs a non-empty corpus")
-    dim = int(first["d"])
+    dim = vecs.shape[1]
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     subdim = dim // m_sub
-    vec_sql = f"cast(`{vec_col}` as array<double>)"
-
-    def sub_sql(m: int) -> str:
-        return f"slice({vec_sql}, {m * subdim + 1}, {subdim})"
-
-    init = emb.orderBy(id_col).limit(k_codes).select(vec_col).collect()
-    vecs = [[float(x) for x in r[0]] for r in init]
     if len(vecs) < k_codes:
         raise ValueError(
             f"pq_fit needs >= k_codes ({k_codes}) vectors for deterministic "
             f"init, corpus has {len(vecs)}"
         )
-    cbs = [
-        [v[m * subdim : (m + 1) * subdim] for v in vecs] for m in range(m_sub)
+    return [
+        _lloyd(vecs[:, m * subdim : (m + 1) * subdim], k_codes, iters)
+        for m in range(m_sub)
     ]
-    for _ in range(iters):
-        per_sub = ",".join(
-            f"named_struct('m', {m}, 'c', "
-            f"array_max({_centroid_scores_sql(sub_sql(m), cbs[m])}).c, "
-            f"'sub', {sub_sql(m)})"
-            for m in range(m_sub)
-        )
-        stacked = (
-            emb.select(F.expr(f"explode(array({per_sub}))").alias("t"))
-            .select("t.m", "t.c", F.posexplode("t.sub").alias("pos", "val"))
-        )
-        rows = stacked.groupBy("m", "c", "pos").agg(F.avg("val").alias("v")).collect()
-        by_mc: dict[tuple[int, int], dict[int, float]] = {}
-        for r in rows:
-            by_mc.setdefault((r.m, r.c), {})[r.pos] = r.v
-        cbs = [
-            [
-                [by_mc[(m, c)][p] for p in sorted(by_mc[(m, c)])]
-                if (m, c) in by_mc
-                else cbs[m][c]
-                for c in range(k_codes)
-            ]
-            for m in range(m_sub)
-        ]
-    return cbs
 
 
 def pq_ann_topk(
