@@ -367,33 +367,35 @@ def m11b_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_count_oriented,
     )
 
-    # The distinct pair set feeds THREE arms (cap derivation, x-side,
-    # y-side); checkpointing it pins ONE fact scan + one distinct
-    # shuffle, and every arm reads the m-row materialization — without
-    # it the plan carries 5 scan subtrees (3 exchange-reused, 2 live).
-    # Same bounded-state contract as triangle_stats' oriented edges.
-    s = (
+    # Edge generation in ONE aggregation shuffle (the L2 bucket-pair
+    # pattern): per-order sorted distinct supplier sets via
+    # collect_set (the pair-level distinct folds into the aggregate),
+    # the cap filter applied to the SET size, then the C(n,2) pairs
+    # generated map-side from the sorted array — u < v is structural
+    # from the sort.  Replaces the previous distinct-shuffle +
+    # orderkey self-join + two eager checkpoints; per-group state is
+    # cap-bounded (≤ 64 suppliers) so the aggregate never hubs.
+    sets_ = (
         scan(spark, sf_dir, "lineitem")
         .filter(F.col("l_suppkey").isNotNull())
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .localCheckpoint(eager=True)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
+        .filter(F.size("ss").between(2, 64))
     )
-    ok = (
-        s.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_supp"))
-        .filter(F.col("n_supp") <= 64)
-        .select("l_orderkey")
-    )
-    x = s.join(ok, "l_orderkey").alias("x")
-    y = s.join(ok, "l_orderkey").alias("y")
-    edges = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
         )
-        .select(F.col("x.l_suppkey").alias("u"), F.col("y.l_suppkey").alias("v"))
+    )
+    # edges feeds three consumers (n_edges, the sampler, the wedge
+    # join); the checkpoint pins one materialization all three read.
+    edges = (
+        sets_.select(F.explode(pair_structs).alias("p"))
+        .select("p.u", "p.v")
         .distinct()
         .localCheckpoint(eager=True)
     )
