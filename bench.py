@@ -182,9 +182,58 @@ HEADLINE = [
 ]
 
 
+def machine_condition(sf_dir: str) -> dict:
+    """Stamp the host's IO/load weather into the artifact (VERDICT r5
+    item 5): rounds 4 and 5 both recorded headline swings of ±40% that
+    a rerun on a quiet machine erased entirely.  ``loadavg`` is the
+    1/5/15-minute triple; ``disk_mb_s`` is a ~1-second sequential read
+    over the sf dir's parquet files (1 MiB chunks, capped at 256 MiB).
+    Reading: loadavg[0] ≳ 4 or disk_mb_s ≲ 300 on this host means
+    IO-bound queries will read 2–5× slow while compute-bound ones stay
+    flat — adjudicate an apparent regression against these fields
+    before rerunning (BASELINE.md § bench caveat)."""
+    cond: dict = {"loadavg": None, "disk_mb_s": None}
+    try:
+        cond["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        files = sorted(
+            (
+                os.path.join(r, f)
+                for r, _, fs in os.walk(sf_dir)
+                for f in fs
+                if f.endswith(".parquet")
+            ),
+            key=os.path.getsize,
+            reverse=True,
+        )
+        chunk, budget_s, cap = 1 << 20, 1.0, 256 << 20
+        read = 0
+        t0 = time.perf_counter()
+        for path in files:
+            with open(path, "rb", buffering=0) as fh:
+                while True:
+                    buf = fh.read(chunk)
+                    if not buf:
+                        break
+                    read += len(buf)
+                    if time.perf_counter() - t0 > budget_s or read >= cap:
+                        break
+            if time.perf_counter() - t0 > budget_s or read >= cap:
+                break
+        dt = time.perf_counter() - t0
+        if dt > 0 and read:
+            cond["disk_mb_s"] = round(read / dt / (1 << 20), 1)
+    except OSError:
+        pass
+    return cond
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    cond = machine_condition(sf_dir)
     spark = get_spark(app_name="pmr-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -223,6 +272,7 @@ def main() -> None:
         "value_warm": round(total_warm, 3),
         "n_headline": len(HEADLINE),
         "n_declared_queries": len(QUERIES),
+        "machine": cond,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -244,10 +294,17 @@ def main() -> None:
         "n_headline": len(HEADLINE),
         "n_declared_queries": len(QUERIES),
         "queries": slowest,
+        "machine": cond,
         "detail": "BENCH_DETAIL.json",
     }
+    # Shrink, never abort (ADVICE r5): if query-name growth ever pushes
+    # the line over the driver's ~2000-char tail capture, drop entries
+    # from the slowest-queries dict until it fits — the full dict is
+    # already durable in BENCH_DETAIL.json.
     line = json.dumps(summary)
-    assert len(line) < 1900, f"summary line too long ({len(line)} chars)"
+    while len(line) >= 1900 and summary["queries"]:
+        summary["queries"].pop(next(reversed(summary["queries"])))
+        line = json.dumps(summary)
     print(line)
 
 

@@ -122,10 +122,10 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     # Triangle counting itself is the shared degree-orientation core
     # (round-5 dedup: m11b's DOULION path composes the same counter, so
     # the orientation/tie-break logic lives in exactly one place —
-    # tests pin the two callers equal).  The helper re-derives degrees
-    # from its input, one extra m-row aggregate; the wedge join
-    # dominates at any scale.
-    tri = triangle_count_oriented(e)
+    # tests pin the two callers equal).  The degree frame computed for
+    # n_nodes/n_wedges above is handed down so the edge list is
+    # aggregated once, not twice (ADVICE r5).
+    tri = triangle_count_oriented(e, deg=deg)
     counts = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
@@ -153,18 +153,22 @@ DOULION_HEX_BOUND = "33"
 DOULION_P = 51.0 / 256.0
 
 
-def triangle_count_oriented(e: DataFrame) -> DataFrame:
+def triangle_count_oriented(e: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """Exact triangle count over canonical undirected simple edges
     (columns ``u`` < ``v``, distinct) via degree orientation — the same
     O(m^1.5) wedge-join strategy as ``triangle_stats``, returned as a
     single-row (n_triangles) frame for composition (DOULION rescaling,
-    per-snapshot counting)."""
-    deg = (
-        e.select(F.col("u").alias("id"))
-        .union(e.select(F.col("v").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    per-snapshot counting).  ``deg`` optionally supplies a precomputed
+    (id, deg) frame over exactly ``e`` so a caller that already
+    aggregated degrees (``triangle_stats``) does not pay the edge-list
+    aggregate twice."""
+    if deg is None:
+        deg = (
+            e.select(F.col("u").alias("id"))
+            .union(e.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
     du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
     ranked = e.join(du, "u").join(dv, "v")

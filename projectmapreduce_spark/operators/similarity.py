@@ -370,7 +370,12 @@ def _fit_sample(emb: DataFrame, id_col: str, vec_col: str, cap: int):
     value-based (xxhash64 of the id, id tie-break), so the sample —
     and every centroid derived from it — is partition-layout-
     independent; the driver-side id sort fixes float summation order,
-    making the fit bit-deterministic across masters.
+    making the fit bit-deterministic across masters.  Determinism
+    assumes UNIQUE ids (the id tie-break is only total then); null
+    vectors are filtered here (mirroring callers' norm>0 guard) and
+    non-finite components refuse loudly — a NaN/Inf that reached the
+    codebook would otherwise render as 'nanD' in serving SQL and die
+    with an opaque parse error far from the cause.
     """
     import numpy as np
 
@@ -378,12 +383,21 @@ def _fit_sample(emb: DataFrame, id_col: str, vec_col: str, cap: int):
         emb.select(
             F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
         )
+        .filter(F.col("__v").isNotNull())
         .orderBy(F.pmod(F.xxhash64(F.col("__id")), F.lit(2**31)), F.col("__id"))
         .limit(cap)
         .collect()
     )
     rows.sort(key=lambda r: r["__id"])
-    return np.array([[float(x) for x in r["__v"]] for r in rows], dtype=np.float64)
+    mat = np.array([[float(x) for x in r["__v"]] for r in rows], dtype=np.float64)
+    if mat.size and not np.isfinite(mat).all():
+        bad = int(np.where(~np.isfinite(mat).all(axis=1))[0][0])
+        raise ValueError(
+            f"non-finite embedding component in quantizer training sample "
+            f"(id={rows[bad]['__id']!r}) — clean or filter the vector column "
+            f"before fitting"
+        )
+    return mat
 
 
 def _lloyd(vecs, k: int, iters: int):
@@ -902,9 +916,13 @@ def pq_ann_topk(
     ).collect()
     if not qrows:
         # empty (or all-zero-norm) query batch → empty result frame with
-        # the contract schema, not an unresolvable explode(array())
+        # the contract schema, not an unresolvable explode(array()).
+        # neighbor_id's type follows emb's id column (as it does in the
+        # non-empty path) so the two paths keep one schema even for
+        # int/string corpus ids.
+        nid_type = dict(emb.dtypes)[id_col]
         return emb.sparkSession.createDataFrame(
-            [], "q_id long, neighbor_id long, cos_sim double, nn_rank int"
+            [], f"q_id long, neighbor_id {nid_type}, cos_sim double, nn_rank int"
         )
     if any(not isinstance(r["q_id"], int) for r in qrows):
         # ids are inlined as bigint literals in the per-query score

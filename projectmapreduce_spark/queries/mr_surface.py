@@ -367,17 +367,36 @@ def m11b_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_count_oriented,
     )
 
-    # Edge generation in ONE aggregation shuffle (the L2 bucket-pair
-    # pattern): per-order sorted distinct supplier sets via
-    # collect_set (the pair-level distinct folds into the aggregate),
-    # the cap filter applied to the SET size, then the C(n,2) pairs
-    # generated map-side from the sorted array — u < v is structural
-    # from the sort.  Replaces the previous distinct-shuffle +
-    # orderkey self-join + two eager checkpoints; per-group state is
-    # cap-bounded (≤ 64 suppliers) so the aggregate never hubs.
-    sets_ = (
+    # Edge generation (the L2 bucket-pair pattern): per-order sorted
+    # distinct supplier sets via collect_set (the pair-level distinct
+    # folds into the aggregate), the exact cap filter applied to the
+    # SET size, then the C(n,2) pairs generated map-side from the
+    # sorted array — u < v is structural from the sort.  The
+    # collect_set buffer itself is bounded by a conservative
+    # pre-filter: a bounded-state approx_count_distinct aggregate
+    # (HLL registers, map-side partial) finds orders that are
+    # DEFINITELY over the cap (approx > 2× cap — HLL++ at rsd 0.02 is
+    # sparse-exact at these cardinalities, so a true ≤64-supplier
+    # order can never trip it), and a broadcast anti-join drops them
+    # before collect_set ever buffers their suppliers.  The exact
+    # ``size(ss) <= 64`` filter below still decides the (64, 128]
+    # band, so the declared semantics (and the SQL oracle's exact
+    # HAVING) are untouched; the degenerate 100-TB key (millions of
+    # distinct suppliers in one order) now costs O(HLL registers)
+    # instead of an unbounded array in one task.
+    li = (
         scan(spark, sf_dir, "lineitem")
         .filter(F.col("l_suppkey").isNotNull())
+        .select("l_orderkey", "l_suppkey")
+    )
+    hot = (
+        li.groupBy("l_orderkey")
+        .agg(F.approx_count_distinct("l_suppkey", 0.02).alias("n_approx"))
+        .filter(F.col("n_approx") > 128)
+        .select("l_orderkey")
+    )
+    sets_ = (
+        li.join(F.broadcast(hot), "l_orderkey", "left_anti")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
         .filter(F.size("ss").between(2, 64))
