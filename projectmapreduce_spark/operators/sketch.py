@@ -82,6 +82,107 @@ def cms_build(keys: DataFrame, key_col: str, depth: int = 4, width: int = 1024) 
     )
 
 
+# HLL finisher multipliers — both < 2^31 so h*mult fits int64 for
+# h < 2^32 (same bound argument as _CMS_MULT above); values are the
+# MurmurHash2 M and an odd 31-bit constant, chosen empirically for
+# register uniformity on decimal-digit keys (see a4b docstring).
+_HLL_MULT1 = 1540483477
+_HLL_MULT2 = 1372812589
+
+
+def hll_mix(h: Column) -> Column:
+    """Murmur-style avalanche finisher over a 32-bit poly hash.
+
+    ``poly_hash`` alone mixes decimal-digit keys poorly (low bits are
+    nearly linear in the last digits), which biases HLL registers.
+    Two multiply-mod-2^32 rounds with an xor-shift-16 between them
+    restore uniformity (measured: 0.8–4.0% HLL error at m=512 across
+    sf0.001–sf0.1, inside the 1.04/sqrt(m)=4.6% bound).  Every step is
+    exact int64 arithmetic + bitwise ops, reproducible in DuckDB as
+    ``(h * K) % 4294967296`` and ``xor(h, h >> 16)`` — no engine hash.
+    """
+    h = (h * F.lit(_HLL_MULT1)) % F.lit(_M32)
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = (h * F.lit(_HLL_MULT2)) % F.lit(_M32)
+    return h.bitwiseXOR(F.shiftright(h, 16))
+
+
+def hll_registers(
+    keys: DataFrame, key_col: str, group_cols: list[str], p: int = 9
+) -> DataFrame:
+    """Engine-exact HyperLogLog registers per group (Flajolet et al.
+    2007, public algorithm): bucket = low ``p`` hash bits, register =
+    max leading-zero-count(+1) of the remaining ``32-p`` bits.
+
+    Scale shape is identical to ``approx_count_distinct``'s: the
+    ``groupBy(group, bucket).max`` does map-side partial max, so the
+    shuffle carries at most tasks × groups × 2^p register rows no
+    matter how many distinct keys exist, and register frames from
+    different corpora merge by cell-wise MAX — the persistable,
+    incrementally-maintainable distinct sketch (A13's story) with a
+    cross-engine-exact hash family (A12's story).
+
+    Leading-zero count avoids floating log2: smear the suffix's top
+    bit downward (x |= x>>1 … x>>16), then ``bit_count`` of the smear
+    is the bit length; rho = (32-p) - bit_length + 1.  A zero suffix
+    smears to 0 → rho = 32-p+1, the standard convention.  Both engines
+    have int64 ``bit_count``/``>>``/``|``, so registers hash-match
+    cell for cell.
+    """
+    m = 1 << p
+    h = hll_mix(poly_hash(F.col(key_col).cast("string")))
+    split = keys.select(*group_cols, h.alias("__h")).select(
+        *group_cols,
+        (F.col("__h") % F.lit(m)).alias("bucket"),
+        F.shiftright(F.col("__h"), p).alias("__suffix"),
+    )
+    s = F.col("__suffix")
+    for k in (1, 2, 4, 8, 16):
+        s = s.bitwiseOR(F.shiftright(s, k))
+    rho = (F.lit(32 - p + 1) - F.bit_count(s)).cast("long")
+    return (
+        split.select(*group_cols, "bucket", rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str], p: int = 9) -> DataFrame:
+    """Fold a register frame into per-group cardinality estimates.
+
+    The indicator sum Z = Σ 2^-reg (+1 per never-hit bucket) is a sum
+    of dyadic rationals spanning < 53 bit positions, so IEEE doubles
+    represent every partial sum EXACTLY — summation order cannot
+    change it, and ``z_sum`` hash-matches across engines unrounded.
+    The raw estimate αm·m²/Z is two more IEEE ops on identical
+    literals.  Only the small-range correction m·ln(m/V) touches libm
+    (last-ulp engine skew), so callers round ``est_distinct`` — 4
+    decimals kills a 1-ulp skew at any magnitude < 2^38.
+    """
+    m = 1 << p
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / float(m)) * float(m) * float(m)
+    summ = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("bucket") + 1) * F.col("reg")).alias("reg_checksum"),
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("__z_hit"),
+    )
+    summ = summ.withColumn("v_zero", F.lit(m).cast("long") - F.col("n_buckets"))
+    summ = summ.withColumn("z_sum", F.col("__z_hit") + F.col("v_zero").cast("double"))
+    e_raw = F.lit(alpha_m2) / F.col("z_sum")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero").cast("double")),
+    ).otherwise(e_raw)
+    return summ.select(
+        *group_cols,
+        "n_buckets",
+        "v_zero",
+        "reg_checksum",
+        "z_sum",
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
 def cms_estimate(
     probes: DataFrame, cells: DataFrame, key_col: str, depth: int = 4, width: int = 1024
 ) -> DataFrame:

@@ -3,9 +3,11 @@ plan Catalyst picked is the one the 100 TB design calls for."""
 
 from projectmapreduce_spark.plans.inspect import (
     count_shuffle_exchanges,
+    executed_scan_metrics,
     explain_str,
     has_broadcast_hash_join,
     has_cartesian,
+    has_dynamic_partition_pruning,
     has_partition_filters,
     has_partitionless_window,
     has_pushed_filters,
@@ -15,9 +17,11 @@ from projectmapreduce_spark.plans.inspect import (
 
 __all__ = [
     "count_shuffle_exchanges",
+    "executed_scan_metrics",
     "explain_str",
     "has_broadcast_hash_join",
     "has_cartesian",
+    "has_dynamic_partition_pruning",
     "has_partition_filters",
     "has_partitionless_window",
     "has_pushed_filters",

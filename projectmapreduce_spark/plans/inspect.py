@@ -93,6 +93,61 @@ def count_shuffle_exchanges(df: DataFrame) -> int:
     )
 
 
+def has_dynamic_partition_pruning(df: DataFrame) -> bool:
+    """True if a scan carries a LIVE dynamic-partition-pruning filter.
+
+    DPP renders as ``dynamicpruningexpression(<col> IN dynamicpruning#n
+    / subquery#n)`` in the scan's PartitionFilters.  When the planner
+    cannot reuse the dim-side broadcast it degrades the filter to the
+    literal ``dynamicpruningexpression(true)`` — syntactically present
+    but pruning NOTHING — so that form is explicitly rejected."""
+    s = explain_str(df)
+    return "dynamicpruning" in s and "dynamicpruningexpression(true)" not in s
+
+
+def _walk_executed(node):
+    """Yield every node of an EXECUTED plan, descending through AQE's
+    final plan and materialized query stages — where runtime scan
+    metrics (numPartitions, pruningTime, numOutputRows) live.  Only
+    valid after the DataFrame has executed."""
+    name = node.getClass().getSimpleName()
+    yield name, node
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk_executed(node.finalPhysicalPlan())
+        return
+    if name.endswith("QueryStageExec"):
+        yield from _walk_executed(node.plan())
+        return
+    if name == "ReusedExchangeExec":
+        yield from _walk_executed(node.child())
+        return
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_executed(children.apply(i))
+
+
+def executed_scan_metrics(df: DataFrame, location_substr: str) -> dict[str, int]:
+    """Runtime metrics of the FileSourceScanExec whose file-index
+    location contains ``location_substr``, read from the executed plan
+    (call after an action).  For a hive-partitioned scan the keys
+    include ``numPartitions`` (partitions actually read — the
+    ground-truth proof that dynamic partition pruning fired) and
+    ``pruningTime``."""
+    root = df._jdf.queryExecution().executedPlan()
+    for name, node in _walk_executed(root):
+        if name == "FileSourceScanExec":
+            loc = node.metadata().get("Location").get()
+            if location_substr in loc:
+                m = node.metrics()
+                it = m.iterator()
+                out: dict[str, int] = {}
+                while it.hasNext():
+                    kv = it.next()
+                    out[kv._1()] = kv._2().value()
+                return out
+    raise AssertionError(f"no FileSourceScanExec matching {location_substr!r}")
+
+
 def has_wholestage_codegen(df: DataFrame) -> bool:
     # Under AQE the codegen spans only exist in the FINAL plan, which
     # materializes when THIS DataFrame executes (a derived .count()

@@ -642,3 +642,78 @@ def s16_malformed_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s_nationkey").cast("long").alias("nation_sum"),
         dround(F.sum("s_acctbal"), 2).alias("total_bal"),
     )
+
+
+@query(
+    "s17_dpp_join",
+    oracle="""
+WITH dim AS (
+  SELECT year(o_orderdate) AS o_year
+  FROM orders
+  GROUP BY 1
+  HAVING (max(struct_pack(p := o_totalprice, k := o_orderkey,
+                          mo := month(o_orderdate)))).mo <= 6
+)
+SELECT year(l_shipdate)::INT AS ship_year,
+       count(*)::BIGINT AS n_items,
+       round(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS revenue
+FROM lineitem JOIN dim ON year(l_shipdate) = dim.o_year
+GROUP BY 1
+""",
+    survey="S17,S6,J2",
+    category="io",
+)
+def s17_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17: dynamic partition pruning — the headline scan-reduction
+    mechanism of a partitioned 100 TB lake (VERDICT r5 next-round #3).
+
+    Lineitem is written hive-partitioned by ship year (S6's layout),
+    then joined to a year dimension whose predicate lives on an
+    AGGREGATED attribute — "years whose single most valuable order was
+    placed in the first half" (argmax via lexicographic struct max,
+    orderkey tie-break, so it is deterministic and cross-engine).
+    Because the predicate is underivable from the join key, Catalyst
+    CANNOT statically prune the fact scan; the only way to skip
+    partitions is Spark's runtime DPP: the dim side's broadcast result
+    is replayed into the fact scan's PartitionFilters as a
+    ``dynamicpruningexpression``, and partition directories that match
+    no dim row are never opened.  At 100 TB this is the difference
+    between scanning 7 years and scanning 3.
+
+    Both halves of the proof are pinned in tests/test_plans.py::
+    test_s17_dynamic_partition_pruning: the pre-execution plan carries
+    a live (non-degraded) dynamicpruningexpression, and the executed
+    scan's runtime ``numPartitions`` metric is STRICTLY LESS than the
+    directory's partition count at every tested tier.  Design note: a
+    window/TakeOrdered dim subplan silently degrades the filter to
+    ``dynamicpruningexpression(true)`` (broadcast reuse fails to
+    canonicalize) — the pure aggregate+filter dim here is the shape
+    that keeps pruning live, which is exactly the kind of fact this
+    query exists to pin."""
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", F.year("l_shipdate").alias("ship_year")
+    )
+    path = _p("s17_lineitem_by_year")
+    sink_partitioned(li, path, ["ship_year"])
+
+    o = scan(spark, sf_dir, "orders")
+    dim = (
+        o.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("o_totalprice").alias("p"),
+                    F.col("o_orderkey").alias("k"),
+                    F.month("o_orderdate").alias("mo"),
+                )
+            ).alias("m")
+        )
+        .filter(F.col("m.mo") <= 6)
+        .select("o_year")
+    )
+    fact = spark.read.parquet(path)
+    j = fact.join(F.broadcast(dim), fact.ship_year == dim.o_year)
+    return j.groupBy("ship_year").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money_sum("l_extendedprice").alias("revenue"),
+    )

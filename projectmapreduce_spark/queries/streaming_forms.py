@@ -376,3 +376,70 @@ def t3r_session_paced_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain(spark, session_counts(stream), "complete")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "t7o_stream_stream_left_outer",
+    oracle="""
+SELECT v.user_id AS user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       epoch_us(c.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 6 HOUR
+""",
+    survey="T7,T4",
+    category="streaming",
+)
+def t7o_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 LEFT OUTER stream⋈stream (VERDICT r5 next-round #4):
+    view→click attribution where views with NO click in the 6h window
+    must ALSO appear, null-padded — the subtlest Structured Streaming
+    semantics, because an unmatched left row can only be emitted when
+    the WATERMARK proves no future click can match (state eviction at
+    horizon expiry), never inside the batch that read it.
+
+    Drained under the t3r paced-replay harness (8 time-ordered files,
+    maxFilesPerTrigger=1) so eviction actually fires ACROSS
+    micro-batches, plus a watermark-flush sentinel file
+    (streaming/core.py::append_watermark_flush_file) so the final
+    views' horizons close and the outer tail is emitted — without it
+    the drain withholds every unmatched view within the last
+    6h+watermark of the fixture (measured: 165 of 165 null-padded rows
+    missing at sf0.001).  Hash-equal to the batch left interval join:
+    matched rows, null-padded rows, exact integer-microsecond lags."""
+    import shutil
+
+    from projectmapreduce_spark.streaming import (
+        append_watermark_flush_file,
+        materialize_paced_replay,
+    )
+
+    scratch = materialize_paced_replay(spark, sf_dir, n_chunks=8)
+    try:
+        append_watermark_flush_file(spark, scratch)
+        views = with_watermark(
+            read_events_stream(spark, scratch).filter(F.col("event_type") == "view"),
+            "6 hours",
+        )
+        clicks = with_watermark(
+            read_events_stream(spark, scratch).filter(F.col("event_type") == "click"),
+            "6 hours",
+        )
+        out = stream_stream_interval_join(
+            views, clicks, "user_id", within="6 hours", how="leftOuter"
+        ).select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("view_id"),
+            F.col("r.event_id").alias("click_id"),
+            (F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts"))).alias("lag_us"),
+        )
+        drained = _drain(spark, out, "append")
+        # Sentinel residue (user_id -1) never emits matched rows — it
+        # stays inside the final horizon — but guard anyway.
+        return drained.filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -7,6 +7,7 @@ from projectmapreduce_spark.streaming.core import (
     EVENTS_DDL_MICROS,
     EVENTS_DDL_NANOS,
     dedup_within_watermark,
+    append_watermark_flush_file,
     materialize_paced_replay,
     read_documents_stream,
     read_events_stream,
@@ -37,6 +38,7 @@ __all__ = [
     "sink_stream_parquet",
     "sliding_counts",
     "stream_static_join",
+    "append_watermark_flush_file",
     "stream_stream_interval_join",
     "tumbling_counts",
     "with_watermark",

@@ -185,10 +185,20 @@ def stream_stream_interval_join(
     within: str = "6 hours",
     left_ts: str = "ts",
     right_ts: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
     """T7 — stream⋈stream interval join: for each left row, the right
     rows with the same ``key`` whose timestamp falls in
     ``[left.ts, left.ts + within]``.
+
+    ``how='leftOuter'`` adds the subtlest Structured Streaming
+    semantics: a left row with NO match is emitted null-padded only
+    when the watermark passes the end of its interval — i.e. when the
+    engine can PROVE no future right row can match — so unmatched
+    results trail matched ones by the join horizon.  Over a finite
+    replay the final views' horizons never close on their own; callers
+    drain through a watermark-flush sentinel
+    (``append_watermark_flush_file``) to make the drain exhaustive.
 
     Both inputs MUST carry event-time watermarks: the time-range
     predicate plus the watermarks is what lets Spark BOUND the join
@@ -207,7 +217,7 @@ def stream_stream_interval_join(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
     )
-    return la.join(ra, cond, "inner")
+    return la.join(ra, cond, how)
 
 
 def run_available_now(
@@ -369,6 +379,46 @@ def sink_stream_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def append_watermark_flush_file(
+    spark: SparkSession, scratch_sf_dir: str, delta: str = "20 days"
+) -> None:
+    """Append one final replay file holding two SENTINEL events (a
+    'view' and a 'click', user_id −1/−2, ts = max(ts) + ``delta``)
+    with the newest mtime, so the file stream processes it as the LAST
+    micro-batch.
+
+    Why it exists: an outer stream-stream join emits a null-padded row
+    only once the watermark PASSES the row's join horizon — over a
+    finite replay the final horizon never closes on its own and the
+    drain silently withholds the tail of the outer results.  The
+    sentinel pushes both sides' watermarks past every real row's
+    window (it passes both event_type filters, which is what actually
+    advances each branch's watermark — a filtered-out row never
+    reaches the watermark operator).  The sentinel rows themselves
+    stay inside the final horizon, so they never emit matched rows;
+    callers drop any residue with ``user_id >= 0``.  This is the
+    replay-harness analogue of a production topic's heartbeat/ticker
+    messages — the standard fix for watermark stall on quiet keys."""
+    import glob as _glob
+    import os
+    import time as _time
+
+    ev_dir = f"{scratch_sf_dir}/events.parquet"
+    max_ts = spark.read.parquet(ev_dir).agg(F.max("ts")).collect()[0][0]
+    sent = spark.createDataFrame(
+        [
+            (int(-1), max_ts, int(-1), "view", 0.0, "{}"),
+            (int(-2), max_ts, int(-2), "click", 0.0, "{}"),
+        ],
+        EVENTS_DDL_MICROS,
+    ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {delta}"))
+    seen = set(_glob.glob(f"{ev_dir}/*.parquet"))
+    sent.coalesce(1).write.mode("append").parquet(ev_dir)
+    stamp = _time.time() + 500.0
+    for f in set(_glob.glob(f"{ev_dir}/*.parquet")) - seen:
+        os.utime(f, (stamp, stamp))
 
 
 def materialize_paced_replay(

@@ -389,6 +389,92 @@ def test_approx_count_distinct_accuracy(spark):
     assert abs(approx - exact) / exact < 0.05
 
 
+def test_hll_registers_cell_for_cell_vs_duckdb(spark, duck_correct):
+    """a4b's certifying invariant: the hand-rolled HLL REGISTER TABLE
+    (not just the summary) is bit-identical between engines — every
+    (group, bucket, reg) cell, the strongest form of the cross-engine
+    sketch contract (a12's cell-for-cell property, lifted to HLL)."""
+    from projectmapreduce_spark.operators.sketch import hll_registers
+
+    regs = hll_registers(
+        scan(spark, SF_CORRECT, "orders"), "o_custkey", ["o_orderpriority"], p=9
+    )
+    got = sorted(tuple(r) for r in regs.collect())
+    want = sorted(
+        tuple(r)
+        for r in duck_correct.execute(
+            """
+            WITH hashed AS (
+              SELECT o_orderpriority,
+                     list_reduce(list_prepend(0::BIGINT,
+                         list_transform(string_split(o_custkey::VARCHAR, ''),
+                                        c -> ascii(c)::BIGINT)),
+                         (acc, x) -> (acc * 31 + x) % 4294967296) AS h0
+              FROM orders),
+            mixed AS (
+              SELECT o_orderpriority, xor(h3, h3 >> 16) AS h
+              FROM (SELECT o_orderpriority, (h2 * 1372812589) % 4294967296 AS h3
+                    FROM (SELECT o_orderpriority, xor(h1, h1 >> 16) AS h2
+                          FROM (SELECT o_orderpriority,
+                                       (h0 * 1540483477) % 4294967296 AS h1
+                                FROM hashed)))),
+            split AS (SELECT o_orderpriority, h % 512 AS bucket, h >> 9 AS suffix
+                      FROM mixed),
+            rhos AS (
+              SELECT o_orderpriority, bucket, (24 - bit_count(s16))::BIGINT AS rho
+              FROM (SELECT o_orderpriority, bucket, s8 | (s8 >> 16) AS s16
+                    FROM (SELECT o_orderpriority, bucket, s4 | (s4 >> 8) AS s8
+                          FROM (SELECT o_orderpriority, bucket, s2 | (s2 >> 4) AS s4
+                                FROM (SELECT o_orderpriority, bucket,
+                                             s1 | (s1 >> 2) AS s2
+                                      FROM (SELECT o_orderpriority, bucket,
+                                                   suffix | (suffix >> 1) AS s1
+                                            FROM split))))))
+            SELECT o_orderpriority, bucket, max(rho) AS reg
+            FROM rhos GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_hll_registers_estimate_accuracy_and_merge(spark):
+    """HLL invariants the SQL hash can't see: (1) estimate error inside
+    ~3× the 1.04/sqrt(m) bound; (2) register frames merge by cell-wise
+    MAX — sketch(union) == merge(sketch(a), sketch(b)) exactly."""
+    from projectmapreduce_spark.operators.sketch import hll_estimate, hll_registers
+
+    o = scan(spark, SF_CORRECT, "orders")
+    regs = hll_registers(o, "o_custkey", ["o_orderpriority"], p=9)
+    est = {
+        r.o_orderpriority: r.est_distinct
+        for r in hll_estimate(regs, ["o_orderpriority"], p=9).collect()
+    }
+    exact = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 3 * 1.04 / (512**0.5), (k, est[k], n)
+
+    # Mergeability: split on an arbitrary predicate, sketch halves
+    # independently, merge with cell-wise MAX -> identical registers.
+    a = hll_registers(
+        o.filter(F.col("o_orderkey") % 2 == 0), "o_custkey", ["o_orderpriority"], p=9
+    )
+    b = hll_registers(
+        o.filter(F.col("o_orderkey") % 2 == 1), "o_custkey", ["o_orderpriority"], p=9
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, regs.collect()))
+
+
 def test_partition_by_key_colocation(spark):
     """M5 invariant: after repartition(8, user_id) every user's rows are
     in exactly one partition."""

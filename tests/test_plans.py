@@ -291,3 +291,29 @@ def test_c21_single_fact_pass(spark):
     assert s.count("Exchange hashpartitioning") <= 2, s
     assert has_broadcast_hash_join(df), "part/supplier sides must broadcast"
     assert not has_cartesian(df)
+
+
+def test_s17_dynamic_partition_pruning(spark):
+    """S17's whole point, both halves (VERDICT r5 next-round #3):
+    (1) the fact scan's PartitionFilters carry a LIVE dynamic-pruning
+    subquery (the degraded `dynamicpruningexpression(true)` form —
+    what a non-reusable dim subplan silently produces — is rejected);
+    (2) after execution, the scan's runtime numPartitions metric shows
+    STRICTLY FEWER partitions read than the directory holds."""
+    import os
+
+    from projectmapreduce_spark.io import scratch_path
+    from projectmapreduce_spark.plans import (
+        executed_scan_metrics,
+        has_dynamic_partition_pruning,
+    )
+
+    df = QUERIES["s17_dpp_join"](spark, SF_CORRECT)
+    assert has_dynamic_partition_pruning(df), explain_str(df)
+
+    n_years = df.count()  # executes the query (and the DPP subquery)
+    path = scratch_path("s17_lineitem_by_year")
+    n_dirs = sum(1 for d in os.listdir(path) if d.startswith("ship_year="))
+    m = executed_scan_metrics(df, "s17_lineitem_by_year")
+    assert 0 < m["numPartitions"] < n_dirs, (m, n_dirs)
+    assert m["numPartitions"] == n_years, (m, n_years)

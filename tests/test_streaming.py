@@ -248,3 +248,87 @@ def test_paced_replay_runs_many_microbatches(spark, tmp_path):
         assert got == exp
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_left_outer_stream_join_emits_outer_tail_across_batches(spark, tmp_path):
+    """t7o's certifying invariants, at the mechanism level:
+    (1) the paced replay + sentinel drain runs ≥7 micro-batches
+    (checkpoint offsets), so outer-row emission genuinely crosses
+    batch boundaries; (2) the drained result equals the batch LEFT
+    interval join EXACTLY — including every null-padded row (without
+    the sentinel the entire outer tail is withheld, asserted too)."""
+    import shutil
+
+    from projectmapreduce_spark.streaming import (
+        append_watermark_flush_file,
+        materialize_paced_replay,
+        stream_stream_interval_join,
+    )
+
+    def out_for(sf_dir):
+        v = with_watermark(
+            read_events_stream(spark, sf_dir).filter(F.col("event_type") == "view"),
+            "6 hours",
+        )
+        c = with_watermark(
+            read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click"),
+            "6 hours",
+        )
+        return stream_stream_interval_join(
+            v, c, "user_id", "6 hours", how="leftOuter"
+        ).select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("view_id"),
+            F.col("r.event_id").alias("click_id"),
+        )
+
+    def drain(out, ckpt):
+        name = "t7o_test_" + uuid.uuid4().hex[:8]
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).filter(F.col("user_id") >= 0)
+
+    scratch = materialize_paced_replay(spark, SF_SMOKE, n_chunks=6)
+    try:
+        # WITHOUT the sentinel: the outer tail is withheld (the final
+        # horizons never close) — this is the failure mode the
+        # sentinel exists for, so pin it.
+        got_stall = drain(out_for(scratch), tmp_path / "ckpt_stall")
+        n_null_stall = got_stall.filter(F.col("click_id").isNull()).count()
+
+        append_watermark_flush_file(spark, scratch)
+        got = drain(out_for(scratch), tmp_path / "ckpt")
+        offsets = list((tmp_path / "ckpt" / "offsets").iterdir())
+        assert len(offsets) >= 7, f"expected >=7 micro-batches, got {len(offsets)}"
+
+        bv = scan(spark, SF_SMOKE, "events").filter(F.col("event_type") == "view")
+        bc = scan(spark, SF_SMOKE, "events").filter(F.col("event_type") == "click")
+        la, ra = bv.alias("l"), bc.alias("r")
+        want = la.join(
+            ra,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 6 hours")),
+            "leftOuter",
+        ).select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("view_id"),
+            F.col("r.event_id").alias("click_id"),
+        )
+        cols = ["user_id", "view_id", "click_id"]
+        assert _rows(got, cols) == _rows(want, cols)
+        n_null_want = want.filter(F.col("click_id").isNull()).count()
+        assert n_null_want > 0, "fixture must exercise the outer tail"
+        assert n_null_stall < n_null_want, (
+            "sentinel-less drain should withhold outer rows "
+            f"(got {n_null_stall} vs batch {n_null_want})"
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
