@@ -179,6 +179,16 @@ HEADLINE = [
     "c20_priority_check",
     "c21_concentrated_suppliers",
     "m11b_triangle_estimate",
+    # round-6 batch: the engine-exact HLL register sketch (constant
+    # state per group, the A4/A13 scale story with a hash oracle) and
+    # the DPP join (partitioned write + runtime-pruned scan — the
+    # 100 TB lake's headline scan-reduction mechanism, write cost
+    # included like s14/s15).  t7o_stream_stream_left_outer stays OUT
+    # (precedent: t7s/t9s — a paced streaming drain times state-store
+    # commit machinery, ~53 s at sf0.01; fully hash-checked in
+    # CORRECTNESS).
+    "a4b_hll_registers",
+    "s17_dpp_join",
 ]
 
 
