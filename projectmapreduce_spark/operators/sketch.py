@@ -131,6 +131,13 @@ def hll_registers(
     """
     m = 1 << p
     h = hll_mix(poly_hash(F.col(key_col).cast("string")))
+    # NULL keys are not distinct values (mirrors count(DISTINCT) and
+    # approx_count_distinct): hash chains null-propagate DIFFERENTLY
+    # across engines (a NULL key would land in a NULL register bucket
+    # in Spark but vanish inside DuckDB's list_reduce), so they are
+    # excluded explicitly on both sides — caught by the hostile-tier
+    # sweep (NULL FK mass in orders).
+    keys = keys.filter(F.col(key_col).isNotNull())
     split = keys.select(*group_cols, h.alias("__h")).select(
         *group_cols,
         (F.col("__h") % F.lit(m)).alias("bucket"),

@@ -120,6 +120,7 @@ WITH hashed AS (
              list_transform(string_split(o_custkey::VARCHAR, ''), c -> ascii(c)::BIGINT)),
              (acc, x) -> (acc * 31 + x) % 4294967296) AS h0
   FROM orders
+  WHERE o_custkey IS NOT NULL
 ),
 mixed AS (
   SELECT o_orderpriority, xor(h3, h3 >> 16) AS h

@@ -410,7 +410,8 @@ def test_hll_registers_cell_for_cell_vs_duckdb(spark, duck_correct):
                          list_transform(string_split(o_custkey::VARCHAR, ''),
                                         c -> ascii(c)::BIGINT)),
                          (acc, x) -> (acc * 31 + x) % 4294967296) AS h0
-              FROM orders),
+              FROM orders
+              WHERE o_custkey IS NOT NULL),
             mixed AS (
               SELECT o_orderpriority, xor(h3, h3 >> 16) AS h
               FROM (SELECT o_orderpriority, (h2 * 1372812589) % 4294967296 AS h3
