@@ -189,6 +189,11 @@ HEADLINE = [
     # CORRECTNESS).
     "a4b_hll_registers",
     "s17_dpp_join",
+    # round-6 batch 2: the MPEG frame walker (CRC-validated sync walk
+    # over every document's synthesized stream — prices the container
+    # probe Python surface; l11i_mp4_box_probe shares the exact
+    # mapInPandas profile and stays out, like l4d vs l4c).
+    "l11h_mpeg_frame_probe",
 ]
 
 

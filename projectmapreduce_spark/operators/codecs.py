@@ -36,7 +36,9 @@ These are REAL decoders: every byte of the pixel/sample payload is
 interpreted per the published layout, and the unit tests pin
 hand-built golden byte strings to exact pixel/sample arrays.  Formats
 beyond these (MP3/MP4/H.264 — real DSP codecs) remain behind the
-documented ``NotImplementedError`` codec boundary in ``multimodal.py``.
+documented ``NotImplementedError`` codec boundary in ``multimodal.py``
+for SAMPLE decode; their container/framing layer (MPEG audio frame
+walking, ISO BMFF box trees) is real in ``operators/containers.py``.
 
 Scale note: all functions here are *per-payload kernels* executed
 inside Arrow-batched ``mapInPandas`` workers — they never see more

@@ -23,7 +23,11 @@ Codec tiers:
 * **Codec boundary**: payloads in formats beyond those seven
   (MP3/MP4/H.264, progressive JPEG…) raise ``NotImplementedError``
   inside the workers — PIL/ffmpeg/torchaudio are not in this
-  container.
+  container.  The FRAME/CONTAINER layer of MP3 and MP4 is real,
+  though (``probe_mpeg_streams`` / ``probe_mp4_files`` below, over
+  ``operators/containers.py``): header/box parsing, CRC and
+  size-integrity validation — only sample decode stays behind the
+  boundary.
 * **Byte-level fake** (``fake=True``): the original deterministic
   stand-in (byte-histogram features, byte-chunk "frames") kept for
   plumbing tests over arbitrary payloads.
@@ -417,4 +421,91 @@ def sample_frames(
 
     return media.mapInPandas(
         batches, "media_id long, frame_idx int, frame_payload binary"
+    )
+
+
+# Synthesis schedules for the container-layer probes (mirrored by the
+# l11h/l11i SQL oracles — change together).
+MPEG_SYNTH_MAX_FRAMES = 12  # 1 + min(len//200, 11)
+MP4_SYNTH_MAX_SAMPLES = 31  # 1 + min(len//150, 30)
+
+
+def probe_mpeg_streams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Synthesize an MPEG-1 Layer III frame STREAM per row (real sync
+    words, header fields, slot arithmetic, CRC-16 on protected frames
+    — operators/containers.py) and parse it back with the real frame
+    walker: every output number comes from the PARSE, not the
+    synthesis schedule, so a one-byte disagreement between the framer
+    and the walker (sync mask, length formula, CRC span) shifts a
+    value and fails the oracle hash.  Arrow-batched mapInPandas,
+    shuffle-free — the shape of metadata extraction over a crawled
+    audio lake.  PCM decode of the main-data region stays the
+    documented NotImplementedError boundary (the ISO Huffman tables
+    are not available in this environment)."""
+    from projectmapreduce_spark.operators.containers import (
+        encode_mpeg_frames,
+        parse_mpeg_frames,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "n_frames", "n_bytes", "duration_ms", "kbps_sum")}
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                seed = (text or "").encode("utf-8")
+                nf = 1 + min(len(seed) // 200, MPEG_SYNTH_MAX_FRAMES - 1)
+                frames = parse_mpeg_frames(encode_mpeg_frames(seed, nf))
+                rates = {f["samplerate"] for f in frames}
+                assert len(rates) == 1, "synth streams are single-rate"
+                rows["media_id"].append(mid)
+                rows["n_frames"].append(len(frames))
+                rows["n_bytes"].append(sum(f["n_bytes"] for f in frames))
+                rows["duration_ms"].append(len(frames) * 1152 * 1000 // rates.pop())
+                rows["kbps_sum"].append(sum(f["kbps"] for f in frames))
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches,
+        "media_id long, n_frames long, n_bytes long, duration_ms long, kbps_sum long",
+    )
+
+
+def probe_mp4_files(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Synthesize a minimal-but-valid ISO BMFF file per row and probe
+    it with the real box-tree walker (size/nesting validation, mvhd /
+    stts / stsz extraction, stsz-sum == mdat cross-check —
+    operators/containers.py).  As with probe_mpeg_streams, every
+    output value is read back out of the parsed byte structure, so the
+    oracle hash pins the writer's box sizes AND the reader's walk.
+    Arrow-batched mapInPandas, shuffle-free."""
+    from projectmapreduce_spark.operators.containers import (
+        encode_mp4_minimal,
+        probe_mp4,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                k: []
+                for k in (
+                    "media_id", "n_boxes", "n_samples", "duration_ms",
+                    "mdat_bytes", "total_bytes",
+                )
+            }
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                seed = (text or "").encode("utf-8")
+                n = 1 + min(len(seed) // 150, MP4_SYNTH_MAX_SAMPLES - 1)
+                info = probe_mp4(encode_mp4_minimal(seed, n))
+                rows["media_id"].append(mid)
+                rows["n_boxes"].append(info["n_boxes"])
+                rows["n_samples"].append(info["n_samples"])
+                # synth timescale is 1000 -> duration IS milliseconds
+                rows["duration_ms"].append(info["duration"])
+                rows["mdat_bytes"].append(info["mdat_bytes"])
+                rows["total_bytes"].append(info["total_bytes"])
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches,
+        "media_id long, n_boxes long, n_samples long, duration_ms long, "
+        "mdat_bytes long, total_bytes long",
     )

@@ -851,6 +851,94 @@ def l11e_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "l11h_mpeg_frame_probe",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         1 + least(octet_length(encode(coalesce(text, ''))) // 200, 11) AS nf
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       nf::BIGINT AS n_frames,
+       list_sum(list_transform(range(nf),
+         i -> 144000 * (CASE i % 3 WHEN 0 THEN 128 WHEN 1 THEN 160 ELSE 192 END)
+              // 44100 + i % 2))::BIGINT                        AS n_bytes,
+       (nf * 1152 * 1000 // 44100)::BIGINT                      AS duration_ms,
+       list_sum(list_transform(range(nf),
+         i -> CASE i % 3 WHEN 0 THEN 128 WHEN 1 THEN 160 ELSE 192 END))::BIGINT
+                                                                AS kbps_sum
+FROM d
+""",
+    survey="L11,X2",
+    category="llm",
+)
+def l11h_mpeg_frame_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-1 Layer III frame-stream probe (VERDICT r5 stretch item,
+    scoped to the honestly-implementable layer): each document becomes
+    a syntactically REAL mp3 frame stream — correct sync words, header
+    field encodings, 144000·kbps/Hz slot arithmetic, CRC-16(0x8005)
+    over header remainder + side info on protected frames — and the
+    real frame WALKER (operators/containers.py) re-derives every
+    output value by parsing those bytes: frame count, walked byte
+    total, sample-accurate duration, per-frame bitrate mix.  The
+    oracle recomputes the synthesis schedule arithmetically from
+    length(text), so a one-bit disagreement in sync masking, length
+    slots or CRC span shifts a value and fails the hash.  PCM decode
+    of the main-data region remains the documented boundary: the ISO
+    11172-3 Huffman tables aren't available here, and a from-memory
+    reconstruction would risk silently mis-decoding real files.
+    Scale: scan → mapInPandas, shuffle-free — metadata extraction and
+    corruption triage over a crawled audio lake."""
+    from projectmapreduce_spark.operators.multimodal import probe_mpeg_streams
+
+    d = scan(spark, sf_dir, "documents")
+    return probe_mpeg_streams(d, "doc_id", "text")
+
+
+@query(
+    "l11i_mp4_box_probe",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         octet_length(encode(coalesce(text, ''))) AS L,
+         1 + least(octet_length(encode(coalesce(text, ''))) // 150, 30) AS n
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       14::BIGINT AS n_boxes,
+       n::BIGINT AS n_samples,
+       (25 * n)::BIGINT AS duration_ms,
+       list_sum(list_transform(range(n), i -> 16 + (7 * i + L) % 32))::BIGINT
+                                                                AS mdat_bytes,
+       (400 + 4 * n
+        + list_sum(list_transform(range(n), i -> 16 + (7 * i + L) % 32)))::BIGINT
+                                                                AS total_bytes
+FROM d
+""",
+    survey="L11,X2",
+    category="llm",
+)
+def l11i_mp4_box_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 / ISO BMFF box-tree probe: each document becomes a minimal
+    structurally-valid MP4 (ftyp + full moov hierarchy with mvhd /
+    tkhd / mdhd / hdlr / stts / stsz / stco + mdat) and the real
+    recursive box WALKER validates size/nesting integrity, extracts
+    the movie header and sample tables, and CROSS-CHECKS the stsz sum
+    against the physical mdat payload — the truncated-upload triage a
+    media lake runs before trusting any metadata.  The oracle pins the
+    full box-size arithmetic: total_bytes = 400 fixed header/moov
+    bytes + 4 per stsz entry + the mdat schedule (both constants also
+    golden-byte-pinned in tests/test_containers.py), so a one-byte
+    layout drift in writer or walker fails the hash.  Sample DECODE is
+    the documented boundary (no codec config boxes are emitted).
+    Scale: scan → mapInPandas, shuffle-free."""
+    from projectmapreduce_spark.operators.multimodal import probe_mp4_files
+
+    d = scan(spark, sf_dir, "documents")
+    return probe_mp4_files(d, "doc_id", "text")
+
+
 # ---------- L13–L16: training-data pipeline verbs (round 2) ----------
 
 
