@@ -194,6 +194,11 @@ HEADLINE = [
     # probe Python surface; l11i_mp4_box_probe shares the exact
     # mapInPandas profile and stays out, like l4d vs l4c).
     "l11h_mpeg_frame_probe",
+    # round-6 batch 3: the two remaining engine-exact sketch tiers —
+    # persisted HLL register union (write + read-back + cell-wise-MAX
+    # merge is the priced path) and the two-pass histogram quantile.
+    "a13b_hll_register_union",
+    "a11b_histogram_quantiles",
 ]
 
 

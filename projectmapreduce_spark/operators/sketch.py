@@ -206,3 +206,69 @@ def cms_estimate(
         .groupBy(*[F.col(f"p.{x}") for x in probes.columns])
         .agg(F.min("c.cell_count").alias("est_count"))
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.99),
+    buckets: int = 256,
+) -> DataFrame:
+    """Engine-exact mergeable quantile sketch: the two-pass fixed-width
+    histogram (the classic distributed-quantile recipe when a
+    deterministic, engine-portable answer matters — unlike KLL/GK
+    summaries, whose compaction choices are engine-specific).
+
+    Pass 1 computes per-group (min, max, n) — three mergeable scalars.
+    Pass 2 buckets every value into ``buckets`` equal-width bins;
+    bin counts are the sketch: fixed size, mergeable by cell-wise ADD
+    across partitions/days (the same algebra as cms_build), shuffle
+    bounded by groups × buckets at any input size.  The q-quantile is
+    read off the cumulative histogram with linear interpolation inside
+    the target bin — error ≤ bin width, i.e. (max−min)/buckets.
+
+    Determinism contract: bucket index and the interpolation are pure
+    IEEE arithmetic on identical literals (no libm), so results are
+    bit-identical across engines; NULL values are excluded like every
+    rank-based aggregate; a constant group (max == min) short-circuits
+    to that constant.  Output: one row per (group, q) with the target
+    bucket and the interpolated estimate.
+    """
+    v = F.col(value_col)
+    vals = df.filter(v.isNotNull())
+    mm = vals.groupBy(*group_cols).agg(
+        F.min(v).alias("__mn"), F.max(v).alias("__mx"), F.count(F.lit(1)).alias("n_rows")
+    )
+    b = vals.join(F.broadcast(mm), group_cols)
+    bkt = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("__mn")) / (F.col("__mx") - F.col("__mn")) * F.lit(buckets)).cast("int"),
+            F.lit(buckets - 1),
+        )
+    )
+    counts = b.select(*group_cols, bkt.alias("bkt")).groupBy(*group_cols, "bkt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("bkt")
+    cum = counts.withColumn("cume", F.sum("c").over(w)).join(F.broadcast(mm), group_cols)
+    qd = cum.withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
+    target = F.ceil(F.col("q") * F.col("n_rows")).cast("double")
+    picked = qd.filter(
+        ((F.col("cume") - F.col("c")).cast("double") < target)
+        & (target <= F.col("cume").cast("double"))
+    )
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(buckets))
+    frac = (target - (F.col("cume") - F.col("c")).cast("double")) / F.col("c").cast("double")
+    est = F.when(F.col("__mx") == F.col("__mn"), F.col("__mn")).otherwise(
+        F.col("__mn") + (F.col("bkt").cast("double") + frac) * width
+    )
+    return picked.select(
+        *group_cols,
+        "q",
+        "n_rows",
+        F.col("bkt").cast("long").alias("bkt"),
+        F.round(est, 4).alias("est_value"),
+    )

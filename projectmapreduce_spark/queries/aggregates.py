@@ -400,6 +400,70 @@ def a11_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a11b_histogram_quantiles",
+    oracle="""
+WITH vals AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+mm AS (
+  SELECT g, min(v) AS mn, max(v) AS mx, count(*)::BIGINT AS n_rows
+  FROM vals GROUP BY 1
+),
+bk AS (
+  SELECT vals.g,
+         CASE WHEN mx = mn THEN 0
+              ELSE least(floor((v - mn) / (mx - mn) * 256)::INT, 255) END AS bkt
+  FROM vals JOIN mm ON vals.g = mm.g
+),
+counts AS (SELECT g, bkt, count(*)::BIGINT AS c FROM bk GROUP BY 1, 2),
+cum AS (
+  SELECT g, bkt, c, sum(c) OVER (PARTITION BY g ORDER BY bkt) AS cume
+  FROM counts
+),
+qd AS (
+  SELECT cum.*, mn, mx, n_rows, q
+  FROM cum JOIN mm USING (g)
+  CROSS JOIN (SELECT unnest([0.5, 0.99]) AS q) qs
+),
+picked AS (
+  SELECT * FROM qd
+  WHERE (cume - c)::DOUBLE < ceil(q * n_rows)
+    AND ceil(q * n_rows) <= cume::DOUBLE
+)
+SELECT g AS l_returnflag, q, n_rows, bkt::BIGINT AS bkt,
+       round(CASE WHEN mx = mn THEN mn
+                  ELSE mn + (bkt::DOUBLE
+                             + (ceil(q * n_rows) - (cume - c)::DOUBLE) / c::DOUBLE)
+                            * ((mx - mn) / 256.0) END, 4) AS est_value
+FROM picked
+""",
+    survey="A11,A9,W3",
+    category="aggregate",
+)
+def a11b_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11's mergeable-quantile story with a FULL hash oracle (a11's
+    KLL-family ``approx_percentile`` is engine-specific; this sketch
+    is not): the two-pass fixed-width histogram — pass 1 gathers
+    per-group (min, max, n), pass 2 builds 256 equal-width bin counts
+    (fixed size, mergeable by cell-wise ADD, shuffle bounded by
+    groups × 256 at any input size), and the p50/p99 are read off the
+    cumulative histogram with linear interpolation inside the target
+    bin (error ≤ bin width by construction).  Bucketing and
+    interpolation are pure IEEE arithmetic on identical literals —
+    no libm — so estimates hash-match DuckDB bit for bit before the
+    courtesy round; the accuracy-vs-exact bound is pinned in
+    tests/test_operators.py.  This is the quantile analogue of
+    a4b/a12: when a 100 TB pipeline needs REPRODUCIBLE percentiles
+    (SLA thresholds, regression gates), an engine-pinned sketch beats
+    a faster but engine-private summary."""
+    from projectmapreduce_spark.operators.sketch import histogram_quantiles
+
+    li = scan(spark, sf_dir, "lineitem")
+    return histogram_quantiles(li, "l_extendedprice", ["l_returnflag"], qs=(0.5, 0.99))
+
+
+@query(
     "a12_count_min_sketch",
     oracle="""
 WITH toks AS (
@@ -455,6 +519,115 @@ def a12_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return cms_estimate(probes, cells, "token", depth=4, width=1024)
+
+
+@query(
+    "a13b_hll_register_union",
+    oracle="""
+WITH hashed AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS grp,
+         list_reduce(list_prepend(0::BIGINT,
+             list_transform(string_split(o_custkey::VARCHAR, ''), c -> ascii(c)::BIGINT)),
+             (acc, x) -> (acc * 31 + x) % 4294967296) AS h0
+  FROM orders
+  WHERE o_custkey IS NOT NULL
+),
+mixed AS (
+  SELECT grp, xor(h3, h3 >> 16) AS h
+  FROM (SELECT grp, (h2 * 1372812589) % 4294967296 AS h3
+        FROM (SELECT grp, xor(h1, h1 >> 16) AS h2
+              FROM (SELECT grp, (h0 * 1540483477) % 4294967296 AS h1
+                    FROM hashed)))
+),
+rhos AS (
+  SELECT grp, h % 512 AS bucket,
+         (24 - bit_count(s8 | (s8 >> 16)))::BIGINT AS rho
+  FROM (SELECT grp, h, s4 | (s4 >> 8) AS s8
+        FROM (SELECT grp, h, s2 | (s2 >> 4) AS s4
+              FROM (SELECT grp, h, s1 | (s1 >> 2) AS s2
+                    FROM (SELECT grp, h, (h >> 9) | ((h >> 9) >> 1) AS s1
+                          FROM mixed))))
+),
+month_regs AS (
+  SELECT grp, bucket, max(rho) AS reg FROM rhos GROUP BY 1, 2
+),
+regs AS (
+  SELECT * FROM month_regs
+  UNION ALL
+  SELECT 'ALL' AS grp, bucket, max(reg) AS reg FROM month_regs GROUP BY bucket
+),
+summ AS (
+  SELECT grp,
+         count(*)::BIGINT AS n_buckets,
+         sum((bucket + 1) * reg)::BIGINT AS reg_checksum,
+         sum(pow(2.0, -reg)) AS z_hit
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT grp, n_buckets, (512 - n_buckets)::BIGINT AS v_zero,
+         reg_checksum, z_hit + (512 - n_buckets) AS z_sum
+  FROM summ
+),
+exact AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS grp,
+         count(DISTINCT o_custkey)::BIGINT AS exact_distinct
+  FROM orders GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', count(DISTINCT o_custkey)::BIGINT FROM orders
+)
+SELECT e.grp AS grp, n_buckets, v_zero, reg_checksum, z_sum,
+       round(CASE WHEN 0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0 / z_sum <= 1280.0
+                   AND v_zero > 0
+                  THEN 512.0 * ln(512.0 / v_zero)
+                  ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0 / z_sum END, 4)
+         AS est_distinct,
+       x.exact_distinct AS exact_distinct
+FROM est e JOIN exact x USING (grp)
+""",
+    survey="A13,A4,S5",
+    category="aggregate",
+)
+def a13b_hll_register_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13's persistable-mergeable-sketch story with a FULL hash
+    oracle (a13's DataSketches binaries are engine-specific; these
+    registers are not): count distinct monthly-active customers ONCE,
+    PERSIST the per-month register frames to parquet, and answer the
+    all-time distinct count by MERGING the stored frames cell-wise
+    (max per bucket) — never rescanning the raw orders.  This is the
+    incremental-analytics contract at 100 TB: any date-range distinct
+    count is a register-table read + tiny max-aggregate, not a scan.
+
+    The ALL row is genuinely computed from the READ-BACK parquet
+    registers, so the hash also certifies the persistence round-trip;
+    per-month rows and the merged row all carry reg_checksum + exact
+    z_sum like a4b, and exact_distinct certifies accuracy in-band.
+    HLL's union-exactness (sketch(A ∪ B) == merge(sketch A, sketch B),
+    exactly, not approximately) is what makes the pattern sound; the
+    property itself is pinned in tests/test_operators.py."""
+    from projectmapreduce_spark.io import scratch_path
+    from projectmapreduce_spark.operators.sketch import hll_estimate, hll_registers
+
+    o = scan(spark, sf_dir, "orders").withColumn(
+        "grp", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    regs = hll_registers(o, "o_custkey", ["grp"], p=9)
+    # Persist the sketch table (the A13 "store, don't rescan" step),
+    # then everything downstream reads the parquet back.
+    path = scratch_path("a13b_month_registers")
+    regs.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    merged = (
+        stored.groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .withColumn("grp", F.lit("ALL"))
+        .select("grp", "bucket", "reg")
+    )
+    ests = hll_estimate(stored.unionByName(merged), ["grp"], p=9)
+    exact_m = o.groupBy("grp").agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    exact_all = o.agg(F.countDistinct("o_custkey").alias("exact_distinct")).select(
+        F.lit("ALL").alias("grp"), "exact_distinct"
+    )
+    return ests.join(exact_m.unionByName(exact_all), "grp")
 
 
 @query("a13_hll_sketch_union", oracle=None, survey="A13", category="aggregate")

@@ -28,6 +28,20 @@ SHOWCASE = {
         "Every dimension side is a BroadcastHashJoin build — zero "
         "shuffles of the fact table for dim enrichment."
     ),
+    "s17_dpp_join": (
+        "Dynamic partition pruning LIVE in the fact scan: PartitionFilters "
+        "carries dynamicpruningexpression(ship_year IN subquery) — NOT the "
+        "degraded (true) form — and at runtime the scan's numPartitions "
+        "metric reads fewer partitions than the directory holds (both "
+        "pinned in tests/test_plans.py).  The dim side broadcasts once and "
+        "is REUSED as the pruning subquery."
+    ),
+    "a4b_hll_registers": (
+        "Register-bounded sketch: groupBy(group, bucket).max does map-side "
+        "partial max, so the shuffle carries at most groups x 512 register "
+        "rows at ANY input size; the estimate fold is a second tiny "
+        "aggregate over registers."
+    ),
     "j10_star_join": (
         "Star join: nation/region broadcast; the only real exchanges are "
         "the two fact tables hashing on the join keys."

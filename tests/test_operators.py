@@ -1106,3 +1106,70 @@ def test_pq_reconstruction_beats_random(spark):
         ).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.25
+
+
+def test_histogram_quantiles_accuracy_and_merge(spark):
+    """a11b's invariants the SQL hash can't see: (1) the interpolated
+    estimate sits within one bin width of the exact percentile (the
+    sketch's error bound by construction); (2) bin-count frames merge
+    by cell-wise ADD — sketch(union) == merge(sketch(a), sketch(b))."""
+    from projectmapreduce_spark.operators.sketch import histogram_quantiles
+
+    li = scan(spark, SF_CORRECT, "lineitem")
+    got = {
+        (r.l_returnflag, r.q): r.est_value
+        for r in histogram_quantiles(
+            li, "l_extendedprice", ["l_returnflag"], qs=(0.5, 0.99)
+        ).collect()
+    }
+    mm = {
+        r.l_returnflag: (r.mn, r.mx)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx"))
+        .collect()
+    }
+    exact = {
+        (r.l_returnflag, q): r[f"p{q}"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p0.5"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p0.99"),
+        )
+        .collect()
+        for q in (0.5, 0.99)
+    }
+    for (g, q), est in got.items():
+        mn, mx = mm[g]
+        assert abs(est - exact[(g, q)]) <= (mx - mn) / 256 + 1e-9, (g, q, est, exact[(g, q)])
+
+    # Mergeability of the underlying bin counts: split on an arbitrary
+    # predicate, bucket each half against the SAME (mn, mx) frame,
+    # union + re-aggregate -> identical counts.  (histogram_quantiles
+    # derives mn/mx internally, so exercise the algebra directly.)
+    vals = li.select("l_returnflag", "l_extendedprice").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    mmdf = vals.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    def bins(df):
+        j = df.join(F.broadcast(mmdf), "l_returnflag")
+        bkt = F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * 256
+            ).cast("int"),
+            F.lit(255),
+        )
+        return j.select("l_returnflag", bkt.alias("bkt")).groupBy(
+            "l_returnflag", "bkt"
+        ).agg(F.count(F.lit(1)).alias("c"))
+
+    whole = bins(vals)
+    a = bins(vals.filter(F.col("l_extendedprice") < 30000))
+    b = bins(vals.filter(F.col("l_extendedprice") >= 30000))
+    merged = (
+        a.unionByName(b).groupBy("l_returnflag", "bkt").agg(F.sum("c").alias("c"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
