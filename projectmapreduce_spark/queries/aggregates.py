@@ -424,7 +424,7 @@ cum AS (
 qd AS (
   SELECT cum.*, mn, mx, n_rows, q
   FROM cum JOIN mm USING (g)
-  CROSS JOIN (SELECT unnest([0.5, 0.99]) AS q) qs
+  CROSS JOIN (SELECT unnest([0.5, 0.99]::DOUBLE[]) AS q) qs
 ),
 picked AS (
   SELECT * FROM qd
