@@ -1220,3 +1220,107 @@ def c21_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_name", dround("s_acctbal", 2).alias("s_acctbal"))
     )
+
+
+@query(
+    "c22_recursive_hierarchy",
+    oracle="""
+WITH RECURSIVE tree(node, root, depth, bal) AS (
+  SELECT c_custkey, c_custkey, 0, c_acctbal
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, t.root, t.depth + 1, c.c_acctbal
+  FROM customer c JOIN tree t
+    ON CAST(floor(c.c_custkey / 10) AS BIGINT) = t.node
+  WHERE c.c_custkey >= 10
+)
+SELECT depth,
+       count(*) AS n_nodes,
+       count(DISTINCT root) AS n_roots,
+       round(sum(CAST(bal AS DECIMAL(20,4))), 2)::DOUBLE AS sum_bal
+FROM tree GROUP BY depth ORDER BY depth
+""",
+    survey="C22,A1,J1",
+    category="composite",
+)
+def c22_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22: recursive CTE (``WITH RECURSIVE``, Spark 4) — per-level
+    rollup of a customer referral tree.  The hierarchy is derived
+    deterministically (parent(k) = floor(k/10), roots = keys < 10) so
+    both engines walk the identical DAG; each node's (root, depth) is
+    computed by the recursion and aggregated per level.
+
+    Engine notes.  Spark 4 plans the recursion as a UnionLoop: each
+    iteration equi-joins the previous FRONTIER (not the accumulated
+    result) against the child table, so per-iteration work is
+    O(frontier ⋈ fact) with the frontier broadcastable whenever a
+    level is small; depth is bounded by the key width (log10 of the
+    max key — 12 levels at 100 TB scale), and the loop is guarded by
+    ``spark.sql.cteRecursionLevelLimit`` (default 100).  The recursion
+    never materializes the closure on the driver.  Cross-engine trap
+    pinned here: ``CAST(double AS BIGINT)`` TRUNCATES in Spark but
+    ROUNDS in DuckDB, so the parent derivation must go through
+    ``floor()`` before the cast — the raw ``CAST(k/10 AS BIGINT)``
+    form diverges on every key ending in 5..9.  Balance sums are
+    exact DECIMAL (money contract), cast to DOUBLE only after the
+    final round(2)."""
+    scan(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(node, root, depth, bal) AS (
+          SELECT c_custkey, c_custkey, 0, c_acctbal
+          FROM customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, t.root, t.depth + 1, c.c_acctbal
+          FROM customer c JOIN tree t
+            ON CAST(floor(c.c_custkey / 10) AS BIGINT) = t.node
+          WHERE c.c_custkey >= 10
+        )
+        SELECT depth,
+               count(*) AS n_nodes,
+               count(DISTINCT root) AS n_roots,
+               CAST(round(sum(CAST(bal AS DECIMAL(20,4))), 2) AS DOUBLE) AS sum_bal
+        FROM tree GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+@query(
+    "c23_pipe_syntax",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(CAST(o_totalprice AS DECIMAL(20,4))), 2)::DOUBLE AS total,
+       count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_large
+FROM orders
+WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    survey="C23,A1,P2",
+    category="composite",
+)
+def c23_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23: SQL pipe syntax (Spark 4 ``|>`` operators) — the linear
+    query-composition surface, proving the engine's THIRD query API
+    (DataFrame, classic SQL, piped SQL) plans to the same physical
+    operators.  One year of orders |> EXTEND a large-order flag
+    |> AGGREGATE per priority |> ORDER BY.  Pipe stages are purely
+    syntactic: Catalyst sees the identical logical plan as the classic
+    form (filter pushed to the scan, one hash-aggregate shuffle), so
+    there is no plan-shape or scale cost to the surface.  The oracle
+    is the classic-SQL equivalent (DuckDB has no pipe syntax), which
+    is itself the point: same semantics, different notation."""
+    scan(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+        |> EXTEND CASE WHEN o_totalprice > 200000 THEN 1 END AS large_flag
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,4))), 2) AS DOUBLE) AS total,
+                     count(large_flag) AS n_large
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )

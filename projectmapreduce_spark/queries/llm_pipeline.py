@@ -1967,3 +1967,160 @@ def l32_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("samp_rank") <= 13)
         .select("doc_id", "source", "samp_rank")
     )
+
+
+@query(
+    "l33_rrf_fusion",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+qt AS (
+  SELECT doc_id AS q_id, unnest(list_distinct(string_split(text, ' ')[1:5])) AS term
+  FROM documents WHERE doc_id < 8
+),
+lex AS (
+  SELECT qt.q_id, tf.doc_id AS hit_id,
+         count(DISTINCT tf.token)::BIGINT AS n_hit, sum(tf.tf)::BIGINT AS tf_sum
+  FROM qt JOIN tf ON tf.token = qt.term
+  WHERE tf.doc_id <> qt.q_id
+  GROUP BY 1, 2
+),
+lexc AS (
+  SELECT q_id, hit_id, lex_rank FROM (
+    SELECT q_id, hit_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY n_hit DESC, tf_sum DESC, hit_id) AS lex_rank
+    FROM lex) WHERE lex_rank <= 50
+),
+qq AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(vec, x -> 0)
+              ELSE list_transform(
+                     vec,
+                     x -> greatest(-127, least(127, floor(x / scale + 0.5)::INTEGER)))
+         END AS qvec
+  FROM (SELECT vec_id, vec,
+               list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+              FROM embeddings))
+),
+dots AS (
+  SELECT q_id, hit_id, sum(x::BIGINT * y::BIGINT)::BIGINT AS qdot
+  FROM (SELECT q.vec_id AS q_id, e.vec_id AS hit_id,
+               unnest(q.qvec) AS x, unnest(e.qvec) AS y
+        FROM qq q JOIN qq e ON q.vec_id < 8 AND e.vec_id <> q.vec_id)
+  GROUP BY 1, 2
+),
+semc AS (
+  SELECT q_id, hit_id, sem_rank FROM (
+    SELECT q_id, hit_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY qdot DESC, hit_id) AS sem_rank
+    FROM dots) WHERE sem_rank <= 50
+),
+fused AS (
+  SELECT coalesce(l.q_id, s.q_id) AS q_id,
+         coalesce(l.hit_id, s.hit_id) AS hit_id,
+         l.lex_rank, s.sem_rank,
+         round(CASE WHEN l.lex_rank IS NOT NULL THEN 1.0 / (60 + l.lex_rank) ELSE 0.0 END
+             + CASE WHEN s.sem_rank IS NOT NULL THEN 1.0 / (60 + s.sem_rank) ELSE 0.0 END,
+               8) AS rrf
+  FROM lexc l FULL JOIN semc s ON l.q_id = s.q_id AND l.hit_id = s.hit_id
+)
+SELECT q_id, hit_id, lex_rank, sem_rank, rrf, fused_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, hit_id) AS fused_rank
+  FROM fused) WHERE fused_rank <= 10
+""",
+    survey="L33,L26,L27,W1,J3",
+    category="llm",
+)
+def l33_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L33: hybrid-retrieval reciprocal-rank fusion (RRF, Cormack et
+    al. SIGIR 2009) — fuse a LEXICAL ranking (query-term hits over the
+    inverted-index shape) with a SEMANTIC ranking (int8-quantized
+    embedding dot products) into one score per (query, document):
+    rrf = Σ_signals 1/(60 + rank_signal), ranks from candidate lists
+    capped at 50, top-10 fused hits per query.  This is the serving
+    join of a RAG retrieval stack: BM25-ish recall + dense recall,
+    fused without score calibration.
+
+    Determinism contract: BOTH signals rank on integers (term-hit
+    counts / summed tf; bigint quantized dots via the L27 floor(x/s +
+    0.5) codes) with PK tiebreaks, so rank boundaries cannot drift on
+    float ulps; the only floats are the final 1/(60+r) divides —
+    identical IEEE expressions on both engines.
+
+    Scale: candidate generation is an equi-join on term (posting
+    lists; at 100 TB swap in BM25 L26 scores, same shape) and a
+    broadcast-queries scoring pass (swap in the l4c/l4f ANN tiers for
+    the dense leg — the fusion layer is unchanged).  Every window
+    partitions by q_id, per-query state is ≤ 2×50 candidate rows, and
+    the fusion itself is one (q_id, hit_id) full-outer join."""
+    d = scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    qt = (
+        d.filter(F.col("doc_id") < 8)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.array_distinct(F.slice(F.split("text", " "), 1, 5))).alias("term"),
+        )
+    )
+    lex = (
+        tf.join(F.broadcast(qt), (tf.token == qt.term) & (tf.doc_id != qt.q_id))
+        .groupBy("q_id", F.col("doc_id").alias("hit_id"))
+        .agg(
+            F.countDistinct("token").alias("n_hit"),
+            F.sum("tf").alias("tf_sum"),
+        )
+    )
+    wl = Window.partitionBy("q_id").orderBy(
+        F.col("n_hit").desc(), F.col("tf_sum").desc(), F.col("hit_id")
+    )
+    lexc = (
+        lex.select("q_id", "hit_id", F.row_number().over(wl).cast("long").alias("lex_rank"))
+        .filter(F.col("lex_rank") <= 50)
+    )
+
+    qd = quantize_int8(scan(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    qside = qd.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("qvec").alias("qa")
+    )
+    eside = qd.select(F.col("vec_id").alias("hit_id"), F.col("qvec").alias("qb"))
+    ws = Window.partitionBy("q_id").orderBy(F.col("qdot").desc(), F.col("hit_id"))
+    semc = (
+        eside.join(F.broadcast(qside), F.col("hit_id") != F.col("q_id"))
+        .select("q_id", "hit_id", int_dot(F.col("qa"), F.col("qb")).alias("qdot"))
+        .select("q_id", "hit_id", F.row_number().over(ws).cast("long").alias("sem_rank"))
+        .filter(F.col("sem_rank") <= 50)
+    )
+
+    fused = (
+        lexc.withColumnsRenamed({"q_id": "lq", "hit_id": "lh"})
+        .join(
+            semc.withColumnsRenamed({"q_id": "sq", "hit_id": "sh"}),
+            (F.col("lq") == F.col("sq")) & (F.col("lh") == F.col("sh")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("lq", "sq").alias("q_id"),
+            F.coalesce("lh", "sh").alias("hit_id"),
+            "lex_rank",
+            "sem_rank",
+            dround(
+                F.when(F.col("lex_rank").isNotNull(), 1.0 / (60 + F.col("lex_rank"))).otherwise(0.0)
+                + F.when(F.col("sem_rank").isNotNull(), 1.0 / (60 + F.col("sem_rank"))).otherwise(0.0),
+                8,
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), F.col("hit_id"))
+    return (
+        fused.select(
+            "q_id", "hit_id", "lex_rank", "sem_rank", "rrf",
+            F.row_number().over(wf).cast("long").alias("fused_rank"),
+        )
+        .filter(F.col("fused_rank") <= 10)
+    )

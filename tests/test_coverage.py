@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 164 operator rows across 13 categories
+# The full §2 inventory: 167 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -79,6 +79,7 @@ SURVEY_IDS = {
     "L30",  # round-2: end-to-end corpus funnel
     "L31",  # round-2: bigram-LM surprisal quality score
     "L32",  # round-3: per-source document cap (deterministic downsample)
+    "L33",  # round-6: hybrid-retrieval reciprocal-rank fusion (RRF)
     # §2.12 UDF surface
     "X1", "X2", "X3", "X4",
     "X5",  # round-2: cogroup
@@ -104,6 +105,8 @@ SURVEY_IDS = {
     "C19",  # round-3: disjunctive bracket revenue (TPC-H Q19 shape)
     "C20",  # round-5: priority check w/ EXISTS-per-order (TPC-H Q4 shape)
     "C21",  # round-5: correlated half-sum nested IN (TPC-H Q20 shape)
+    "C22",  # round-6: recursive CTE hierarchy walk (WITH RECURSIVE, Spark 4)
+    "C23",  # round-6: SQL pipe syntax surface (|>, Spark 4)
 }
 
 

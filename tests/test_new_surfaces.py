@@ -1,0 +1,153 @@
+"""Round-6 surface additions: recursive CTE (c22), SQL pipe syntax
+(c23), RRF fusion (l33), and the gated transformWithState operator.
+
+The driver-facing hash checks live in test_oracle.py like every other
+declared query; these tests pin the properties the oracle cannot see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from projectmapreduce_spark.queries import QUERIES
+from tests.conftest import SF_CORRECT
+
+
+def test_c22_recursion_matches_closed_form(spark):
+    """The derived tree (parent(k)=floor(k/10), roots < 10) has a
+    closed form: depth(k) = len(str(k)) - 1.  The recursion must
+    reproduce the per-depth node counts and balance sums computed
+    non-recursively."""
+    out = {r["depth"]: r for r in QUERIES["c22_recursive_hierarchy"](spark, SF_CORRECT).collect()}
+    cust = spark.read.parquet(f"{SF_CORRECT}/customer.parquet")
+    expect = {
+        r["depth"]: r
+        for r in cust.select(
+            (F.length(F.col("c_custkey").cast("string")) - 1).alias("depth"),
+            "c_acctbal",
+        )
+        .groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(20,4)")), 2)
+            .cast("double")
+            .alias("sum_bal"),
+        )
+        .collect()
+    }
+    assert set(out) == set(expect)
+    for d in out:
+        assert out[d]["n_nodes"] == expect[d]["n_nodes"]
+        assert out[d]["sum_bal"] == expect[d]["sum_bal"]
+
+
+def test_c23_pipe_equals_classic_sql(spark):
+    """Pipe syntax is notation, not semantics: the piped form must
+    return exactly the classic-SQL form's rows when both run on the
+    engine itself (the DuckDB oracle only checks the classic form)."""
+    piped = QUERIES["c23_pipe_syntax"](spark, SF_CORRECT).collect()
+    classic = spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,4))), 2) AS DOUBLE) AS total,
+               count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_large
+        FROM orders
+        WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    ).collect()
+    assert piped == classic
+
+
+def test_l33_rrf_arithmetic_and_bounds(spark):
+    """Each query returns exactly its top-10 fused hits; every rrf
+    value must recompute from its own rank columns (1/(60+r) per
+    present signal), and fused_rank must be consistent with (rrf desc,
+    hit_id asc) within each query."""
+    rows = QUERIES["l33_rrf_fusion"](spark, SF_CORRECT).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == set(range(8))
+    for q_id, hits in by_q.items():
+        assert len(hits) == 10
+        hits.sort(key=lambda r: r["fused_rank"])
+        assert [r["fused_rank"] for r in hits] == list(range(1, 11))
+        for r in hits:
+            want = 0.0
+            if r["lex_rank"] is not None:
+                want += 1.0 / (60 + r["lex_rank"])
+            if r["sem_rank"] is not None:
+                want += 1.0 / (60 + r["sem_rank"])
+            assert r["rrf"] == round(want, 8)
+        ordered = sorted(hits, key=lambda r: (-r["rrf"], r["hit_id"]))
+        assert [r["hit_id"] for r in ordered] == [r["hit_id"] for r in hits]
+
+
+def test_tws_gate_is_honest():
+    """The transformWithState module must correctly report whether its
+    runtime dependency (google.protobuf) exists — a silently-wrong flag
+    would let the skipped twin rot."""
+    from projectmapreduce_spark.streaming.state_v2 import HAS_TWS_DEPS
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        assert HAS_TWS_DEPS
+    except Exception:
+        assert not HAS_TWS_DEPS
+
+
+def _tws_available() -> bool:
+    from projectmapreduce_spark.streaming.state_v2 import HAS_TWS_DEPS
+
+    return HAS_TWS_DEPS
+
+
+@pytest.mark.skipif(not _tws_available(), reason="google.protobuf not installed (container boundary)")
+def test_transform_with_state_equals_batch(spark, tmp_path):
+    """On an environment with protobuf: drain the events fixture through
+    transformWithStateInPandas (RocksDB provider) and assert the
+    last-write-wins reduction equals the batch aggregate."""
+    import uuid
+
+    from projectmapreduce_spark.streaming import read_events_stream, run_available_now
+    from projectmapreduce_spark.streaming.state_v2 import ROCKSDB_PROVIDER, user_profile_stream
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        name = "tws_" + uuid.uuid4().hex[:8]
+        out = user_profile_stream(read_events_stream(spark, SF_CORRECT))
+        run_available_now(out, str(tmp_path / name), output_mode="update", query_name=name)
+        final = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.expr("max_by(total_value, n_events)").alias("total_value"),
+                F.expr("max_by(max_value, n_events)").alias("max_value"),
+                F.expr("max_by(n_types, n_events)").alias("n_types"),
+            )
+        )
+        batch = (
+            spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+                F.round(F.max("value"), 2).alias("max_value"),
+                F.countDistinct("event_type").alias("n_types"),
+            )
+        )
+        a = sorted(tuple(r) for r in final.collect())
+        b = sorted(tuple(r) for r in batch.collect())
+        assert a == b
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
