@@ -292,3 +292,51 @@ def upsert_by_rewrite(base: DataFrame, updates: DataFrame, key: str | list[str])
     cols = base.columns
     survivors = base.join(updates.select(*keys), keys, "left_anti")
     return updates.select(*cols).unionByName(survivors)
+
+
+def build_stats_manifest(root: str, column: str) -> list[dict]:
+    """Footer-stats manifest over every parquet leaf file under ``root``:
+    one entry per file with (path, min, max, rows) for ``column``, read
+    from the parquet FOOTER only — no data pages are touched.  This is
+    the data-skipping index Delta/Iceberg persist in their metadata
+    layer, reduced to its primitive.
+
+    Scale note: this walks files on the driver because the demo lake is
+    a scratch directory; a 100 TB manifest build is itself a Spark job
+    (one footer read per task — ``spark.read.format("binaryFile")`` or a
+    file-list mapPartitions) whose OUTPUT is this same few-KB-per-1000-
+    files structure, and real table formats maintain it incrementally
+    at commit time instead of rebuilding.
+    """
+    import pyarrow.parquet as pq
+
+    entries: list[dict] = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in sorted(files):
+            if not f.endswith(".parquet") or f.startswith("_"):
+                continue
+            path = os.path.join(dirpath, f)
+            meta = pq.ParquetFile(path).metadata
+            idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}[column]
+            lo = hi = None
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    # a file without stats can never be skipped
+                    lo, hi = None, None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            entries.append({"path": path, "min": lo, "max": hi, "rows": meta.num_rows})
+    return entries
+
+
+def prune_manifest(manifest: list[dict], lo, hi) -> list[str]:
+    """File paths whose [min, max] range can intersect [lo, hi].  Files
+    with absent stats are conservatively kept (skipping must never
+    change results, only cost)."""
+    return [
+        e["path"]
+        for e in manifest
+        if e["min"] is None or e["max"] is None or (e["max"] >= lo and e["min"] <= hi)
+    ]

@@ -717,3 +717,63 @@ def s17_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         money_sum("l_extendedprice").alias("revenue"),
     )
+
+
+@query(
+    "s18_stats_file_skipping",
+    oracle="""
+WITH bounds AS (SELECT max(o_orderkey) + 1 AS span FROM orders)
+SELECT count(*)::BIGINT AS n_rows,
+       round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS total_price
+FROM orders, bounds
+WHERE o_orderkey >= (3 * span) // 8
+  AND o_orderkey <= (4 * span) // 8 - 1
+""",
+    survey="S18,S5,P4",
+    category="io",
+)
+def s18_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18: min/max-stats file skipping — the metadata-layer scan
+    pruning of Delta/Iceberg/Hudi ("data skipping") reduced to its
+    primitive on plain parquet.  Orders are written KEY-CLUSTERED
+    (16 range buckets, one file each, via ``repartition(16, bucket)``
+    + ``partitionBy``), a STATS MANIFEST is built from parquet FOOTERS
+    only (``io.build_stats_manifest`` — no data pages read), and a
+    key-range query consults the manifest FIRST: files whose [min,max]
+    cannot intersect the predicate are never OPENED.  The surviving
+    files still get the residual filter (skipping changes cost, never
+    results), and Spark's own row-group pruning applies inside them.
+
+    This is a different layer from S6/S17 (directory-name pruning) and
+    S12 (clustered layout): the skip decision comes from per-file
+    VALUE STATISTICS, so it works for any clustered column without
+    encoding it in the path — at 100 TB the manifest is a few KB per
+    thousand files, maintained incrementally at commit time, and
+    planning cost is manifest-size instead of footer-listing-size.
+    The 1-row max() scalar fixing the bucket width is metadata-scale
+    driver state (same class as the T8/S14 scalars); pruning
+    effectiveness is pinned in tests/test_new_surfaces.py (survivors
+    strictly fewer than half the manifest; pruned-read ≡ full-read)."""
+    from projectmapreduce_spark.io import build_stats_manifest, prune_manifest
+
+    o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    span = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    lake = _p("s18_lake")
+    (
+        o.withColumn("b", F.expr(f"CAST(o_orderkey * 16 DIV {span} AS INT)"))
+        .repartition(16, "b")
+        .write.mode("overwrite")
+        .partitionBy("b")
+        .parquet(lake)
+    )
+    manifest = build_stats_manifest(lake, "o_orderkey")
+    lo, hi = (3 * span) // 8, (4 * span) // 8 - 1
+    survivors = prune_manifest(manifest, lo, hi)
+    back = spark.read.parquet(*survivors)
+    return (
+        back.filter(F.col("o_orderkey").between(lo, hi))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+    )

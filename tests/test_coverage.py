@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 167 operator rows across 13 categories
+# The full §2 inventory: 168 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -22,6 +22,7 @@ SURVEY_IDS = {
     "S15",  # round-2: manifest-pinned snapshot reads (time travel)
     "S16",  # round-2: malformed-record tolerance (dirty CSV ingest)
     "S17",  # round-6: dynamic partition pruning (runtime-pruned fact scan)
+    "S18",  # round-6: min/max-stats file skipping (manifest-pruned reads)
     # §2.2 projection / filter
     "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
     # §2.3 joins

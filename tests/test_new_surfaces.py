@@ -151,3 +151,48 @@ def test_transform_with_state_equals_batch(spark, tmp_path):
             spark.conf.set(key, prev)
         else:
             spark.conf.unset(key)
+
+
+def test_s18_manifest_skips_files_without_changing_results(spark):
+    """The stats manifest must (a) prune most files for a narrow key
+    range, (b) never change results vs the full scan, and (c) carry
+    footer stats that bound the actual file contents."""
+    from pyspark.sql import functions as F
+
+    from projectmapreduce_spark.io import build_stats_manifest, prune_manifest, scan, scratch_path
+
+    # the declared query writes the lake as a side effect
+    QUERIES["s18_stats_file_skipping"](spark, SF_CORRECT).collect()
+    lake = scratch_path("s18_lake")
+    manifest = build_stats_manifest(lake, "o_orderkey")
+    assert len(manifest) >= 8  # 16 range buckets, at least one file each
+
+    span = (
+        scan(spark, SF_CORRECT, "orders").agg(F.max("o_orderkey")).collect()[0][0] + 1
+    )
+    lo, hi = (3 * span) // 8, (4 * span) // 8 - 1
+    survivors = prune_manifest(manifest, lo, hi)
+    assert 0 < len(survivors) < len(manifest) / 2, (len(survivors), len(manifest))
+
+    pruned = (
+        spark.read.parquet(*survivors)
+        .filter(F.col("o_orderkey").between(lo, hi))
+        .agg(F.count(F.lit(1)), F.sum("o_orderkey"))
+        .collect()
+    )
+    full = (
+        spark.read.parquet(*[e["path"] for e in manifest])
+        .filter(F.col("o_orderkey").between(lo, hi))
+        .agg(F.count(F.lit(1)), F.sum("o_orderkey"))
+        .collect()
+    )
+    assert pruned == full
+
+    # footer stats bound the data: re-derive per-file min/max the slow way
+    for e in manifest[:4]:
+        got = (
+            spark.read.parquet(e["path"])
+            .agg(F.min("o_orderkey"), F.max("o_orderkey"), F.count(F.lit(1)))
+            .collect()[0]
+        )
+        assert (e["min"], e["max"], e["rows"]) == tuple(got)
