@@ -199,6 +199,22 @@ HEADLINE = [
     # merge is the priced path) and the two-pass histogram quantile.
     "a13b_hll_register_union",
     "a11b_histogram_quantiles",
+    # round-6 batch 4: the three new query surfaces (recursive CTE's
+    # per-iteration UnionLoop overhead is the honest cost of recursion
+    # on a tiny frontier — ~1 s/level; pipe syntax prices the third API
+    # surface at its classic-SQL-identical plan) plus RRF fusion and
+    # stats-manifest file skipping (write + footer manifest + pruned
+    # read priced like s14/s15).
+    "c22_recursive_hierarchy",
+    "c23_pipe_syntax",
+    "l33_rrf_fusion",
+    "s18_stats_file_skipping",
+    # round-6 batch 5: gap-fill resample (grid explode + ffill window —
+    # output tracks users × horizon, the knob the docstring documents)
+    # and the SCD2 build + point-in-time join (two history folds, a
+    # persisted dim, and the temporal probe — priced end-to-end).
+    "t11_gapfill_resample",
+    "s19_scd2_pit_join",
 ]
 
 

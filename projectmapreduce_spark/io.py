@@ -340,3 +340,33 @@ def prune_manifest(manifest: list[dict], lo, hi) -> list[str]:
         for e in manifest
         if e["min"] is None or e["max"] is None or (e["max"] >= lo and e["min"] <= hi)
     ]
+
+
+def scd2_apply(history: DataFrame, updates: DataFrame, key: str, eff_date: str) -> DataFrame:
+    """Fold one update batch into an SCD Type-2 history (the
+    warehouse "track every version with a validity interval" merge):
+    open rows (valid_to = HIGH_DATE) of updated keys are CLOSED at
+    ``eff_date``, the update rows are appended as the new open
+    versions, and everything else passes through untouched.
+
+    ``history`` columns: attributes + (valid_from, valid_to);
+    ``updates``: attributes only (one row per changed key).  Cost per
+    batch is one key equi-join against the batch (broadcastable when
+    the batch is small — the typical case; AQE decides, never a forced
+    hint) plus the union — the base history is never shuffled.
+    """
+    from pyspark.sql import functions as F
+
+    high = F.lit("9999-12-31").cast("date")
+    eff = F.lit(eff_date).cast("date")
+    upd_keys = updates.select(key)
+    is_open = F.col("valid_to") == high
+    closing = (
+        history.join(upd_keys, key, "left_semi")
+        .filter(is_open)
+        .withColumn("valid_to", eff)
+    )
+    untouched_open = history.join(upd_keys, key, "left_anti").filter(is_open)
+    closed_before = history.filter(~is_open)
+    fresh = updates.withColumn("valid_from", eff).withColumn("valid_to", high)
+    return closed_before.unionByName(closing).unionByName(untouched_open).unionByName(fresh)

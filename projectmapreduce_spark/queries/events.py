@@ -334,3 +334,115 @@ def t10_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("max_island_events"),
         F.max("span_us").alias("max_island_span_us"),
     )
+
+
+@query(
+    "t11_gapfill_resample",
+    oracle="""
+WITH hb AS (
+  SELECT user_id, date_trunc('hour', ts::TIMESTAMP) AS h, ts, value, event_id
+  FROM events WHERE ts IS NOT NULL
+),
+agg AS (
+  SELECT user_id, h, count(*)::BIGINT AS n_events FROM hb GROUP BY 1, 2
+),
+lastv AS (
+  SELECT user_id, h, value FROM (
+    SELECT user_id, h, value,
+           row_number() OVER (PARTITION BY user_id, h
+                              ORDER BY ts DESC, event_id DESC, value DESC) AS rn
+    FROM hb) WHERE rn = 1
+),
+bounds AS (
+  SELECT user_id, min(h) AS h0,
+         least(max(h), min(h) + INTERVAL 7 DAY) AS h1
+  FROM hb GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS grid_ts
+  FROM bounds
+),
+j AS (
+  SELECT g.user_id, g.grid_ts,
+         coalesce(a.n_events, 0)::BIGINT AS n_events, l.value AS v
+  FROM grid g
+  LEFT JOIN agg  a ON a.user_id = g.user_id AND a.h = g.grid_ts
+  LEFT JOIN lastv l ON l.user_id = g.user_id AND l.h = g.grid_ts
+)
+SELECT user_id, grid_ts, n_events,
+       round(last_value(v IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY grid_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS filled_value
+FROM j
+""",
+    survey="T11,W5,F2",
+    category="events",
+)
+def t11_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: gap-filling resample — regularize each user's irregular
+    event stream onto an hourly grid with forward-filled state (the
+    time-series `resample().ffill()` every monitoring / feature-store
+    pipeline runs before joining signals of different cadences).
+    Empty hours appear with n_events = 0 and the LAST observed value
+    carried forward; hours before a user's first observation stay
+    null.
+
+    Shape: one (user, hour) hash aggregate (count + deterministic
+    last-by-(ts, event_id, value) via a per-bucket row_number), a
+    per-user in-row `sequence()` grid explosion bounded by the user's
+    own [min, min + 7 days] hour span (the horizon clamp is the output
+    budget: grid rows = users × horizon hours regardless of stream
+    length or event volume — unclamped, a year-long stream emits 8.7k
+    rows per user), a left join back, and ONE window per
+    user for the forward fill (`last(ignorenulls)` — state is a single
+    value per partition, never the column).  Grid rows are
+    output-bytes-bound: horizon-hours × users, independent of event
+    volume, so a 100 TB event store resamples to a grid whose size
+    tracks the HORIZON, not the input.  Null user_id groups survive
+    consistently on both engines (grouped together, joined by equality
+    → never matched — same null-join semantics both sides)."""
+    ev = (
+        scan(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "value", "event_id", F.date_trunc("hour", "ts").alias("h"))
+    )
+    wb = Window.partitionBy("user_id", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc(), F.col("value").desc()
+    )
+    hourly = (
+        ev.select("user_id", "h", "ts", "value", "event_id",
+                  F.row_number().over(wb).alias("rn"))
+        .groupBy("user_id", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("v"),
+        )
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("h").alias("h0"),
+            F.least(
+                F.max("h"), F.min("h") + F.expr("INTERVAL 7 DAYS")
+            ).alias("h1"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("grid_ts"),
+        )
+    )
+    j = grid.join(hourly, (grid.user_id == hourly.user_id) & (grid.grid_ts == hourly.h), "left").select(
+        grid.user_id, "grid_ts",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "v",
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id", "grid_ts", "n_events",
+        dround(F.last("v", ignorenulls=True).over(wf), 2).alias("filled_value"),
+    )

@@ -777,3 +777,102 @@ def s18_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("o_totalprice").alias("total_price"),
         )
     )
+
+
+@query(
+    "s19_scd2_pit_join",
+    oracle="""
+WITH hist AS (
+  -- v0: everyone, closed at the earliest update that touches the key
+  SELECT c_custkey, c_acctbal,
+         DATE '1995-01-01' AS valid_from,
+         CASE WHEN c_custkey % 7 = 0 THEN DATE '1997-01-01'
+              WHEN c_custkey % 3 = 0 THEN DATE '1999-01-01'
+              ELSE DATE '9999-12-31' END AS valid_to
+  FROM customer
+  UNION ALL
+  -- v1 (batch 1, eff 1997): +500, closed at batch 2 if also %3
+  SELECT c_custkey, c_acctbal + 500,
+         DATE '1997-01-01',
+         CASE WHEN c_custkey % 3 = 0 THEN DATE '1999-01-01'
+              ELSE DATE '9999-12-31' END
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  -- v2 (batch 2, eff 1999): current-at-1999 minus 200
+  SELECT c_custkey,
+         (CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 500 ELSE c_acctbal END) - 200,
+         DATE '1999-01-01', DATE '9999-12-31'
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT year(valid_from)::BIGINT AS era,
+       count(*)::BIGINT AS n_orders,
+       round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS total_price,
+       round(sum(CAST(round(c_acctbal, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS bal_sum
+FROM orders o JOIN hist h
+  ON o.o_custkey = h.c_custkey
+ AND o.o_orderdate >= h.valid_from
+ AND o.o_orderdate <  h.valid_to
+GROUP BY 1 ORDER BY 1
+""",
+    survey="S19,S11,J9,F2",
+    category="io",
+)
+def s19_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19: SCD Type-2 dimension history + point-in-time join — the
+    warehouse pattern for "what did the dimension say WHEN the fact
+    happened": every attribute change becomes a new version row with a
+    [valid_from, valid_to) interval (``io.scd2_apply`` folds update
+    batches: close the open row, append the new version, never rewrite
+    history), and facts join the version VALID AT their own date, not
+    today's.
+
+    Two deterministic update batches (keys %7 at 1997, %3 at 1999 —
+    overlapping on %21 keys, so v1 rows must close correctly too) fold
+    into a history that is PERSISTED and read back (the dim survives
+    as a table, like s11's lake); orders then temporal-join on
+    (key, o_orderdate ∈ [valid_from, valid_to)) and aggregate per
+    version era.  Scale: each scd2_apply batch costs one key semi/anti
+    join against the (small) batch — AQE broadcasts it, the history
+    never shuffles; the point-in-time join is an equi-join on the key
+    with the interval predicate as a residual filter (versions per key
+    are few), the standard SCD2 plan — never an interval cross join.
+    The oracle reconstructs the same history arithmetically (CASE over
+    the two batch predicates) and keeps the textbook BETWEEN form."""
+    from projectmapreduce_spark.io import scd2_apply
+
+    cust = scan(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    high = F.lit("9999-12-31").cast("date")
+    hist0 = cust.withColumn("valid_from", F.lit("1995-01-01").cast("date")).withColumn(
+        "valid_to", high
+    )
+    b1 = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 500
+    )
+    hist1 = scd2_apply(hist0, b1, "c_custkey", "1997-01-01")
+    b2 = (
+        hist1.filter(F.col("valid_to") == high)
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", (F.col("c_acctbal") - 200).alias("c_acctbal"))
+    )
+    hist2 = scd2_apply(hist1, b2, "c_custkey", "1999-01-01")
+
+    dim_path = _p("s19_scd2_dim")
+    hist2.write.mode("overwrite").parquet(dim_path)
+    hist = spark.read.parquet(dim_path)
+
+    o = scan(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    joined = o.join(
+        hist,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("o_orderdate") < F.col("valid_to")),
+    )
+    return (
+        joined.groupBy(F.year("valid_from").cast("long").alias("era"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("total_price"),
+            money_sum("c_acctbal").alias("bal_sum"),
+        )
+        .orderBy("era")
+    )

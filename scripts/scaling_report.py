@@ -99,6 +99,22 @@ QUERY_SET = [
     "l11i_mp4_box_probe",
     "a13b_hll_register_union",
     "a11b_histogram_quantiles",
+    # round-6 batch 4: recursion (frontier-bound per level — depth
+    # grows with log10 of the key space, 4 levels at sf0.1 vs 6 at
+    # sf1, so the exponent prices both per-level overhead and the
+    # extra levels), the pipe surface (identical plan to classic SQL),
+    # RRF fusion (corpus-bound tf aggregate + capped candidate lists),
+    # and stats-manifest skipping (write is the 10×-linear part; the
+    # pruned read tracks the SELECTED key range)
+    "c22_recursive_hierarchy",
+    "c23_pipe_syntax",
+    "l33_rrf_fusion",
+    "s18_stats_file_skipping",
+    # round-6 batch 5: t11 (grid rows = users × clamped horizon — at
+    # 10× users the exponent prices the grid growing 10×) and s19
+    # (history folds + temporal probe, fact-bound)
+    "t11_gapfill_resample",
+    "s19_scd2_pit_join",
 ]
 
 

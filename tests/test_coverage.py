@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 168 operator rows across 13 categories
+# The full §2 inventory: 170 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -23,6 +23,7 @@ SURVEY_IDS = {
     "S16",  # round-2: malformed-record tolerance (dirty CSV ingest)
     "S17",  # round-6: dynamic partition pruning (runtime-pruned fact scan)
     "S18",  # round-6: min/max-stats file skipping (manifest-pruned reads)
+    "S19",  # round-6: SCD Type-2 history + point-in-time join
     # §2.2 projection / filter
     "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
     # §2.3 joins
@@ -59,6 +60,7 @@ SURVEY_IDS = {
     "T8",  # round-2: foreachBatch idempotent sink
     "T9",  # round-3: hierarchical rollup from mergeable hourly partials
     "T10",  # round-3: gaps-and-islands burst detection (manual islands surface)
+    "T11",  # round-6: gap-filling resample (hourly grid + forward fill)
     # §2.10 MR-heritage surface
     "M1", "M2", "M3", "M4", "M5", "M6", "M7", "M8",
     "M9",  # round-2: job counters

@@ -196,3 +196,47 @@ def test_s18_manifest_skips_files_without_changing_results(spark):
             .collect()[0]
         )
         assert (e["min"], e["max"], e["rows"]) == tuple(got)
+
+
+def test_scd2_history_invariants(spark):
+    """SCD2 correctness properties the aggregate oracle cannot see:
+    exactly one OPEN row per key, no overlapping intervals within a
+    key, contiguous coverage from the initial load to the high date,
+    and versions strictly ordered by valid_from."""
+    import datetime
+
+    from projectmapreduce_spark.io import scan, scd2_apply
+
+    cust = scan(spark, SF_CORRECT, "customer").select("c_custkey", "c_acctbal")
+    high = F.lit("9999-12-31").cast("date")
+    hist0 = cust.withColumn("valid_from", F.lit("1995-01-01").cast("date")).withColumn(
+        "valid_to", high
+    )
+    b1 = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 500
+    )
+    hist1 = scd2_apply(hist0, b1, "c_custkey", "1997-01-01")
+    b2 = (
+        hist1.filter(F.col("valid_to") == high)
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", (F.col("c_acctbal") - 200).alias("c_acctbal"))
+    )
+    hist2 = scd2_apply(hist1, b2, "c_custkey", "1999-01-01")
+
+    rows = hist2.collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["c_custkey"], []).append(r)
+    high_d = datetime.date(9999, 12, 31)
+    start_d = datetime.date(1995, 1, 1)
+    n_cust = cust.count()
+    assert len(by_key) == n_cust
+    for key, versions in by_key.items():
+        versions.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in versions if r["valid_to"] == high_d) == 1
+        assert versions[0]["valid_from"] == start_d
+        assert versions[-1]["valid_to"] == high_d
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]  # contiguous, non-overlapping
+        expected_n = 1 + (key % 7 == 0) + (key % 3 == 0)
+        assert len(versions) == expected_n, (key, versions)
