@@ -215,6 +215,11 @@ HEADLINE = [
     # persisted dim, and the temporal probe — priced end-to-end).
     "t11_gapfill_resample",
     "s19_scd2_pit_join",
+    # round-6 batch 6: the Python DataSource connector round-trip —
+    # prices the per-row Python decode surface (encode kernel + 8-way
+    # partition-per-file read), the honest cost of a pure-Python
+    # connector vs a JVM source.
+    "s20_python_datasource",
 ]
 
 

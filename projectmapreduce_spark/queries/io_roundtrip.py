@@ -876,3 +876,78 @@ def s19_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("era")
     )
+
+
+@query(
+    "s20_python_datasource",
+    oracle="""
+SELECT count(*)::BIGINT AS n_rows,
+       sum(s_suppkey)::BIGINT AS key_sum,
+       min(s_name) AS min_name,
+       max(s_name) AS max_name,
+       sum(s_nationkey::BIGINT)::BIGINT AS nation_sum,
+       round(sum(CAST(round(s_acctbal, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS total_bal
+FROM supplier
+""",
+    survey="S20,S4,X6",
+    category="io",
+)
+def s20_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20: connector extension surface — a custom FIXED-WIDTH text
+    source written entirely in Python against Spark 4's DataSource API
+    (``sources/fixed_width.py``), the mechanism for plugging formats
+    Spark lacks natively into ``spark.read.format(...)`` without JVM
+    code.  The source declares its schema, plans ONE InputPartition
+    per file (a directory of N files scans N-wide, like the built-in
+    file sources), and each partition streams its file line-by-line on
+    a worker.
+
+    Round-trip proof: supplier is encoded to fixed-width lines by an
+    Arrow kernel (hex fields — int64 as two's-complement hex, float64
+    as IEEE-754 bit hex so NaN/-0.0 survive, strings as padded UTF-8
+    hex so embedded newlines can never break line framing, NULL as a
+    'Z'-fill sentinel), written as 8 text files, read back through the
+    registered source, and aggregated — the result must hash-match
+    DuckDB over the ORIGINAL table, which checks schema declaration,
+    partition planning, and every field decoder.  The string width is
+    sized from the data (one metadata-scale max(length) scalar)."""
+    from projectmapreduce_spark.sources.fixed_width import encode_lines_fn, register
+
+    sup = scan(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        "s_acctbal",
+    )
+    w = (
+        sup.agg(F.max(F.length(F.encode(F.coalesce("s_name", F.lit("")), "utf-8"))))
+        .collect()[0][0]
+        or 1
+    ) * 2
+    spec = [("long", 0), ("string", w), ("long", 0), ("double", 0)]
+    path = _p("s20_fixedwidth")
+    (
+        sup.repartition(8)
+        .mapInArrow(encode_lines_fn(spec), "value string")
+        .write.mode("overwrite")
+        .text(path)
+    )
+    register(spark)
+    back = (
+        spark.read.format("pmr_fixedwidth")
+        .option("path", path)
+        .option("spec", f"long,string:{w},long,double")
+        .option(
+            "ddl",
+            "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double",
+        )
+        .load()
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("s_suppkey").alias("key_sum"),
+        F.min("s_name").alias("min_name"),
+        F.max("s_name").alias("max_name"),
+        F.sum("s_nationkey").alias("nation_sum"),
+        money_sum("s_acctbal").alias("total_bal"),
+    )

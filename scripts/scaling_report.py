@@ -115,6 +115,10 @@ QUERY_SET = [
     # (history folds + temporal probe, fact-bound)
     "t11_gapfill_resample",
     "s19_scd2_pit_join",
+    # round-6 batch 6: pure-Python connector round-trip (per-row
+    # encode/decode — linear by construction; the exponent verifies the
+    # partition-per-file planner adds no per-file driver overhead)
+    "s20_python_datasource",
 ]
 
 

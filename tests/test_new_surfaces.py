@@ -240,3 +240,69 @@ def test_scd2_history_invariants(spark):
             assert a["valid_to"] == b["valid_from"]  # contiguous, non-overlapping
         expected_n = 1 + (key % 7 == 0) + (key % 3 == 0)
         assert len(versions) == expected_n, (key, versions)
+
+
+def test_fixed_width_codec_edge_vectors():
+    """Field codecs must round-trip the values that break naive text
+    formats: NaN, -0.0, ±inf, negative longs (two's complement),
+    embedded newlines / unicode in strings, and NULLs in every type."""
+    import math
+
+    from projectmapreduce_spark.sources.fixed_width import (
+        decode_double,
+        decode_long,
+        decode_string,
+        encode_double,
+        encode_long,
+        encode_string,
+    )
+
+    for v in (0, 1, -1, 2**63 - 1, -(2**63), 42, None):
+        assert decode_long(encode_long(v)) == v
+    for v in (0.0, -0.0, 1.5, float("inf"), float("-inf"), 1e-310, None):
+        got = decode_double(encode_double(v))
+        assert got == v and (v is None or math.copysign(1, got) == math.copysign(1, v))
+    nan = decode_double(encode_double(float("nan")))
+    assert math.isnan(nan)
+    for v in ("", "plain", "line\nbreak", "ünïcode ♥", " pad  ", None):
+        w = 64
+        assert decode_string(encode_string(v, w)) == v
+
+
+def test_fixed_width_roundtrip_rowwise(spark):
+    """Beyond the declared query's aggregate hash: every ROW must
+    survive the connector round-trip, and the source must plan one
+    partition per file."""
+    from projectmapreduce_spark.io import scan, scratch_path
+    from projectmapreduce_spark.sources.fixed_width import FixedWidthReader
+
+    QUERIES["s20_python_datasource"](spark, SF_CORRECT).collect()
+    path = scratch_path("s20_fixedwidth")
+    sup = scan(spark, SF_CORRECT, "supplier").select(
+        "s_suppkey", "s_name", F.col("s_nationkey").cast("long").alias("s_nationkey"), "s_acctbal"
+    )
+    w = (
+        sup.agg(F.max(F.length(F.encode(F.coalesce("s_name", F.lit("")), "utf-8")))).collect()[0][0]
+        or 1
+    ) * 2
+    back = (
+        spark.read.format("pmr_fixedwidth")
+        .option("path", path)
+        .option("spec", f"long,string:{w},long,double")
+        .option("ddl", "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double")
+        .load()
+    )
+    a = sorted(tuple(r) for r in back.collect())
+    b = sorted(tuple(r) for r in sup.collect())
+    assert a == b
+
+    import pyspark.sql.types as T
+
+    reader = FixedWidthReader(
+        {"path": path, "spec": f"long,string:{w},long,double"},
+        T._parse_datatype_string("s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"),
+    )
+    import os
+
+    n_files = sum(1 for f in os.listdir(path) if f.endswith(".txt"))
+    assert len(reader.partitions()) == n_files == 8
