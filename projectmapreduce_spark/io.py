@@ -353,20 +353,29 @@ def scd2_apply(history: DataFrame, updates: DataFrame, key: str, eff_date: str) 
     ``updates``: attributes only (one row per changed key).  Cost per
     batch is one key equi-join against the batch (broadcastable when
     the batch is small — the typical case; AQE decides, never a forced
-    hint) plus the union — the base history is never shuffled.
+    hint) plus the union — the base history is never shuffled, and it
+    is referenced exactly ONCE in the output plan (a semi/anti/filter
+    three-way split would re-evaluate the history's lineage per
+    branch, which compounds across chained folds — callers folding
+    many batches should still checkpoint or persist between folds,
+    because each fold's UPDATE derivation may itself read the prior
+    history).
     """
     from pyspark.sql import functions as F
 
     high = F.lit("9999-12-31").cast("date")
     eff = F.lit(eff_date).cast("date")
-    upd_keys = updates.select(key)
+    marked = updates.select(key).withColumn("_pmr_upd", F.lit(True))
     is_open = F.col("valid_to") == high
-    closing = (
-        history.join(upd_keys, key, "left_semi")
-        .filter(is_open)
-        .withColumn("valid_to", eff)
+    carried = (
+        history.join(marked, key, "left")
+        .withColumn(
+            "valid_to",
+            F.when(is_open & F.col("_pmr_upd").isNotNull(), eff).otherwise(
+                F.col("valid_to")
+            ),
+        )
+        .drop("_pmr_upd")
     )
-    untouched_open = history.join(upd_keys, key, "left_anti").filter(is_open)
-    closed_before = history.filter(~is_open)
     fresh = updates.withColumn("valid_from", eff).withColumn("valid_to", high)
-    return closed_before.unionByName(closing).unionByName(untouched_open).unionByName(fresh)
+    return carried.unionByName(fresh)

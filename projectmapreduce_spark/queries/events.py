@@ -389,7 +389,8 @@ def t11_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     null.
 
     Shape: one (user, hour) hash aggregate (count + deterministic
-    last-by-(ts, event_id, value) via a per-bucket row_number), a
+    last-by-(ts, event_id, value) via max_by over the ordering struct —
+    map-side partials, no fact-table sort), a
     per-user in-row `sequence()` grid explosion bounded by the user's
     own [min, min + 7 days] hour span (the horizon clamp is the output
     budget: grid rows = users × horizon hours regardless of stream
@@ -407,17 +408,15 @@ def t11_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts").isNotNull())
         .select("user_id", "ts", "value", "event_id", F.date_trunc("hour", "ts").alias("h"))
     )
-    wb = Window.partitionBy("user_id", "h").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc(), F.col("value").desc()
-    )
-    hourly = (
-        ev.select("user_id", "h", "ts", "value", "event_id",
-                  F.row_number().over(wb).alias("rn"))
-        .groupBy("user_id", "h")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("v"),
-        )
+    # max_by over a (ts, event_id, value) struct == the oracle's
+    # row_number ORDER BY ts DESC, event_id DESC, value DESC pick:
+    # struct comparison treats null members as smallest, matching both
+    # engines' NULLS-LAST-under-DESC, and — unlike a window + rn — it
+    # is a plain hash aggregate with map-side partials (no full sort
+    # of the fact table, no raw-row shuffle).
+    hourly = ev.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("max_by(value, struct(ts, event_id, value))").alias("v"),
     )
     grid = (
         ev.groupBy("user_id")

@@ -769,7 +769,13 @@ def s18_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = build_stats_manifest(lake, "o_orderkey")
     lo, hi = (3 * span) // 8, (4 * span) // 8 - 1
     survivors = prune_manifest(manifest, lo, hi)
-    back = spark.read.parquet(*survivors)
+    if survivors:
+        back = spark.read.parquet(*survivors)
+    else:
+        # every file skipped (predicate outside the table's range) —
+        # skipping must produce the same EMPTY result, not a
+        # no-paths AnalysisException
+        back = o.filter(F.lit(False))
     return (
         back.filter(F.col("o_orderkey").between(lo, hi))
         .agg(

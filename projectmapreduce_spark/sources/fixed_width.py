@@ -95,8 +95,15 @@ class FixedWidthReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType):
         self.path = options["path"]
         # spec: comma-separated per-field "type" or "type:width" (strings)
+        parts = options["spec"].split(",")
+        if len(parts) != len(schema.fields):
+            raise ValueError(
+                f"spec has {len(parts)} fields but schema declares "
+                f"{len(schema.fields)} — a silent zip-truncation here would "
+                "surface as an opaque executor-side row/schema mismatch"
+            )
         self.spec = []
-        for part, field in zip(options["spec"].split(","), schema.fields):
+        for part, field in zip(parts, schema.fields):
             bits = part.split(":")
             t = bits[0]
             w = _field_width(t, int(bits[1]) if len(bits) > 1 else 0)
