@@ -220,6 +220,15 @@ HEADLINE = [
     # partition-per-file read), the honest cost of a pure-Python
     # connector vs a JVM source.
     "s20_python_datasource",
+    # round-6 batch 7: new function-family surfaces (collations, NTZ)
+    # plus the pivot-inverse and the Catalyst-inlined SQL UDF — all
+    # codegen-bound, priced like the f9-f12 families.  m9b stays OUT
+    # (precedent m9: counters surface, its cost is the lineitem scan
+    # already priced elsewhere).
+    "f13_collation_funcs",
+    "f14_timestamp_ntz",
+    "a10b_unpivot",
+    "x7_sql_udf",
 ]
 
 

@@ -790,3 +790,44 @@ def a15_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sxy - sx * sy / n) / F.sqrt((sx2 - sx * sx / n) * (sy2 - sy * sy / n)), 6
         ).alias("corr_qty_price"),
     )
+
+
+@query(
+    "a10b_unpivot",
+    oracle="""
+SELECT event_type,
+       sum(cnt)::BIGINT AS total,
+       count(*)::BIGINT AS n_users
+FROM (
+  SELECT user_id, event_type, count(*)::BIGINT AS cnt
+  FROM events
+  WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+  GROUP BY 1, 2
+)
+GROUP BY 1
+""",
+    survey="A10,U1",
+    category="aggregates",
+)
+def a10b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10's inverse surface: ``df.unpivot`` (melt) — columns back to
+    rows, the reshape every pivoted report needs before re-joining or
+    re-aggregating.  Pivot per-user event counts to 5 type columns,
+    unpivot back to (user, type, cnt) long form, drop the null cells
+    pivot manufactured (user × type combos with no events), and
+    re-aggregate per type — totals must equal the direct aggregate,
+    proving pivot→unpivot loses nothing but the manufactured nulls.
+    The type list is a fixed literal on BOTH sides (an open pivot
+    would drop unseen hostile-tier types from one side only).  Scale:
+    unpivot is a zero-shuffle in-row expansion (column count × rows),
+    the two aggregates are key-bounded."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = scan(spark, sf_dir, "events").filter(F.col("event_type").isin(types))
+    piv = ev.groupBy("user_id").pivot("event_type", types).count()
+    un = piv.unpivot("user_id", types, "event_type", "cnt").filter(
+        F.col("cnt").isNotNull()
+    )
+    return un.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_users"),
+    )

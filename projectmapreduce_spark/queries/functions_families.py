@@ -496,3 +496,82 @@ def f12_digest_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex("o_orderstatus").alias("status_hex"),
         F.md5(F.col("o_orderkey").cast("string")).alias("key_md5"),
     )
+
+
+@query(
+    "f13_collation_funcs",
+    oracle="""
+SELECT count(CASE WHEN lower(event_type) = lower('CLICK') THEN 1 END)::BIGINT AS n_click_ci,
+       count(CASE WHEN event_type = 'CLICK' THEN 1 END)::BIGINT AS n_click_cs,
+       count(CASE WHEN lower(event_type) >= 'signup' THEN 1 END)::BIGINT AS n_ge_ci,
+       min(lower(event_type)) AS first_type_ci
+FROM events
+""",
+    survey="F13,P2",
+    category="functions",
+)
+def f13_collation_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: string collations (Spark 4) — case-insensitive comparison
+    semantics declared on the EXPRESSION (``collate(col,
+    'UTF8_LCASE')``) instead of smeared through ``lower()`` calls:
+    equality, range predicates and (not shown: joins, GROUP BY) all
+    follow the collation.  The fixture types are lowercase, so the
+    case-insensitive literal 'CLICK' matches them all while the binary
+    comparison matches none — the two counts differing IS the
+    semantics under test.
+
+    Determinism contract: collated comparisons only ever feed
+    PREDICATES here; no collated VALUE reaches the output (a GROUP BY
+    under UTF8_LCASE surfaces an arbitrary-case representative — the
+    nondeterminism trap this query deliberately avoids; outputs
+    normalize via lower()).  Oracle re-expresses the collation as
+    lower()-compares, pinning that UTF8_LCASE equality == lowercase
+    equality for this data.  Collations evaluate inside codegen —
+    zero plan-shape cost vs the binary collation."""
+    ev = scan(spark, sf_dir, "events")
+    ci = F.collate(F.col("event_type"), "UTF8_LCASE")
+    return ev.agg(
+        F.count(F.when(ci == F.lit("CLICK"), 1)).alias("n_click_ci"),
+        F.count(F.when(F.col("event_type") == "CLICK", 1)).alias("n_click_cs"),
+        F.count(F.when(ci >= F.lit("signup"), 1)).alias("n_ge_ci"),
+        F.min(F.lower("event_type")).alias("first_type_ci"),
+    )
+
+
+@query(
+    "f14_timestamp_ntz",
+    oracle="""
+SELECT event_id,
+       ts::TIMESTAMP AS ntz,
+       date_trunc('day', ts::TIMESTAMP) AS ntz_day,
+       hour(ts::TIMESTAMP)::BIGINT AS ntz_hour,
+       (ts::TIMESTAMP + INTERVAL 90 MINUTE) AS ntz_plus,
+       make_timestamp(2024, 3, 7, 12, 30, 0) AS made_ntz
+FROM events WHERE event_id < 1000
+""",
+    survey="F14,F2",
+    category="functions",
+)
+def f14_timestamp_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: TIMESTAMP_NTZ family — the zone-LESS timestamp type (wall
+    time as stored, never shifted by the session timezone), Spark's
+    answer to "my pipeline broke when someone ran it from a different
+    TZ".  The driver deliberately opens the session in a hostile
+    non-UTC zone; ensure_session_conf repairs it for TimestampType,
+    but NTZ values are correct EVEN WITHOUT that repair — that
+    immunity is the type's point and this query's subject.  DuckDB's
+    plain TIMESTAMP is itself zone-less, so the oracle is the natural
+    direct re-expression (the tz-aware family F2 needs epoch_us
+    gymnastics instead).  Cast, truncation, field extraction, interval
+    arithmetic, and literal construction (make_timestamp_ntz) all stay
+    in codegen; zero shuffle."""
+    ev = scan(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    ntz = F.col("ts").cast("timestamp_ntz")
+    return ev.select(
+        "event_id",
+        ntz.alias("ntz"),
+        F.date_trunc("day", ntz).alias("ntz_day"),
+        F.hour(ntz).cast("long").alias("ntz_hour"),
+        (ntz + F.expr("INTERVAL 90 MINUTES")).alias("ntz_plus"),
+        F.expr("make_timestamp_ntz(2024, 3, 7, 12, 30, 0)").alias("made_ntz"),
+    )

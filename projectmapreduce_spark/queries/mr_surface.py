@@ -429,3 +429,59 @@ def m11b_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_triangles").alias("n_tri_sampled"),
         F.expr("n_triangles * 16777216 div 132651").alias("est_triangles"),
     )
+
+
+@query(
+    "m9b_observed_metrics",
+    oracle="""
+SELECT count(*)::BIGINT AS n_rows,
+       sum(l_quantity)::DOUBLE AS qty_sum,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       count(CASE WHEN l_returnflag = 'R' THEN 1 END)::BIGINT AS n_returned
+FROM lineitem
+""",
+    survey="M9",
+    category="mr",
+)
+def m9b_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 via the Observation API (``df.observe``): named metrics
+    collected DURING a pass as accumulator-backed observations —
+    Spark's structured replacement for MR Counters when the job's
+    primary output is something else and the counters must not cost a
+    second scan.  Unlike raw accumulators, observed metrics are
+    computed per-query-execution (exactly-once per successful action),
+    so retries can't double-count — the M9 correctness argument.
+
+    Determinism contract: only order-independent metrics (count,
+    min/max, sums of integral-valued doubles — l_quantity is whole
+    units, so double summation is exact regardless of partition
+    order); a float-valued sum would be last-ulp partition-order
+    noise.  The observed dict is re-surfaced as a 1-row DataFrame
+    (metadata-scale driver state, same class as the T8/S14 scalars)."""
+    from pyspark.sql import Observation
+
+    li = scan(spark, sf_dir, "lineitem")
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("qty_sum"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+    )
+    observed.count()  # one action populates the metrics
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                float(m["qty_sum"]),
+                float(m["min_price"]),
+                float(m["max_price"]),
+                m["n_returned"],
+            )
+        ],
+        "n_rows bigint, qty_sum double, min_price double, max_price double, n_returned bigint",
+    )

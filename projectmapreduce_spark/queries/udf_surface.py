@@ -282,3 +282,46 @@ def x6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = scan(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInArrow(counts, "doc_id long, n_chars_py long, n_tokens_py long")
+
+
+@query(
+    "x7_sql_udf",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))), 2)::DOUBLE AS disc_revenue,
+       count(*)::BIGINT AS n
+FROM lineitem
+GROUP BY 1
+""",
+    survey="X7,C4",
+    category="udf",
+)
+def x7_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDF (Spark 4 ``CREATE FUNCTION ... RETURN expr``) —
+    reusable scalar logic declared in SQL, not Python: the function
+    body is INLINED into the calling query's plan by Catalyst, so
+    unlike X1's Python UDF there is no serialization boundary, no
+    worker round-trip, and full codegen/pushdown through the call.
+    The discounted-price formula is defined once and used inside an
+    aggregate; the oracle inlines the identical expression — equality
+    proves the inlining is semantics-preserving under the money
+    contract (quantize inside the function, exact DECIMAL sum
+    outside)."""
+    scan(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION pmr_disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(20,4)
+        RETURN CAST(round(p * (1 - d), 4) AS DECIMAL(20,4))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(round(sum(pmr_disc_price(l_extendedprice, l_discount)), 2) AS DOUBLE)
+                 AS disc_revenue,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY 1
+        """
+    )

@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 171 operator rows across 13 categories
+# The full §2 inventory: 174 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -55,6 +55,8 @@ SURVEY_IDS = {
     "F10",  # round-2: bitwise function family
     "F11",  # round-3: URL parsing / canonicalization family
     "F12",  # round-3: digest/encoding family (md5, sha2, base64, hex)
+    "F13",  # round-6: string collations (UTF8_LCASE predicates)
+    "F14",  # round-6: TIMESTAMP_NTZ family (zone-less wall time)
     # §2.9 streaming-shaped (batch forms)
     "T1", "T2", "T3", "T4", "T5", "T6",
     "T7",  # round-2: stream-stream interval join
@@ -88,6 +90,7 @@ SURVEY_IDS = {
     "X1", "X2", "X3", "X4",
     "X5",  # round-2: cogroup
     "X6",  # round-2: mapInArrow batch surface
+    "X7",  # round-6: SQL-defined UDF (Catalyst-inlined function body)
     # §2.13 composite analytics
     "C1", "C2",
     "C3",  # round-2: large-order customers (TPC-H Q18 shape)
