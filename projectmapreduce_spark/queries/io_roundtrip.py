@@ -917,36 +917,20 @@ def s20_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB over the ORIGINAL table, which checks schema declaration,
     partition planning, and every field decoder.  The string width is
     sized from the data (one metadata-scale max(length) scalar)."""
-    from projectmapreduce_spark.sources.fixed_width import encode_lines_fn, register
+    from projectmapreduce_spark.sources.fixed_width import (
+        SUPPLIER_DDL,
+        register,
+        write_supplier_fixed_width,
+    )
 
-    sup = scan(spark, sf_dir, "supplier").select(
-        "s_suppkey",
-        "s_name",
-        F.col("s_nationkey").cast("long").alias("s_nationkey"),
-        "s_acctbal",
-    )
-    w = (
-        sup.agg(F.max(F.length(F.encode(F.coalesce("s_name", F.lit("")), "utf-8"))))
-        .collect()[0][0]
-        or 1
-    ) * 2
-    spec = [("long", 0), ("string", w), ("long", 0), ("double", 0)]
     path = _p("s20_fixedwidth")
-    (
-        sup.repartition(8)
-        .mapInArrow(encode_lines_fn(spec), "value string")
-        .write.mode("overwrite")
-        .text(path)
-    )
+    w = write_supplier_fixed_width(spark, sf_dir, path)
     register(spark)
     back = (
         spark.read.format("pmr_fixedwidth")
         .option("path", path)
         .option("spec", f"long,string:{w},long,double")
-        .option(
-            "ddl",
-            "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double",
-        )
+        .option("ddl", SUPPLIER_DDL)
         .load()
     )
     return back.agg(

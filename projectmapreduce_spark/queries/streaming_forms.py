@@ -18,7 +18,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projectmapreduce_spark.functions import dround
+from projectmapreduce_spark.functions import dround, money_sum
 from projectmapreduce_spark.queries.registry import query
 from projectmapreduce_spark.streaming import (
     dedup_within_watermark,
@@ -443,3 +443,58 @@ def t7o_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         return drained.filter(F.col("user_id") >= 0)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "s21_python_stream_source",
+    oracle="""
+SELECT s_nationkey::BIGINT AS s_nationkey,
+       count(*)::BIGINT AS n_suppliers,
+       round(sum(CAST(round(s_acctbal, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS total_bal
+FROM supplier GROUP BY 1
+""",
+    survey="S21,T1",
+    category="streaming",
+)
+def s21_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector via the Python DataSource API
+    (Spark 4): the fixed-width source (S20) read through
+    ``spark.readStream`` with offset management implemented in Python —
+    `initialOffset` / `latestOffset` / `partitions(start, end)` /
+    `commit`, offsets checkpointed by the engine so a restarted query
+    resumes exactly-once per file.  Each micro-batch plans one
+    InputPartition per newly-visible file and the partition reader is
+    the BATCH decoder verbatim — the batch/streaming parity Spark's own
+    file source has, for a connector Spark lacks.
+
+    The drain aggregates the streamed rows per nation (complete mode)
+    and must hash-match the batch aggregate over the ORIGINAL supplier
+    table — checking schema declaration, offset arithmetic, partition
+    planning, and every field decoder under the streaming engine.
+    Pacing note pinned by tests/test_new_surfaces.py: availableNow
+    snapshots the FIRST latestOffset, so the paced form
+    (filesPerTrigger) needs a processing-time trigger to advance —
+    the incremental multi-batch path is asserted there, batch-by-batch.
+    """
+    from projectmapreduce_spark.io import scratch_path
+    from projectmapreduce_spark.sources.fixed_width import (
+        SUPPLIER_DDL,
+        register,
+        write_supplier_fixed_width,
+    )
+
+    path = scratch_path("s21_stream_src")
+    w = write_supplier_fixed_width(spark, sf_dir, path)
+    register(spark)
+    stream = (
+        spark.readStream.format("pmr_fixedwidth")
+        .option("path", path)
+        .option("spec", f"long,string:{w},long,double")
+        .option("ddl", SUPPLIER_DDL)
+        .load()
+    )
+    agg = stream.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        money_sum("s_acctbal").alias("total_bal"),
+    )
+    return _drain(spark, agg, "complete")

@@ -32,7 +32,12 @@ import os
 import struct
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 FORMAT_NAME = "pmr_fixedwidth"
@@ -145,6 +150,9 @@ class FixedWidthDataSource(DataSource):
     def reader(self, schema: StructType) -> FixedWidthReader:
         return FixedWidthReader(self.options, schema)
 
+    def streamReader(self, schema: StructType) -> "FixedWidthStreamReader":
+        return FixedWidthStreamReader(self.options, schema)
+
 
 def register(spark) -> None:
     spark.dataSource.register(FixedWidthDataSource)
@@ -177,3 +185,82 @@ def encode_lines_fn(spec: list[tuple[str, int]]):
             yield pa.RecordBatch.from_arrays([pa.array(lines, pa.string())], names=["value"])
 
     return fn
+
+
+class FixedWidthStreamReader(DataSourceStreamReader):
+    """Streaming read of a fixed-width directory: the OFFSET is the
+    count of files consumed (files ordered by name — the writer's
+    part-file naming makes that the ingest order), each micro-batch
+    plans one InputPartition per newly-visible file, and `read` reuses
+    the batch decoder verbatim — the batch/streaming parity Spark's
+    own file source has, for a custom Python connector.
+
+    ``filesPerTrigger`` rate-limits how many files each call to
+    ``latestOffset`` exposes (the maxFilesPerTrigger analog; 0 =
+    everything at once).  Offsets are checkpointed by the engine; a
+    restarted query resumes from the committed file count, so replay
+    is exactly-once per file.
+    """
+
+    def __init__(self, options: dict, schema: StructType):
+        self._batch = FixedWidthReader(options, schema)
+        self._per_trigger = int(options.get("filesPerTrigger", "0"))
+
+    def _files(self) -> list[str]:
+        return [p.path for p in self._batch.partitions()]
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def latestOffset(self) -> dict:
+        n = len(self._files())
+        if self._per_trigger > 0:
+            cur = getattr(self, "_exposed", 0)
+            n = min(cur + self._per_trigger, n)
+        self._exposed = n
+        return {"n_files": n}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()
+        return [_FilePartition(p) for p in files[start["n_files"] : end["n_files"]]]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def write_supplier_fixed_width(spark, sf_dir: str, path: str, n_files: int = 8):
+    """Write the supplier table as ``n_files`` fixed-width text files
+    (shared by the s20 batch and s21 streaming round-trip queries and
+    their tests).  Returns the data-sized string hex width ``w``; the
+    read spec is ``f"long,string:{w},long,double"`` with ddl
+    ``s_suppkey bigint, s_name string, s_nationkey bigint,
+    s_acctbal double``."""
+    import pyspark.sql.functions as F
+
+    from projectmapreduce_spark.io import scan
+
+    sup = scan(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        "s_acctbal",
+    )
+    w = (
+        sup.agg(F.max(F.length(F.encode(F.coalesce("s_name", F.lit("")), "utf-8"))))
+        .collect()[0][0]
+        or 1
+    ) * 2
+    spec = [("long", 0), ("string", w), ("long", 0), ("double", 0)]
+    (
+        sup.repartition(n_files)
+        .mapInArrow(encode_lines_fn(spec), "value string")
+        .write.mode("overwrite")
+        .text(path)
+    )
+    return w
+
+
+SUPPLIER_DDL = "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"

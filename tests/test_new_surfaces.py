@@ -306,3 +306,78 @@ def test_fixed_width_roundtrip_rowwise(spark):
 
     n_files = sum(1 for f in os.listdir(path) if f.endswith(".txt"))
     assert len(reader.partitions()) == n_files == 8
+
+
+def test_stream_source_paced_offsets(spark, tmp_path):
+    """The paced streaming form (filesPerTrigger) must advance offsets
+    INCREMENTALLY across micro-batches under a processing-time trigger
+    (availableNow would snapshot the first latestOffset — the
+    interaction the s21 docstring documents), consume every file
+    exactly once, and converge to the batch aggregate."""
+    import ast
+    import time
+
+    from projectmapreduce_spark.io import scan, scratch_path
+    from projectmapreduce_spark.sources.fixed_width import (
+        SUPPLIER_DDL,
+        register,
+        write_supplier_fixed_width,
+    )
+
+    path = scratch_path("s21_paced_test")
+    w = write_supplier_fixed_width(spark, SF_CORRECT, path)
+    register(spark)
+    stream = (
+        spark.readStream.format("pmr_fixedwidth")
+        .option("path", path)
+        .option("spec", f"long,string:{w},long,double")
+        .option("filesPerTrigger", "2")
+        .option("ddl", SUPPLIER_DDL)
+        .load()
+    )
+    agg = stream.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("s_acctbal"), 2).alias("bal")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("s21_paced")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        done = False
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["sources"]:
+                # python streaming sources serialize offsets as dict repr
+                end = ast.literal_eval(p["sources"][0]["endOffset"] or "{}")
+                if end.get("n_files") == 8:
+                    done = True
+                    break
+            time.sleep(0.3)
+        assert done, "stream never exposed all 8 files"
+        q.processAllAvailable()
+        batches_with_rows = [
+            pr for pr in q.recentProgress if pr["numInputRows"] > 0
+        ]
+        assert len(batches_with_rows) >= 4, (
+            f"pacing should take >= 4 micro-batches for 8 files at 2/trigger, "
+            f"saw {len(batches_with_rows)}"
+        )
+        total_in = sum(pr["numInputRows"] for pr in q.recentProgress)
+        n_sup = scan(spark, SF_CORRECT, "supplier").count()
+        assert total_in == n_sup  # each file consumed exactly once
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.table("s21_paced").collect())
+    want = sorted(
+        tuple(r)
+        for r in scan(spark, SF_CORRECT, "supplier")
+        .groupBy(F.col("s_nationkey").cast("long").alias("s_nationkey"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("s_acctbal"), 2).alias("bal"))
+        .collect()
+    )
+    assert got == want
