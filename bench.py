@@ -229,6 +229,10 @@ HEADLINE = [
     "f14_timestamp_ntz",
     "a10b_unpivot",
     "x7_sql_udf",
+    # round-6 batch 8: the decorrelated LATERAL and parameterized-SQL
+    # surfaces (both plan to existing machinery; priced like c4)
+    "c24_lateral_topk",
+    "c25_parameterized_sql",
 ]
 
 

@@ -10,6 +10,8 @@ globally sorts the facts.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1323,4 +1325,82 @@ def c23_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY o_orderpriority
         |> ORDER BY o_orderpriority
         """
+    )
+
+
+@query(
+    "c24_lateral_topk",
+    oracle="""
+SELECT n.n_name, s.s_name, s.s_acctbal
+FROM nation n, LATERAL (
+  SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+  FROM supplier
+  WHERE s_nationkey = n.n_nationkey
+  ORDER BY s_acctbal DESC, s_name
+  LIMIT 2
+) s
+""",
+    survey="C24,O4,J1",
+    category="composite",
+)
+def c24_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24: correlated LATERAL subquery — the per-row derived table
+    (top-2 suppliers per nation), the SQL-standard alternative to O4's
+    window-rank idiom and the shape generators emit for per-entity
+    top-k.  Catalyst DECORRELATES the lateral into a ranked join (the
+    plan is the same window/limit machinery O4 uses — never a per-row
+    re-execution of the inner query), which is the property that makes
+    the surface usable at 100 TB: cost is one partitioned rank over
+    the inner table, not |outer| subquery runs.  Ties broken by name;
+    balances rounded inside the lateral so the rank boundary and the
+    output agree on both engines."""
+    scan(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    scan(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT n.n_name, s.s_name, s.s_acctbal
+        FROM nation n, LATERAL (
+          SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+          FROM supplier
+          WHERE s_nationkey = n.n_nationkey
+          ORDER BY s_acctbal DESC, s_name
+          LIMIT 2
+        ) s
+        """
+    )
+
+
+@query(
+    "c25_parameterized_sql",
+    oracle="""
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS total
+FROM orders
+WHERE o_totalprice > 150000 AND o_orderdate >= DATE '1996-06-01'
+GROUP BY 1
+""",
+    survey="C25,C4",
+    category="composite",
+)
+def c25_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25: parameterized SQL (``spark.sql(text, args=...)``) — named
+    placeholders bound server-side instead of string interpolation:
+    the anti-injection surface every SQL-facing service needs, and
+    binding happens at PARSE time so the literal reaches Catalyst as a
+    foldable constant (pushed to the scan like any literal — zero plan
+    cost vs inlining; parameterization changes safety, not the plan).
+    The oracle inlines the same values."""
+    scan(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))), 2) AS DOUBLE)
+                 AS total
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderdate >= :cutoff
+        GROUP BY 1
+        """,
+        args={"min_price": 150000, "cutoff": datetime.date(1996, 6, 1)},
     )

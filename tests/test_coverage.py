@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 175 operator rows across 13 categories
+# The full §2 inventory: 177 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -115,6 +115,8 @@ SURVEY_IDS = {
     "C21",  # round-5: correlated half-sum nested IN (TPC-H Q20 shape)
     "C22",  # round-6: recursive CTE hierarchy walk (WITH RECURSIVE, Spark 4)
     "C23",  # round-6: SQL pipe syntax surface (|>, Spark 4)
+    "C24",  # round-6: correlated LATERAL subquery (decorrelated per-row top-k)
+    "C25",  # round-6: parameterized SQL (server-side bound placeholders)
 }
 
 
