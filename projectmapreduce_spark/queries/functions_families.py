@@ -543,7 +543,7 @@ def f13_collation_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        ts::TIMESTAMP AS ntz,
-       date_trunc('day', ts::TIMESTAMP) AS ntz_day,
+       date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS ntz_day,
        hour(ts::TIMESTAMP)::BIGINT AS ntz_hour,
        (ts::TIMESTAMP + INTERVAL 90 MINUTE) AS ntz_plus,
        make_timestamp(2024, 3, 7, 12, 30, 0) AS made_ntz
