@@ -308,33 +308,97 @@ def build_stats_manifest(root: str, column: str) -> list[dict]:
     files structure, and real table formats maintain it incrementally
     at commit time instead of rebuilding.
     """
-    import pyarrow.parquet as pq
-
     entries: list[dict] = []
     for dirpath, _dirs, files in os.walk(root):
         for f in sorted(files):
             if not f.endswith(".parquet") or f.startswith("_"):
                 continue
             path = os.path.join(dirpath, f)
-            meta = pq.ParquetFile(path).metadata
-            idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}[column]
-            lo = hi = None
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    # a file without stats can never be skipped
-                    lo, hi = None, None
-                    break
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-            entries.append({"path": path, "min": lo, "max": hi, "rows": meta.num_rows})
+            entries.append(_file_stats_entry(path, column))
     return entries
+
+
+# Stats value types prune_manifest can compare faithfully against a
+# caller's lo/hi.  Binary columns surface bytes and DECIMAL may surface
+# UNSCALED ints from the footer — comparing those against logical
+# values would skip the wrong files, so such stats are dropped (file
+# conservatively kept) rather than trusted.
+_COMPARABLE_STATS_TYPES = (int, float, str)
+
+
+def _file_stats_entry(path: str, column: str) -> dict:
+    """(path, min, max, rows) for one parquet file, footer-only.
+    Shared by the driver-side walk and the distributed Spark build so
+    the two manifests are entry-identical by construction."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}[column]
+    ok_types = _COMPARABLE_STATS_TYPES + (datetime.date, datetime.datetime)
+    lo = hi = None
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(idx).statistics
+        if (
+            st is None
+            or not st.has_min_max
+            or not isinstance(st.min, ok_types)
+            or not isinstance(st.max, ok_types)
+            # bool is an int subclass but min/max pruning on a bool
+            # column is meaningless; drop rather than surprise.
+            or isinstance(st.min, bool)
+        ):
+            # a file without (trustworthy) stats can never be skipped
+            lo, hi = None, None
+            break
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return {"path": path, "min": lo, "max": hi, "rows": meta.num_rows}
+
+
+def build_stats_manifest_distributed(
+    spark: SparkSession, root: str, column: str
+) -> list[dict]:
+    """The 100-TB form of :func:`build_stats_manifest`: the footer reads
+    run as a SPARK JOB — the file list is parallelized and each task
+    reads only parquet footers (no data pages), exactly the shape a
+    real lakehouse manifest build has (one metadata read per task; the
+    output is the same few-KB-per-1000-files structure Delta/Iceberg
+    persist).  Entry-identical to the driver-side walk by construction:
+    both call ``_file_stats_entry`` per file (pinned in
+    tests/test_new_surfaces.py::test_distributed_manifest_matches_walk).
+
+    mapPartitions over a plain file list, not ``format("binaryFile")``:
+    binaryFile would ship the whole file to the executor just to read its
+    footer — the opposite of metadata-scale.
+    """
+    paths: list[str] = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in sorted(files):
+            if f.endswith(".parquet") and not f.startswith("_"):
+                paths.append(os.path.join(dirpath, f))
+    if not paths:
+        return []
+    sc = spark.sparkContext
+    n_slices = min(len(paths), sc.defaultParallelism)
+
+    def _part(it):
+        for p in it:
+            yield _file_stats_entry(p, column)
+
+    out = sc.parallelize(sorted(paths), n_slices).mapPartitions(_part).collect()
+    return sorted(out, key=lambda e: e["path"])
 
 
 def prune_manifest(manifest: list[dict], lo, hi) -> list[str]:
     """File paths whose [min, max] range can intersect [lo, hi].  Files
     with absent stats are conservatively kept (skipping must never
-    change results, only cost)."""
+    change results, only cost).  The manifest builder already dropped
+    stats whose footer representation is not the logical value (binary
+    bytes, unscaled decimals — see ``_COMPARABLE_STATS_TYPES``), so
+    every comparison here is logical-value vs logical-value; callers
+    must pass lo/hi in the column's logical type."""
     return [
         e["path"]
         for e in manifest
@@ -365,7 +429,14 @@ def scd2_apply(history: DataFrame, updates: DataFrame, key: str, eff_date: str) 
 
     high = F.lit("9999-12-31").cast("date")
     eff = F.lit(eff_date).cast("date")
-    marked = updates.select(key).withColumn("_pmr_upd", F.lit(True))
+    # distinct() guards the batch contract (one row per changed key):
+    # a duplicated key in ``updates`` would otherwise fan out every
+    # existing history row for that key through the left join AND
+    # append two open versions — silent history corruption.  The
+    # distinct is over the key column only (metadata-scale) and makes
+    # the close-out side immune; the append side still reflects the
+    # caller's rows, so callers must still dedupe attribute conflicts.
+    marked = updates.select(key).distinct().withColumn("_pmr_upd", F.lit(True))
     is_open = F.col("valid_to") == high
     carried = (
         history.join(marked, key, "left")

@@ -557,9 +557,12 @@ def f14_timestamp_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
     time as stored, never shifted by the session timezone), Spark's
     answer to "my pipeline broke when someone ran it from a different
     TZ".  The driver deliberately opens the session in a hostile
-    non-UTC zone; ensure_session_conf repairs it for TimestampType,
-    but NTZ values are correct EVEN WITHOUT that repair — that
-    immunity is the type's point and this query's subject.  DuckDB's
+    non-UTC zone; ensure_session_conf repairs it to UTC.  Note the
+    CAST(timestamp AS timestamp_ntz) itself IS session-timezone
+    dependent — the wall values here round-trip because scan()
+    produced ``ts`` via the inverse NTZ→timestamp cast under the SAME
+    session zone (and the fixture range has no DST gaps); once a value
+    is NTZ, downstream arithmetic is zone-immune.  DuckDB's
     plain TIMESTAMP is itself zone-less, so the oracle is the natural
     direct re-expression (the tz-aware family F2 needs epoch_us
     gymnastics instead).  Cast, truncation, field extraction, interval

@@ -221,6 +221,15 @@ class FixedWidthStreamReader(DataSourceStreamReader):
         return {"n_files": n}
 
     def partitions(self, start: dict, end: dict):
+        # Checkpoint-restart safety: a restarted reader's pacing state
+        # (_exposed) restarts at 0, so a paced latestOffset could lag
+        # the COMMITTED start offset the engine hands back.  Clamp the
+        # pace to the restart point here (partitions() always sees the
+        # committed start), so the next latestOffset resumes FROM the
+        # checkpoint instead of replaying from zero — the exactly-once
+        # resume the class docstring promises.  Pinned by
+        # tests/test_streaming.py::test_s21_checkpoint_restart_resumes.
+        self._exposed = max(getattr(self, "_exposed", 0), start["n_files"])
         files = self._files()
         return [_FilePartition(p) for p in files[start["n_files"] : end["n_files"]]]
 
@@ -228,7 +237,10 @@ class FixedWidthStreamReader(DataSourceStreamReader):
         return self._batch.read(partition)
 
     def commit(self, end: dict) -> None:
-        pass
+        # Monotonic floor for the pacing state (belt to partitions()'s
+        # braces — commit may fire without a subsequent partitions call
+        # before the next latestOffset on some trigger cadences).
+        self._exposed = max(getattr(self, "_exposed", 0), end["n_files"])
 
 
 def write_supplier_fixed_width(spark, sf_dir: str, path: str, n_files: int = 8):
