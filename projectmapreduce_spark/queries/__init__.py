@@ -26,6 +26,18 @@ from projectmapreduce_spark.queries import (  # noqa: F401
     udf_surface,
     windows,
 )
-from projectmapreduce_spark.queries.registry import ORACLES, QUERIES
+from projectmapreduce_spark.queries.registry import META, ORACLES, QUERIES
 
-__all__ = ["QUERIES", "ORACLES"]
+__all__ = ["QUERIES", "ORACLES", "META"]
+
+
+def streaming_query_names() -> set[str]:
+    """Names of the streaming-drain queries (category == 'streaming').
+
+    The split exists because the two lanes have opposite cost shapes:
+    batch queries are ~1 s each at any tier, while each streaming drain
+    pays checkpoint + micro-batch scheduling overhead that grows with
+    data volume (minutes each at sf1).  Sweeping them as separate lanes
+    lets the full catalog fit a recorded at-volume pass per tier
+    (VERDICT r6 next-round #1)."""
+    return {n for n, m in META.items() if m["category"] == "streaming"}

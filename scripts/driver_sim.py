@@ -69,6 +69,17 @@ def main() -> int:
         "partition-count independence INCLUDING rows-only queries the "
         "oracle can't hash-check",
     )
+    ap.add_argument(
+        "--lane",
+        choices=("all", "batch", "streaming"),
+        default="all",
+        help="sweep lane: 'batch' excludes the streaming drains, "
+        "'streaming' runs only them.  The drains cost minutes each at "
+        "sf1 (checkpoint + micro-batch scheduling scales with volume) "
+        "while batch queries stay ~1s — running the lanes back-to-back "
+        "keeps the FULL catalog inside a recorded per-tier budget "
+        "instead of truncating mid-sweep",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -101,6 +112,12 @@ def main() -> int:
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     names = args.names or sorted(qs)
+    if args.lane != "all" and not args.names:
+        from projectmapreduce_spark.queries import streaming_query_names
+
+        drains = streaming_query_names()
+        names = [n for n in names if (n in drains) == (args.lane == "streaming")]
+        print(f"[lane] {args.lane}: {len(names)} queries")
     if args.sample and not args.names:
         import random
 
