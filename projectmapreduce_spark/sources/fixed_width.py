@@ -92,11 +92,38 @@ def decode_string(s: str):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    """A record range within one file.  ``start``/``n`` are RECORD
+    indices (records are fixed width, so byte offsets are exact:
+    ``start * (record_width + 1)``); ``n = -1`` means "to end of
+    file" — used by the streaming planner, which keys offsets on whole
+    files and must not care how large each file is."""
+
+    def __init__(self, path: str, start: int = 0, n: int = -1):
         self.path = path
+        self.start = start
+        self.n = n
 
 
 class FixedWidthReader(DataSourceReader):
+    """Batch reader.  Two decode paths over the same byte ranges:
+
+    - **vectorized** (default): each partition reads its aligned byte
+      range in one ``read()``, reshapes it as an (n_records, width)
+      uint8 matrix, and decodes every field with numpy kernels —
+      hex-nibble arithmetic for int64/float64 bit patterns, one
+      masked-flatten for strings — yielding ``pyarrow.RecordBatch``
+      directly (the Spark 4 DataSource API's Arrow fast path, same
+      idiom as the x6 mapInArrow surface).  No per-row Python runs.
+    - **rowwise** (``vectorized=false``): the didactic per-line
+      decoder the format docs describe, kept as the reference
+      implementation the vectorized path is tested against.
+
+    Files LARGER than ``splitSizeBytes`` are split into aligned
+    record-range partitions (record width is fixed — offsets are
+    exact), so one huge export file scans with full cluster
+    parallelism instead of 1-wide; small files stay one partition
+    each, exactly like Spark's native file sources."""
+
     def __init__(self, options: dict, schema: StructType):
         self.path = options["path"]
         # spec: comma-separated per-field "type" or "type:width" (strings)
@@ -113,15 +140,58 @@ class FixedWidthReader(DataSourceReader):
             t = bits[0]
             w = _field_width(t, int(bits[1]) if len(bits) > 1 else 0)
             self.spec.append((t, w))
+        self.names = [f.name for f in schema.fields]
+        self.vectorized = options.get("vectorized", "true").lower() == "true"
+        self.split_bytes = int(options.get("splitSizeBytes", str(32 << 20)))
+        self.record_width = sum(w for _, w in self.spec)
+        self.span = self.record_width + 1  # + newline
 
-    def partitions(self):
+    def list_files(self) -> list[str]:
         return [
-            _FilePartition(os.path.join(self.path, f))
+            os.path.join(self.path, f)
             for f in sorted(os.listdir(self.path))
             if f.endswith(".txt") and not f.startswith("_")
         ]
 
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+    def _n_records(self, path: str) -> int:
+        size = os.path.getsize(path)
+        # tolerate a missing trailing newline on the final record
+        return (size + 1) // self.span
+
+    def partitions(self):
+        out = []
+        per_split = max(1, self.split_bytes // self.span)
+        for path in self.list_files():
+            n = self._n_records(path)
+            if n * self.span <= self.split_bytes:
+                out.append(_FilePartition(path))
+                continue
+            for start in range(0, n, per_split):
+                out.append(_FilePartition(path, start, min(per_split, n - start)))
+        return out
+
+    def _read_range(self, partition: _FilePartition) -> tuple[bytes, int]:
+        """The partition's aligned byte blob + its record count,
+        newline-padded so length is always n * span."""
+        n_total = self._n_records(partition.path)
+        start = partition.start
+        n = n_total - start if partition.n < 0 else min(partition.n, n_total - start)
+        if n <= 0:
+            return b"", 0
+        with open(partition.path, "rb") as fh:
+            fh.seek(start * self.span)
+            blob = fh.read(n * self.span)
+        if len(blob) == n * self.span - 1:  # no newline after last record
+            blob += b"\n"
+        return blob, n
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        blob, n = self._read_range(partition)
+        if n == 0:
+            return
+        if self.vectorized:
+            yield _decode_batch_arrow(blob, n, self.span, self.spec, self.names)
+            return
         decoders = []
         off = 0
         for t, w in self.spec:
@@ -133,10 +203,83 @@ class FixedWidthReader(DataSourceReader):
             else:
                 decoders.append(lambda ln, lo=lo, hi=hi: decode_string(ln[lo:hi]))
             off = hi
-        with open(partition.path, encoding="ascii") as fh:
-            for line in fh:
-                line = line.rstrip("\n")
-                yield tuple(d(line) for d in decoders)
+        for i in range(n):
+            line = blob[i * self.span : (i + 1) * self.span - 1].decode("ascii")
+            yield tuple(d(line) for d in decoders)
+
+
+def _hex_nibbles(mat):
+    """uint8 matrix of ASCII hex chars → uint64 nibble values.
+    Lowercase hex only (both ``format(..., 'x')`` and ``bytes.hex()``
+    emit lowercase — the writer's contract)."""
+    import numpy as np
+
+    return np.where(mat >= 97, mat - 87, mat - 48).astype(np.uint64)
+
+
+def _hex_u64(mat):
+    """(n, 16) uint8 hex-char matrix → uint64 values (big-endian hex,
+    i.e. ``int(s, 16)``), fully vectorized."""
+    import numpy as np
+
+    nib = _hex_nibbles(mat)
+    u = np.zeros(len(mat), dtype=np.uint64)
+    for i in range(16):
+        u = (u << np.uint64(4)) | nib[:, i]
+    return u
+
+
+def _decode_batch_arrow(blob: bytes, n: int, span: int, spec, names):
+    """One partition's byte range → one ``pyarrow.RecordBatch``.
+    All decode arithmetic is numpy-vectorized; the only per-row work
+    anywhere is none at all — string data is extracted with a single
+    boolean masked-flatten and handed to Arrow as raw buffers."""
+    import numpy as np
+    import pyarrow as pa
+
+    mat = np.frombuffer(blob, dtype=np.uint8).reshape(n, span)
+    arrays = []
+    off = 0
+    Z = ord("Z")
+    for t, w in spec:
+        col = mat[:, off : off + w]
+        off += w
+        nulls = col[:, 0] == Z
+        any_null = bool(nulls.any())
+        mask = nulls if any_null else None
+        if t in ("bigint", "long"):
+            u = _hex_u64(np.where(nulls[:, None], ord("0"), col))
+            arrays.append(pa.array(u.view(np.int64), pa.int64(), mask=mask))
+        elif t == "double":
+            u = _hex_u64(np.where(nulls[:, None], ord("0"), col))
+            # int(hex, 16) IS the big-endian bit pattern; reinterpreting
+            # the uint64 value as float64 equals struct.unpack(">d")
+            arrays.append(pa.array(u.view(np.float64), pa.float64(), mask=mask))
+        else:
+            safe = np.where(nulls[:, None], ord(" "), col)
+            # hex length per row = count of non-pad chars (pad is ' ',
+            # which is never a hex digit); always even by construction
+            nbytes = (safe != ord(" ")).sum(axis=1) // 2
+            hi = _hex_nibbles(safe[:, 0::2])
+            lo = _hex_nibbles(safe[:, 1::2])
+            bytemat = (hi * np.uint64(16) + lo).astype(np.uint8)
+            keep = np.arange(w // 2)[None, :] < nbytes[:, None]
+            data = bytemat[keep].tobytes()
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(nbytes, out=offsets[1:])
+            validity = None
+            if any_null:
+                validity = pa.py_buffer(np.packbits(~nulls, bitorder="little").tobytes())
+            arrays.append(
+                pa.StringArray.from_buffers(
+                    n,
+                    pa.py_buffer(offsets.tobytes()),
+                    pa.py_buffer(data),
+                    validity,
+                    -1 if any_null else 0,
+                )
+            )
+    return pa.RecordBatch.from_arrays(arrays, names=list(names))
 
 
 class FixedWidthDataSource(DataSource):
@@ -221,26 +364,40 @@ class FixedWidthStreamReader(DataSourceStreamReader):
         return {"n_files": n}
 
     def partitions(self, start: dict, end: dict):
-        # Checkpoint-restart safety: a restarted reader's pacing state
-        # (_exposed) restarts at 0, so a paced latestOffset could lag
-        # the COMMITTED start offset the engine hands back.  Clamp the
-        # pace to the restart point here (partitions() always sees the
-        # committed start), so the next latestOffset resumes FROM the
-        # checkpoint instead of replaying from zero — the exactly-once
-        # resume the class docstring promises.  Pinned by
+        # Checkpoint-restart safety.  A restarted reader's pacing state
+        # (_exposed/_floor) restarts at 0, and the engine may call
+        # latestOffset BEFORE the reader has seen any committed
+        # position (it can even do so on a fresh query, before
+        # initialOffset) — so after a committed restart the first paced
+        # latestOffset can REGRESS behind the checkpoint (e.g. report 2
+        # while 4 files are committed).  Offsets are opaque JSON to the
+        # engine, so it simply plans batches from whatever it reports;
+        # a regressed report would make a later batch's [start, end)
+        # range cover files that were ALREADY committed before the
+        # restart.  The exactly-once guard therefore lives HERE, where
+        # the committed position is always visible: every start/commit
+        # the engine hands us raises a monotone _floor, and a
+        # partition range never re-emits files below it.  Net restart
+        # behavior: at most one empty micro-batch while the pace
+        # catches up, zero replayed files.  Pinned by
         # tests/test_streaming.py::test_s21_checkpoint_restart_resumes.
+        self._floor = max(getattr(self, "_floor", 0), start["n_files"])
         self._exposed = max(getattr(self, "_exposed", 0), start["n_files"])
         files = self._files()
-        return [_FilePartition(p) for p in files[start["n_files"] : end["n_files"]]]
+        lo = max(start["n_files"], self._floor)
+        hi = end["n_files"]
+        return [_FilePartition(p) for p in files[lo:hi]]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
         return self._batch.read(partition)
 
     def commit(self, end: dict) -> None:
-        # Monotonic floor for the pacing state (belt to partitions()'s
-        # braces — commit may fire without a subsequent partitions call
-        # before the next latestOffset on some trigger cadences).
+        # Monotonic floors for pacing and replay protection (belt to
+        # partitions()'s braces — commit may fire without a subsequent
+        # partitions call before the next latestOffset on some trigger
+        # cadences).
         self._exposed = max(getattr(self, "_exposed", 0), end["n_files"])
+        self._floor = max(getattr(self, "_floor", 0), end["n_files"])
 
 
 def write_supplier_fixed_width(spark, sf_dir: str, path: str, n_files: int = 8):

@@ -457,3 +457,134 @@ def test_stream_source_paced_offsets(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def _canon_row(row):
+    """Tuple with NaN made comparable (NaN != NaN breaks sorted-tuple
+    equality) and -0.0 distinguished from 0.0 (copysign)."""
+    import math
+
+    out = []
+    for v in row:
+        if isinstance(v, float):
+            if math.isnan(v):
+                out.append("NaN")
+            else:
+                out.append((v, math.copysign(1.0, v)))
+        else:
+            out.append(v)
+    return tuple(out)
+
+
+def _hostile_fixed_width_dir(spark, path):
+    """A fixed-width directory holding every value class that breaks
+    naive decoders: NULL in each type, NaN/-0.0/±inf/denormal doubles,
+    min/max int64, empty + newline + unicode strings."""
+    from pyspark.sql import types as T
+
+    from projectmapreduce_spark.sources.fixed_width import encode_lines_fn
+
+    rows = [
+        (1, "plain", 10, 1.5),
+        (2, None, -(2**63), float("nan")),
+        (3, "line\nbreak", 2**63 - 1, -0.0),
+        (4, "ünïcode ♥", None, float("inf")),
+        (5, "", 0, float("-inf")),
+        (6, " pad  ", -1, 5e-324),
+        (None, "nulls", 7, None),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("d", T.DoubleType()),
+        ]
+    )
+    w = max(len(s.encode("utf-8")) * 2 for _, s, _, _ in rows if s is not None)
+    spec = [("long", 0), ("string", w), ("long", 0), ("double", 0)]
+    df = spark.createDataFrame(rows, schema)
+    df.repartition(2).mapInArrow(encode_lines_fn(spec), "value string").write.mode(
+        "overwrite"
+    ).text(path)
+    return rows, w
+
+
+def test_fixed_width_vectorized_equals_rowwise(spark, tmp_path):
+    """The vectorized Arrow decode path must agree with the rowwise
+    reference decoder ROW-FOR-ROW on the hostile value classes —
+    NULL/NaN/-0.0/±inf/denormals/extreme int64/unicode/newlines —
+    and both must reproduce the source rows exactly."""
+    from projectmapreduce_spark.sources.fixed_width import register
+
+    register(spark)
+    path = str(tmp_path / "fw_hostile")
+    rows, w = _hostile_fixed_width_dir(spark, path)
+
+    def rd(vectorized):
+        return (
+            spark.read.format("pmr_fixedwidth")
+            .option("path", path)
+            .option("spec", f"long,string:{w},long,double")
+            .option("ddl", "k bigint, s string, v bigint, d double")
+            .option("vectorized", str(vectorized).lower())
+            .load()
+        )
+
+    vec = sorted((_canon_row(tuple(r)) for r in rd(True).collect()), key=repr)
+    row = sorted((_canon_row(tuple(r)) for r in rd(False).collect()), key=repr)
+    want = sorted((_canon_row(r) for r in rows), key=repr)
+    assert vec == row == want
+
+
+def test_fixed_width_byte_range_splits(spark, tmp_path):
+    """Files larger than splitSizeBytes must scan as MULTIPLE aligned
+    record-range partitions (one huge export file no longer reads
+    1-wide), with rows identical to the unsplit read — including a
+    split boundary that lands mid-file on both decode paths."""
+    import pyspark.sql.types as T
+
+    from projectmapreduce_spark.sources.fixed_width import FixedWidthReader, register
+
+    register(spark)
+    path = str(tmp_path / "fw_split")
+    rows, w = _hostile_fixed_width_dir(spark, path)
+    spec, ddl = f"long,string:{w},long,double", "k bigint, s string, v bigint, d double"
+    span = 16 + w + 16 + 16 + 1
+
+    schema = T._parse_datatype_string(ddl)
+    # 2 records per split: any file holding >2 of the 7 rows MUST split
+    reader = FixedWidthReader(
+        {"path": path, "spec": spec, "splitSizeBytes": str(2 * span)}, schema
+    )
+    parts = reader.partitions()
+    n_files = sum(1 for p in parts if p.start == 0)
+    assert n_files == 2 and len(parts) > n_files  # at least one file split
+    # ranges tile each file exactly: starts contiguous, no overlap
+    by_file = {}
+    for p in parts:
+        by_file.setdefault(p.path, []).append((p.start, p.n))
+    for fpath, ranges in by_file.items():
+        total = reader._n_records(fpath)
+        if ranges == [(0, -1)]:  # unsplit file: must genuinely be small
+            assert total <= 2
+            continue
+        ranges.sort()
+        pos = 0
+        for start, n in ranges:
+            assert start == pos and 0 < n <= 2
+            pos += n
+        assert pos == total  # ranges cover the whole file
+
+    want = sorted((_canon_row(r) for r in rows), key=repr)
+    for vectorized in ("true", "false"):
+        got = (
+            spark.read.format("pmr_fixedwidth")
+            .option("path", path)
+            .option("spec", spec)
+            .option("ddl", ddl)
+            .option("vectorized", vectorized)
+            .option("splitSizeBytes", str(2 * span))
+            .load()
+        )
+        assert sorted((_canon_row(tuple(r)) for r in got.collect()), key=repr) == want

@@ -332,3 +332,192 @@ def test_left_outer_stream_join_emits_outer_tail_across_batches(spark, tmp_path)
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _commit_ids(ckpt):
+    import os
+
+    d = os.path.join(ckpt, "commits")
+    if not os.path.isdir(d):
+        return []
+    return sorted(int(f) for f in os.listdir(d) if f.isdigit())
+
+
+def _stop_after_commits(q, ckpt, want, deadline_s=120):
+    """Poll the commit log and stop the query as soon as >= ``want``
+    micro-batches have committed — the 'kill a paced drain mid-stream'
+    half of the recovery tests."""
+    import time
+
+    deadline = time.time() + deadline_s
+    while time.time() < deadline:
+        if len(_commit_ids(ckpt)) >= want:
+            q.stop()
+            return
+        time.sleep(0.05)
+    q.stop()
+    raise AssertionError(f"never reached {want} committed batches")
+
+
+def test_t3r_checkpoint_restart_resumes(spark, tmp_path):
+    """Kill the paced session drain mid-stream (after >=3 committed
+    micro-batches, with session state live in the store) and RESTART it
+    from the same checkpoint.  Recovery must (1) continue batch ids
+    instead of resetting, (2) read every chunk file exactly once across
+    both runs (checkpoint source log is the ledger), and (3) restore
+    the session-window state so the final complete-mode result equals
+    the batch computation — sessions spanning the kill boundary merge
+    across the restart."""
+    import json
+    import os
+    import shutil
+
+    from projectmapreduce_spark.streaming import materialize_paced_replay
+
+    scratch = materialize_paced_replay(spark, SF_SMOKE, n_chunks=10)
+    import glob
+
+    n_chunk_files = len(glob.glob(f"{scratch}/events.parquet/*.parquet"))
+    assert n_chunk_files >= 8  # quantile-boundary collisions may merge a chunk
+    ckpt = str(tmp_path / "ckpt")
+    name = "t3r_restart_" + uuid.uuid4().hex[:8]
+
+    def start(trigger_kwargs):
+        stream = with_watermark(read_events_stream(spark, scratch))
+        return (
+            session_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    try:
+        q1 = start({"processingTime": "100 milliseconds"})
+        _stop_after_commits(q1, ckpt, 3)
+        run1_commits = _commit_ids(ckpt)
+        assert len(run1_commits) >= 3
+        # mid-stream: the source log must not yet cover all 10 chunks
+        src_dir = os.path.join(ckpt, "sources", "0")
+        read_so_far = len([f for f in os.listdir(src_dir) if f.isdigit()])
+        assert read_so_far < n_chunk_files, "run 1 already finished; nothing to recover"
+
+        q2 = start({"availableNow": True})
+        q2.awaitTermination()
+        run2_commits = _commit_ids(ckpt)
+        # batch ids CONTINUE (no reset to 0)
+        assert run2_commits[: len(run1_commits)] == run1_commits
+        assert run2_commits[-1] > run1_commits[-1]
+
+        # exactly-once file accounting from the file-source metadata
+        # log.  Per-batch logs list each batch's NEW files; every
+        # compactInterval-th batch is written as '<id>.compact', a full
+        # snapshot that REPEATS earlier entries — so the disjointness
+        # check runs over the per-batch logs, and the completeness
+        # check over the union of both kinds.
+        def entries(fname):
+            out = []
+            with open(os.path.join(src_dir, fname)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line.startswith("["):
+                        out += [e["path"] for e in json.loads(line)]
+                    elif line.startswith("{"):
+                        out.append(json.loads(line)["path"])
+            return out
+
+        per_batch = [
+            entries(f) for f in os.listdir(src_dir) if f.isdigit()
+        ]
+        flat = [p for batch in per_batch for p in batch]
+        assert len(flat) == len(set(flat)), "a file appears in two micro-batches"
+        snapshots = [
+            entries(f)
+            for f in os.listdir(src_dir)
+            if f.endswith(".compact")
+        ]
+        union = set(flat) | {p for snap in snapshots for p in snap}
+        assert len(union) == n_chunk_files
+
+        got = {tuple(r) for r in spark.table(name).collect()}
+        ev = scan(spark, SF_SMOKE, "events")
+        exp = {
+            tuple(r)
+            for r in ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                "n_events",
+            )
+            .collect()
+        }
+        assert got == exp
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_s21_checkpoint_restart_resumes(spark, tmp_path):
+    """The Python streaming DataSource under kill-and-restart: stop the
+    paced fixed-width stream after >=2 committed batches, restart from
+    the same checkpoint, and prove exactly-once END-TO-END by sinking
+    RAW rows to the (manifest-deduplicated) file sink — a replayed
+    already-committed file would surface as duplicate rows, a skipped
+    one as missing rows.  Also pins that the restarted reader's paced
+    latestOffset cannot corrupt the run even though its pacing state
+    restarts cold (the _floor guard in partitions())."""
+    from projectmapreduce_spark.io import scan
+    from projectmapreduce_spark.sources.fixed_width import (
+        SUPPLIER_DDL,
+        register,
+        write_supplier_fixed_width,
+    )
+
+    src = str(tmp_path / "fw_src")
+    out = str(tmp_path / "fw_out")
+    ckpt = str(tmp_path / "ckpt")
+    w = write_supplier_fixed_width(spark, SF_SMOKE, src, n_files=12)
+    register(spark)
+
+    def start():
+        stream = (
+            spark.readStream.format("pmr_fixedwidth")
+            .option("path", src)
+            .option("spec", f"long,string:{w},long,double")
+            .option("filesPerTrigger", "2")
+            .option("ddl", SUPPLIER_DDL)
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+
+    q1 = start()
+    _stop_after_commits(q1, ckpt, 2)
+    run1_commits = _commit_ids(ckpt)
+    assert len(run1_commits) >= 2
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    run2_commits = _commit_ids(ckpt)
+    assert run2_commits[: len(run1_commits)] == run1_commits  # ids continue
+
+    sup = scan(spark, SF_SMOKE, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        "s_acctbal",
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in sup.collect())
+    assert got == want  # every supplier row exactly once across the restart
