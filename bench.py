@@ -220,6 +220,7 @@ HEADLINE = [
     # partition-per-file read), the honest cost of a pure-Python
     # connector vs a JVM source.
     "s20_python_datasource",
+    "s22_cbo_join_reorder",
     # round-6 batch 7: new function-family surfaces (collations, NTZ)
     # plus the pivot-inverse and the Catalyst-inlined SQL UDF — all
     # codegen-bound, priced like the f9-f12 families.  m9b stays OUT

@@ -207,6 +207,27 @@ def overwrite_partitions(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def _reset_managed_location(spark: SparkSession, table: str) -> None:
+    """Idempotence across SESSIONS: the in-memory catalog dies with the
+    session but a managed table's warehouse directory does not, and
+    saveAsTable refuses to create over an existing location it has no
+    catalog entry for (LOCATION_ALREADY_EXISTS).  Drop any catalog
+    entry, then clear the orphaned location if one survives."""
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def sink_managed(df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    """Plain managed parquet table (saveAsTable) with the same
+    cross-session idempotence as :func:`sink_bucketed` — the persisted
+    form ANALYZE TABLE statistics attach to (S22's CBO lane)."""
+    _reset_managed_location(df.sparkSession, table)
+    df.write.mode(mode).format("parquet").saveAsTable(table)
+
+
 def sink_bucketed(
     df: DataFrame,
     table: str,
@@ -223,17 +244,8 @@ def sink_bucketed(
     to a zero-sort merge.  Worth one up-front shuffle when a fact table
     is joined on the same key by many downstream queries.
     """
-    # Idempotence across SESSIONS: the in-memory catalog dies with the
-    # session but the managed table's warehouse directory does not, and
-    # saveAsTable refuses to create over an existing location it has no
-    # catalog entry for (LOCATION_ALREADY_EXISTS).  Drop any catalog
-    # entry, then clear the orphaned location if one survives.
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(wh.removeprefix("file:"), table.lower())
-    if os.path.isdir(loc):
-        shutil.rmtree(loc, ignore_errors=True)
+    _reset_managed_location(spark, table)
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

@@ -941,3 +941,85 @@ def s20_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s_nationkey").alias("nation_sum"),
         money_sum("s_acctbal").alias("total_bal"),
     )
+
+
+@query(
+    "s22_cbo_join_reorder",
+    oracle="""
+SELECT p_brand AS p_brand,
+       count(*)::BIGINT AS n_items,
+       round(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_nationkey < 5 AND s_acctbal > 1000
+GROUP BY 1
+""",
+    survey="S22,J10",
+    category="io",
+)
+def s22_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S22: cost-based-optimizer statistics driving JOIN REORDERING —
+    the last §4 optimizer lane (VERDICT r6 next-round #5).
+
+    Three catalog tables are persisted and ANALYZEd (table stats +
+    column stats on the join/filter keys); the query is then written in
+    a deliberately SUBOPTIMAL order — fact ⋈ big-dim (part, no
+    filter, ~1:1) first, selective small-dim (supplier filtered to one
+    nation + balance floor) last.  With CBO + stats, Catalyst's
+    CostBasedJoinReorder flips the order to fact ⋈ supplier ⋈ part,
+    shrinking the intermediate by the supplier filter's selectivity
+    BEFORE the wide part join; without stats (or with CBO off) the
+    written left-deep order survives.  At 100 TB that reorder is the
+    difference between shuffling the full fact-part join and shuffling
+    ~2 % of it.  Both sides of the proof are pinned in
+    tests/test_plans.py::test_s22_cbo_join_reorder.
+
+    Conf scoping: CBO is enabled only while this query's optimized
+    plan is materialized (QueryExecution caches its optimizedPlan
+    lazily-once, so forcing it here freezes the REORDERED logical plan
+    into the returned DataFrame), then restored — the rest of the
+    declared catalog keeps its plans independent of execution order,
+    which tests/test_plan_catalog.py enforces."""
+    for t, cols in (
+        ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"]),
+        ("part", ["p_partkey", "p_brand"]),
+        ("supplier", ["s_suppkey", "s_nationkey", "s_acctbal"]),
+    ):
+        from projectmapreduce_spark.io import sink_managed
+
+        sink_managed(scan(spark, sf_dir, t).select(*cols), f"pmr_s22_{t}")
+        spark.sql(f"ANALYZE TABLE pmr_s22_{t} COMPUTE STATISTICS")
+    spark.sql(
+        "ANALYZE TABLE pmr_s22_lineitem COMPUTE STATISTICS FOR COLUMNS l_partkey, l_suppkey"
+    )
+    spark.sql("ANALYZE TABLE pmr_s22_part COMPUTE STATISTICS FOR COLUMNS p_partkey")
+    spark.sql(
+        "ANALYZE TABLE pmr_s22_supplier COMPUTE STATISTICS "
+        "FOR COLUMNS s_suppkey, s_nationkey, s_acctbal"
+    )
+
+    li = spark.table("pmr_s22_lineitem")
+    pt = spark.table("pmr_s22_part")
+    sup = spark.table("pmr_s22_supplier").filter(
+        (F.col("s_nationkey") < 5) & (F.col("s_acctbal") > 1000)
+    )
+    out = (
+        li.join(pt, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            money_sum("l_extendedprice").alias("revenue"),
+        )
+    )
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    prev_reorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        out._jdf.queryExecution().optimizedPlan()  # freeze the CBO plan
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", prev_reorder)
+    return out

@@ -119,6 +119,7 @@ QUERY_SET = [
     # encode/decode — linear by construction; the exponent verifies the
     # partition-per-file planner adds no per-file driver overhead)
     "s20_python_datasource",
+    "s22_cbo_join_reorder",
 ]
 
 

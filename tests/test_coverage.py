@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 177 operator rows across 13 categories
+# The full §2 inventory: 178 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -26,6 +26,7 @@ SURVEY_IDS = {
     "S19",  # round-6: SCD Type-2 history + point-in-time join
     "S20",  # round-6: Python DataSource connector (fixed-width reader)
     "S21",  # round-6: Python STREAMING DataSource (offset-managed connector)
+    "S22",  # round-7: CBO statistics-driven join reordering
     # §2.2 projection / filter
     "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
     # §2.3 joins
