@@ -221,6 +221,11 @@ HEADLINE = [
     # connector vs a JVM source.
     "s20_python_datasource",
     "s22_cbo_join_reorder",
+    "w10_pattern_detect",
+    "a16_kmv_distinct",
+    "l34_weighted_sample",
+    "l35_dataset_split",
+    "x8_polymorphic_udtf",
     # round-6 batch 7: new function-family surfaces (collations, NTZ)
     # plus the pivot-inverse and the Catalyst-inlined SQL UDF — all
     # codegen-bound, priced like the f9-f12 families.  m9b stays OUT

@@ -272,3 +272,72 @@ def histogram_quantiles(
         F.col("bkt").cast("long").alias("bkt"),
         F.round(est, 4).alias("est_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the theta-sketch family's
+# primitive.  Unlike HLL registers (a4b/a13b), KMV sketches support SET
+# ALGEBRA: the k smallest hashes of A ∪ B are computable from the two
+# sketches alone, and the fraction of them present in BOTH sketches
+# estimates Jaccard similarity — so intersection cardinalities (which
+# HLL fundamentally cannot give) fall out.  Engine-exact by
+# construction: the hash is the first 13 hex chars of md5() folded to a
+# 52-bit integer, identically expressible in Spark (conv base-16) and
+# DuckDB (list_reduce nibble fold), so every sketch value — and
+# therefore every estimate — hash-matches the oracle bit-for-bit.
+# ---------------------------------------------------------------------------
+
+KMV_DOMAIN = float(1 << 52)  # hash domain size; 2^52 is double-exact
+
+
+def md5_hash52(col: Column | str) -> Column:
+    """First 13 hex chars (52 bits) of ``md5(cast(col as string))`` as
+    a bigint.  13 nibbles keep the value ≤ 2^52, inside the range both
+    engines' integer AND double arithmetic represent exactly — the
+    property that makes KMV estimates cross-engine reproducible.
+    DuckDB twin::
+
+        list_reduce(list_transform(generate_series(1, 13),
+          i -> CASE WHEN ascii(substr(md5(x::VARCHAR), i, 1)) BETWEEN 48 AND 57
+               THEN ascii(substr(md5(x::VARCHAR), i, 1)) - 48
+               ELSE ascii(substr(md5(x::VARCHAR), i, 1)) - 87 END::BIGINT),
+          (acc, n) -> acc * 16 + n)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 13), 16, 10).cast("bigint")
+
+
+def kmv_sketch(df: DataFrame, key_col: str, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest DISTINCT 52-bit hashes
+    of ``key_col`` (NULL keys excluded, mirroring count(DISTINCT)).
+
+    Scale shape: one distinct on (group, h) — the same shuffle an
+    exact count-distinct pays per group — then a per-group top-k via
+    window row_number, which AQE executes as a partial sort; the
+    sketch output is k rows per group regardless of input size, so
+    everything downstream (union/intersect/estimate) is
+    metadata-scale.  At 100 TB sketches are persisted per partition
+    and merged by exactly the union-top-k this module exposes."""
+    from pyspark.sql.window import Window
+
+    h = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, md5_hash52(key_col).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch: exact when
+    the group holds fewer than k distinct hashes, else the classic
+    (k-1) / U_(k) estimator with U_(k) = kth_min / 2^52."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_hashes"), F.max("h").alias("kth_min")
+    )
+    exact = F.col("n_hashes").cast("double")
+    est = F.lit(float(k - 1)) * F.lit(KMV_DOMAIN) / F.col("kth_min").cast("double")
+    return agg.withColumn(
+        "est", F.round(F.when(F.col("n_hashes") < k, exact).otherwise(est), 2)
+    )

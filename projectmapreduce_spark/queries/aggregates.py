@@ -831,3 +831,130 @@ def a10b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("total"),
         F.count(F.lit(1)).alias("n_users"),
     )
+
+
+_KMV_HASH_SQL = """list_reduce(list_transform(generate_series(1, 13),
+    i -> CASE WHEN ascii(substr(md5(o_custkey::VARCHAR), i, 1)) BETWEEN 48 AND 57
+              THEN ascii(substr(md5(o_custkey::VARCHAR), i, 1)) - 48
+              ELSE ascii(substr(md5(o_custkey::VARCHAR), i, 1)) - 87 END::BIGINT),
+    (acc, n) -> acc * 16 + n)"""
+
+
+@query(
+    "a16_kmv_distinct",
+    oracle=f"""
+WITH dh AS (
+  SELECT DISTINCT o_orderpriority AS grp, {_KMV_HASH_SQL} AS h
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+sk AS (
+  SELECT grp, h FROM dh
+  QUALIFY row_number() OVER (PARTITION BY grp ORDER BY h) <= 64
+),
+per_grp AS (
+  SELECT grp,
+         count(*)::BIGINT AS n_hashes,
+         max(h)::BIGINT AS kth_min,
+         round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                    ELSE 63::DOUBLE * 4503599627370496::DOUBLE / max(h) END, 2) AS est
+  FROM sk GROUP BY grp
+),
+ab AS (
+  SELECT DISTINCT h FROM sk WHERE grp IN ('1-URGENT', '2-HIGH')
+),
+merged AS (
+  SELECT h FROM ab QUALIFY row_number() OVER (ORDER BY h) <= 64
+),
+inter AS (
+  SELECT count(*)::BIGINT AS k_eff,
+         max(h)::BIGINT AS kth_min,
+         count(*) FILTER (h IN (SELECT h FROM sk WHERE grp = '1-URGENT')
+                      AND h IN (SELECT h FROM sk WHERE grp = '2-HIGH'))::BIGINT AS overlap
+  FROM merged
+)
+SELECT grp, n_hashes, kth_min, est FROM per_grp
+UNION ALL
+SELECT 'URGENT&HIGH' AS grp,
+       overlap AS n_hashes,
+       kth_min,
+       round((overlap::DOUBLE / k_eff) *
+             (CASE WHEN k_eff < 64 THEN k_eff::DOUBLE
+                   ELSE 63::DOUBLE * 4503599627370496::DOUBLE / kth_min END), 2) AS est
+FROM inter
+""",
+    survey="A16",
+    category="agg",
+)
+def a16_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: KMV (k-minimum-values) distinct sketch WITH SET ALGEBRA —
+    the theta-sketch capability HLL fundamentally lacks: besides a
+    per-group distinct estimate, two sketches compose into an
+    INTERSECTION estimate (k smallest of the union, Jaccard from the
+    fraction present in both, intersection = J x union-estimate).
+    Per priority class the sketch of distinct customers is built and
+    estimated; the URGENT/HIGH pair is intersected.
+
+    Engine-exact like a4b/a13b: the hash is md5's first 13 hex chars
+    folded to a 52-bit bigint (operators/sketch.py::md5_hash52 — same
+    value via conv() in Spark and a list_reduce nibble fold in DuckDB),
+    so every sketch value, k-th minimum, and rounded estimate
+    hash-matches the oracle exactly; n < k groups degrade to exact
+    counts by construction.
+
+    Scale shape: one (group, hash) distinct — the shuffle an exact
+    count-distinct pays anyway — then everything is k-rows-per-group
+    metadata: the window top-k, the union, the semi-join overlap.  At
+    100 TB the sketches persist and merge without touching the data
+    again (the same persistence story as a13b's HLL registers, plus
+    intersections)."""
+    from projectmapreduce_spark.io import scratch_path
+    from projectmapreduce_spark.operators.sketch import (
+        KMV_DOMAIN,
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    k = 64
+    o = scan(spark, sf_dir, "orders")
+    sk = kmv_sketch(o, "o_custkey", ["o_orderpriority"], k=k).withColumnRenamed(
+        "o_orderpriority", "grp"
+    )
+    # Persist the sketches (a13b's pattern): ONE heavy (group, hash)
+    # distinct pass over the data, then every consumer — the per-group
+    # estimates AND the set algebra — reads the k-rows-per-group
+    # parquet back.  Without this, each of the sketch's downstream
+    # references would re-execute the full distinct.
+    path = scratch_path("a16_kmv_sketches")
+    sk.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+
+    per_grp = kmv_estimate(stored, ["grp"], k=k).select("grp", "n_hashes", "kth_min", "est")
+
+    # Set algebra over the stored sketches: collapse each sketch to a
+    # sorted array (<= k values, metadata-scale), combine A and B with
+    # array kernels — union top-k, overlap, intersection estimate.
+    arrs = (
+        stored.filter(F.col("grp").isin("1-URGENT", "2-HIGH"))
+        .groupBy("grp")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    )
+    ab = arrs.agg(
+        F.slice(
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("hs")))), 1, k
+        ).alias("m"),
+        F.max(F.when(F.col("grp") == "1-URGENT", F.col("hs"))).alias("a_hs"),
+        F.max(F.when(F.col("grp") == "2-HIGH", F.col("hs"))).alias("b_hs"),
+    )
+    k_eff = F.size("m")
+    kth = F.element_at("m", -1)
+    overlap = F.size(F.array_intersect(F.array_intersect("m", "a_hs"), "b_hs"))
+    union_est = F.when(k_eff < k, k_eff.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_DOMAIN) / kth.cast("double")
+    )
+    inter = ab.select(
+        F.lit("URGENT&HIGH").alias("grp"),
+        overlap.cast("long").alias("n_hashes"),
+        kth.alias("kth_min"),
+        F.round((overlap.cast("double") / k_eff) * union_est, 2).alias("est"),
+    )
+    return per_grp.unionByName(inter)

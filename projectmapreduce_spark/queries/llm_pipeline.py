@@ -2124,3 +2124,124 @@ def l33_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("fused_rank") <= 10)
     )
+
+
+@query(
+    "l34_weighted_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT source, doc_id,
+         round(
+           ln((list_reduce(list_transform(generate_series(1, 13),
+                 i -> CASE WHEN ascii(substr(md5(doc_id::VARCHAR), i, 1)) BETWEEN 48 AND 57
+                           THEN ascii(substr(md5(doc_id::VARCHAR), i, 1)) - 48
+                           ELSE ascii(substr(md5(doc_id::VARCHAR), i, 1)) - 87 END::BIGINT),
+                 (acc, n) -> acc * 16 + n) + 1)::DOUBLE
+              / 4503599627370497::DOUBLE)
+           / ln(1 + n_chars), 8) AS skey
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT source, doc_id, skey,
+       row_number() OVER (PARTITION BY source ORDER BY skey DESC, doc_id) AS rank
+FROM keyed
+QUALIFY rank <= 10
+ORDER BY source, rank
+""",
+    survey="L34",
+    category="llm",
+)
+def l34_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L34: DETERMINISTIC weighted sampling without replacement — the
+    Efraimidis–Spirakis reservoir (key = ln(u)/w, take the k largest)
+    with the uniform u drawn from a PSEUDO-RANDOM FUNCTION of the
+    row's own key instead of an RNG: u = (md5_52(doc_id)+1)/(2^52+1).
+    This is how a 100 TB curation pipeline takes a quality-weighted
+    subsample (w = ln(1+n_chars), longer docs proportionally likelier)
+    that is REPRODUCIBLE run-to-run, resumable, and auditable — the
+    E-S key construction gives exactly the weighted-without-replacement
+    distribution when u is uniform, and the PRF makes the draw a pure
+    function of the data.
+
+    Engine-exactness: the PRF is the same md5 nibble fold as A16
+    (bit-identical in both engines); ln() may differ in the last ulp
+    between libms, so the SORT KEY is rounded to 8 decimals with a
+    doc_id tiebreak — rank boundaries cannot drift on ulps (the same
+    discipline as l33's integer ranks).  Top-k per stratum is one
+    window over source — a per-group partial TakeOrdered under AQE, no
+    global sort; at 100 TB the stratum count is the parallelism and
+    the reservoir never materializes more than k rows per stratum
+    after the window filter."""
+    from projectmapreduce_spark.operators.sketch import md5_hash52
+
+    d = scan(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (md5_hash52("doc_id") + F.lit(1)).cast("double") / F.lit(float((1 << 52) + 1))
+    keyed = d.select(
+        "source",
+        "doc_id",
+        F.round(F.log(u) / F.log(F.lit(1) + F.col("n_chars")), 8).alias("skey"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("skey").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("source", "rank")
+    )
+
+
+@query(
+    "l35_dataset_split",
+    oracle="""
+WITH assigned AS (
+  SELECT source, n_chars, doc_id,
+         list_reduce(list_transform(generate_series(1, 13),
+             i -> CASE WHEN ascii(substr(md5(doc_id::VARCHAR), i, 1)) BETWEEN 48 AND 57
+                       THEN ascii(substr(md5(doc_id::VARCHAR), i, 1)) - 48
+                       ELSE ascii(substr(md5(doc_id::VARCHAR), i, 1)) - 87 END::BIGINT),
+             (acc, n) -> acc * 16 + n) % 100 AS r
+  FROM documents
+)
+SELECT CASE WHEN r < 96 THEN 'train' WHEN r < 98 THEN 'val' ELSE 'test' END AS split,
+       source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(doc_id)::BIGINT AS id_checksum
+FROM assigned
+GROUP BY 1, 2
+ORDER BY split, source
+""",
+    survey="L35",
+    category="llm",
+)
+def l35_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L35: deterministic train/val/test assignment — the split a
+    training pipeline must be able to RECOMPUTE years later from the
+    data alone: each document's split is a pure function of its key
+    (md5 PRF mod 100 → 96/2/2), so reshuffled storage, added shards,
+    or a rerun on different hardware can never move a document across
+    the contamination boundary.  This is the standard alternative to
+    randomSplit(), whose assignment depends on partition layout and
+    seed plumbing — exactly what a reproducibility audit rejects.
+
+    Per (split, source) the query emits counts, char volume, and an
+    id checksum, so downstream mixture weights (l15) and source caps
+    (l32) can be validated against the same frame.  One groupBy
+    shuffle; the PRF is the engine-exact A16 md5 fold, bit-identical
+    in the oracle."""
+    from projectmapreduce_spark.operators.sketch import md5_hash52
+
+    d = scan(spark, sf_dir, "documents")
+    r = md5_hash52("doc_id") % 100
+    split = (
+        F.when(r < 96, "train").when(r < 98, "val").otherwise("test").alias("split")
+    )
+    return (
+        d.select(split, "source", "n_chars", "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("split", "source")
+    )

@@ -325,3 +325,95 @@ def x7_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@query(
+    "x8_polymorphic_udtf",
+    oracle="""
+WITH b AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_totalprice < 0 THEN 0
+              WHEN o_totalprice >= 600000 THEN 9
+              ELSE floor((o_totalprice - 0) * 8 / (600000 - 0))::BIGINT + 1 END AS bucket
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+)
+SELECT o_orderpriority, bucket, count(*)::BIGINT AS n
+FROM b GROUP BY 1, 2
+ORDER BY o_orderpriority, bucket
+""",
+    survey="X8",
+    category="udf",
+)
+def x8_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: POLYMORPHIC Python UDTF (Spark 4): the ``analyze()`` static
+    method computes the output schema AT PLAN TIME from the call's
+    constant arguments — here the output's first column is NAMED after
+    the partition-key column passed in, and the histogram function is
+    invoked with a TABLE argument plus ``PARTITION BY``: each
+    partition's rows stream through one UDTF instance (eval per row,
+    terminate emits that partition's buckets).  This is the
+    table-function EXTENSION surface x4b's fixed-schema UDTF cannot
+    express: one registered function serving any table/column/bucket
+    spec, schema checked by the analyzer, not at runtime.
+
+    The bucket arithmetic ((v-lo)*nb/(hi-lo), clamped ends) is plain
+    IEEE and mirrored exactly in the oracle.  Python-row cost note:
+    per-row Python IS the priced surface here (as in s20's rowwise
+    path); the declarative 100 TB twin is the oracle's own CASE +
+    groupBy, and the partition-wise streaming shape (no per-group
+    collect, state = nb counters per instance) is what scales when the
+    logic genuinely needs Python."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class BucketCounts:
+        @staticmethod
+        def analyze(table, key, col, lo, hi, nb):
+            # plan-time polymorphism: output key column named after the
+            # ACTUAL partition column; validate against the table schema
+            names = [f.name for f in table.dataType.fields]
+            if key.value not in names or col.value not in names:
+                raise ValueError(f"bucket_counts: {key.value}/{col.value} not in {names}")
+            return AnalyzeResult(
+                schema=StructType(
+                    [
+                        StructField(key.value, StringType()),
+                        StructField("bucket", LongType()),
+                        StructField("n", LongType()),
+                    ]
+                )
+            )
+
+        def __init__(self):
+            self.counts: dict = {}
+            self.key = None
+
+        def eval(self, row, key, col, lo, hi, nb):
+            v = row[col]
+            self.key = row[key]
+            if v is None:
+                return
+            if v < lo:
+                b = 0
+            elif v >= hi:
+                b = nb + 1
+            else:
+                b = int((v - lo) * nb / (hi - lo)) + 1
+            self.counts[b] = self.counts.get(b, 0) + 1
+
+        def terminate(self):
+            for b in sorted(self.counts):
+                yield (self.key, b, self.counts[b])
+
+    spark.udtf.register("pmr_bucket_counts", udtf(BucketCounts))
+    scan(spark, sf_dir, "orders").createOrReplaceTempView("pmr_orders_x8")
+    return spark.sql(
+        """
+        SELECT * FROM pmr_bucket_counts(
+          TABLE(pmr_orders_x8) PARTITION BY (o_orderpriority),
+          'o_orderpriority', 'o_totalprice', 0.0D, 600000.0D, 8)
+        ORDER BY o_orderpriority, bucket
+        """
+    )

@@ -350,3 +350,135 @@ def w9_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("den") > 0)
         .select("user_id", "n_events", dround(F.col("num") / F.col("den"), 6).alias("twa"))
     )
+
+
+@query(
+    "w10_pattern_detect",
+    oracle="""
+WITH stepped AS (
+  SELECT user_id, event_id, ts, value,
+         lag(value) OVER w AS prev_value,
+         CASE WHEN value > lag(value) OVER w THEN 1
+              WHEN value < lag(value) OVER w THEN -1
+              ELSE 0 END AS dir,
+         row_number() OVER w AS rn
+  FROM events
+  WHERE user_id < 200
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+grouped AS (
+  SELECT user_id, event_id, value, prev_value, dir, rn,
+         rn - row_number() OVER (PARTITION BY user_id, dir ORDER BY rn) AS grp
+  FROM stepped
+  WHERE dir IS NOT NULL
+),
+runs AS (
+  SELECT user_id, dir, grp,
+         count(*) AS run_len,
+         min(rn) AS run_start_rn,
+         min_by(prev_value, rn) AS first_value,
+         max_by(value, rn) AS last_value,
+         max_by(event_id, rn) AS last_event_id
+  FROM grouped
+  GROUP BY user_id, dir, grp
+),
+paired AS (
+  SELECT user_id,
+         dir, run_len, last_value, last_event_id,
+         lag(dir)        OVER u AS prev_dir,
+         lag(run_len)    OVER u AS prev_len,
+         lag(first_value) OVER u AS prev_first,
+         lag(last_value) OVER u AS prev_last,
+         lag(last_event_id) OVER u AS trough_event_id
+  FROM runs
+  WINDOW u AS (PARTITION BY user_id ORDER BY run_start_rn)
+)
+SELECT user_id,
+       trough_event_id,
+       prev_len::BIGINT AS down_len,
+       run_len::BIGINT AS up_len,
+       round(prev_first - prev_last, 2) AS depth,
+       round(last_value - prev_last, 2) AS recovery
+FROM paired
+WHERE dir = 1 AND prev_dir = -1 AND run_len >= 2 AND prev_len >= 2
+ORDER BY user_id, trough_event_id
+""",
+    survey="W10",
+    category="window",
+)
+def w10_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: MATCH_RECOGNIZE-style row-pattern detection (the SQL:2016
+    feature Spark lacks) re-expressed Spark-first: find every "V" in a
+    user's event-value series — a run of >=2 strictly-down steps
+    immediately followed by >=2 strictly-up steps — reporting the
+    trough event, both run lengths, the drawdown depth (anchored at
+    the pre-run PEAK via the carried lag value) and the recovery
+    height.
+
+    Pattern machinery is the classic two-layer window composition:
+    (1) per-row step DIRECTION via lag, (2) gaps-islands run grouping
+    (rn minus per-direction rn), (3) run aggregation, (4) adjacent-run
+    pairing via lag over the per-user run sequence — i.e.
+    PATTERN (DOWN{2,} UP{2,}) DEFINE DOWN AS value < PREV(value) ...
+    compiled to three window passes + one aggregate.  Every ORDER BY
+    carries the (ts, event_id) PK so run boundaries are deterministic;
+    plateaus (equal consecutive values) form dir=0 runs that break
+    adjacency, making 'strictly' exact.
+
+    Scale: all windows partition by user_id (high cardinality, so AQE
+    sees many small groups); the run aggregate groups by
+    (user_id, dir, grp) — a refinement of the window partitioning —
+    and the final pairing re-partitions by user_id.  No global sort,
+    no collect; state per user is bounded by that user's event count,
+    same as every §2.5 window."""
+    e = scan(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    stepped = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.when(F.col("value") > F.lag("value").over(w), 1)
+        .when(F.col("value") < F.lag("value").over(w), -1)
+        .otherwise(0)
+        .alias("dir"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("dir").isNotNull())
+    wd = Window.partitionBy("user_id", "dir").orderBy("rn")
+    grouped = stepped.withColumn("grp", F.col("rn") - F.row_number().over(wd))
+    runs = grouped.groupBy("user_id", "dir", "grp").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("rn").alias("run_start_rn"),
+        F.min_by("prev_value", "rn").alias("first_value"),
+        F.max_by("value", "rn").alias("last_value"),
+        F.max_by("event_id", "rn").alias("last_event_id"),
+    )
+    u = Window.partitionBy("user_id").orderBy("run_start_rn")
+    paired = runs.select(
+        "user_id",
+        "dir",
+        "run_len",
+        "last_value",
+        F.lag("dir").over(u).alias("prev_dir"),
+        F.lag("run_len").over(u).alias("prev_len"),
+        F.lag("first_value").over(u).alias("prev_first"),
+        F.lag("last_value").over(u).alias("prev_last"),
+        F.lag("last_event_id").over(u).alias("trough_event_id"),
+    )
+    return (
+        paired.filter(
+            (F.col("dir") == 1)
+            & (F.col("prev_dir") == -1)
+            & (F.col("run_len") >= 2)
+            & (F.col("prev_len") >= 2)
+        )
+        .select(
+            "user_id",
+            "trough_event_id",
+            F.col("prev_len").alias("down_len"),
+            F.col("run_len").alias("up_len"),
+            dround(F.col("prev_first") - F.col("prev_last"), 2).alias("depth"),
+            dround(F.col("last_value") - F.col("prev_last"), 2).alias("recovery"),
+        )
+        .orderBy("user_id", "trough_event_id")
+    )

@@ -120,6 +120,11 @@ QUERY_SET = [
     # partition-per-file planner adds no per-file driver overhead)
     "s20_python_datasource",
     "s22_cbo_join_reorder",
+    "w10_pattern_detect",
+    "a16_kmv_distinct",
+    "l34_weighted_sample",
+    "l35_dataset_split",
+    "x8_polymorphic_udtf",
 ]
 
 

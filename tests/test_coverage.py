@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 178 operator rows across 13 categories
+# The full §2 inventory: 183 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -40,11 +40,13 @@ SURVEY_IDS = {
     "A13",  # round-2: persistable HLL sketch union
     "A14",  # round-2: incremental aggregate maintenance
     "A15",  # round-3: second moments (var/std/corr) under the exact-sum contract
+    "A16",  # round-7: KMV distinct sketch with set algebra (intersection)
     # §2.5 windows
     "W1", "W2", "W3", "W4", "W5", "W6",
     "W7",  # round-2: windowed distinct count
     "W8",  # round-2: per-key ordered-fold recurrence (EMA)
     "W9",  # round-2: time-weighted average
+    "W10",  # round-7: MATCH_RECOGNIZE-style row-pattern detection
     # §2.6 sort / limit / top-k
     "O1", "O2", "O3", "O4",
     "O5",  # round-2: deterministic k-per-group subsample
@@ -88,11 +90,14 @@ SURVEY_IDS = {
     "L31",  # round-2: bigram-LM surprisal quality score
     "L32",  # round-3: per-source document cap (deterministic downsample)
     "L33",  # round-6: hybrid-retrieval reciprocal-rank fusion (RRF)
+    "L34",  # round-7: deterministic weighted sampling (Efraimidis-Spirakis PRF)
+    "L35",  # round-7: deterministic train/val/test split (PRF mod)
     # §2.12 UDF surface
     "X1", "X2", "X3", "X4",
     "X5",  # round-2: cogroup
     "X6",  # round-2: mapInArrow batch surface
     "X7",  # round-6: SQL-defined UDF (Catalyst-inlined function body)
+    "X8",  # round-7: polymorphic Python UDTF (analyze + TABLE args)
     # §2.13 composite analytics
     "C1", "C2",
     "C3",  # round-2: large-order customers (TPC-H Q18 shape)

@@ -588,3 +588,153 @@ def test_fixed_width_byte_range_splits(spark, tmp_path):
             .load()
         )
         assert sorted((_canon_row(tuple(r)) for r in got.collect()), key=repr) == want
+
+
+def test_w10_pattern_on_constructed_series(spark, tmp_path):
+    """w10's pattern semantics on a hand-built series where the answer
+    is known by inspection: one clean V, one W (two Vs), a plateau
+    that must BREAK adjacency (strictness), and a too-short dip that
+    must not match."""
+    import datetime
+
+    rows = []
+
+    def add(user, vals):
+        for i, v in enumerate(vals):
+            rows.append(
+                (
+                    len(rows),
+                    datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i),
+                    user,
+                    "view",
+                    float(v),
+                    "{}",
+                )
+            )
+
+    add(1, [5, 4, 3, 4, 5])          # clean V: down 2, up 2
+    add(2, [5, 4, 3, 4, 3, 2, 3, 4])  # W: second V qualifies, first up-run len 1
+    add(3, [5, 4, 4, 3, 4, 5])       # plateau splits the down-run: no V
+    add(4, [5, 4, 5, 6])             # dip of 1: no V
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["w10_pattern_detect"](spark, str(tmp_path)).collect()
+    got = [(r.user_id, r.down_len, r.up_len, r.depth, r.recovery) for r in out]
+    assert got == [(1, 2, 2, 2.0, 2.0), (2, 2, 2, 2.0, 2.0)]
+    # user 2's match is the SECOND trough (value 2)
+    assert len([r for r in out if r.user_id == 2]) == 1
+
+
+def test_a16_kmv_estimates_are_accurate(spark):
+    """The sketch must estimate within KMV's theoretical error band
+    (rel std err ~ 1/sqrt(k-1) ≈ 12.6% at k=64; assert 3 sigma) and
+    degrade to EXACT counts when a group holds fewer than k distinct
+    keys; the intersection estimate must be in the same band around
+    the exact intersection."""
+    out = {r.grp: r for r in QUERIES["a16_kmv_distinct"](spark, SF_CORRECT).collect()}
+    o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    exact = {
+        r.grp: r.n
+        for r in o.groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    tol = 3 / (63**0.5)
+    for grp, n in exact.items():
+        est = out[grp].est
+        if n < 64:
+            assert est == float(n), f"{grp}: sub-k group must be exact"
+        else:
+            assert abs(est - n) / n < tol, f"{grp}: est {est} vs exact {n}"
+    a = {r.o_custkey for r in o.filter("o_orderpriority = '1-URGENT'").select("o_custkey").distinct().collect()}
+    b = {r.o_custkey for r in o.filter("o_orderpriority = '2-HIGH'").select("o_custkey").distinct().collect()}
+    n_inter = len(a & b)
+    est_inter = out["URGENT&HIGH"].est
+    # intersection compounds two estimates; widen to 3x the band + small-count floor
+    assert abs(est_inter - n_inter) <= max(3 * tol * n_inter, 15), (est_inter, n_inter)
+
+
+def test_l34_matches_independent_reimplementation(spark):
+    """The declared weighted sample must equal a from-scratch Python
+    reimplementation of the same PRF + Efraimidis-Spirakis keys
+    (hashlib.md5 + math.log, no Spark) — pinning the full chain:
+    hash fold, u construction, key arithmetic, rounding, tiebreaks."""
+    import hashlib
+    import math
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    by_source: dict[str, list] = {}
+    for r in docs:
+        if r.n_chars is None or r.n_chars <= 0:
+            continue
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:13], 16)
+        u = (h + 1) / float((1 << 52) + 1)
+        key = round(math.log(u) / math.log(1 + r.n_chars), 8)
+        by_source.setdefault(r.source, []).append((key, r.doc_id))
+    want = []
+    for src in sorted(by_source):
+        picked = sorted(by_source[src], key=lambda t: (-t[0], t[1]))[:10]
+        for rank, (key, doc_id) in enumerate(picked, 1):
+            want.append((src, doc_id, key, rank))
+    got = [
+        (r.source, r.doc_id, r.skey, r["rank"])
+        for r in QUERIES["l34_weighted_sample"](spark, SF_CORRECT).collect()
+    ]
+    assert got == want
+
+
+def test_x8_analyze_time_polymorphism(spark):
+    """The UDTF's analyze() must (a) name the output key column after
+    the partition column ARGUMENT (plan-time schema polymorphism) and
+    (b) reject a column that is not in the passed table's schema at
+    ANALYSIS time, not at runtime."""
+    from pyspark.errors import AnalysisException
+
+    df = QUERIES["x8_polymorphic_udtf"](spark, SF_CORRECT)
+    assert df.columns == ["o_orderpriority", "bucket", "n"]
+    # histogram counts must sum to the table's non-null rows
+    total = sum(r.n for r in df.collect())
+    n_rows = (
+        spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+        .filter(F.col("o_totalprice").isNotNull())
+        .count()
+    )
+    assert total == n_rows
+    with pytest.raises(AnalysisException, match="no_such_col"):
+        spark.sql(
+            """
+            SELECT * FROM pmr_bucket_counts(
+              TABLE(pmr_orders_x8) PARTITION BY (o_orderpriority),
+              'o_orderpriority', 'no_such_col', 0.0D, 1.0D, 4)
+            """
+        ).collect()
+
+
+def test_l35_split_matches_independent_reimplementation(spark):
+    """The split must partition every document exactly once, land near
+    the declared 96/2/2 fractions, and match a from-scratch Python
+    reimplementation of the PRF rule (hashlib.md5, no Spark) on every
+    (split, source) count and id checksum."""
+    import hashlib
+
+    rows = QUERIES["l35_dataset_split"](spark, SF_CORRECT).collect()
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    assert sum(r.n_docs for r in rows) == len(docs)
+    frac = sum(r.n_docs for r in rows if r.split == "train") / len(docs)
+    assert 0.90 <= frac <= 1.0  # 96% +/- small-sample noise
+
+    want: dict = {}
+    for d in docs:
+        h = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:13], 16) % 100
+        split = "train" if h < 96 else ("val" if h < 98 else "test")
+        k = (split, d.source)
+        n, chars, ids = want.get(k, (0, 0, 0))
+        want[k] = (n + 1, chars + d.n_chars, ids + d.doc_id)
+    got = {(r.split, r.source): (r.n_docs, r.total_chars, r.id_checksum) for r in rows}
+    assert got == want
