@@ -578,3 +578,62 @@ def f14_timestamp_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ntz + F.expr("INTERVAL 90 MINUTES")).alias("ntz_plus"),
         F.expr("make_timestamp_ntz(2024, 3, 7, 12, 30, 0)").alias("made_ntz"),
     )
+
+
+@query(
+    "f15_fuzzy_match",
+    oracle="""
+WITH s AS (
+  SELECT s_suppkey, s_nationkey, s_name FROM supplier
+  WHERE s_name IS NOT NULL AND regexp_matches(s_name, '^[ -~]*$')
+)
+SELECT a.s_suppkey AS key_a,
+       b.s_suppkey AS key_b,
+       levenshtein(a.s_name, b.s_name)::INT AS dist
+FROM s a JOIN s b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+ORDER BY key_a, key_b
+""",
+    survey="F15",
+    category="functions",
+)
+def f15_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: fuzzy string matching — BLOCKED edit-distance pair finding
+    (the entity-resolution primitive): supplier names within
+    levenshtein distance 2, candidate pairs bounded by a nationkey
+    BLOCK plus the a<b half-join, never all-pairs.  Spark's THREE-ARG
+    levenshtein(l, r, threshold) is used deliberately: it abandons a
+    pair as soon as the running distance exceeds the bound (banded DP,
+    O(threshold x len) not O(len^2)) and returns -1 — at 100 TB the
+    blocked join's cost is the candidate count times this bounded
+    kernel, not full DP matrices.
+
+    Cross-engine note (measured, the reason for the ASCII guard):
+    Spark's levenshtein counts CHARACTERS while DuckDB's counts BYTES,
+    so non-ASCII names diverge (3 vs 7 on the same pair) — the oracle
+    domain is restricted to printable-ASCII names on both sides, which
+    the fixtures' synthetic names satisfy; the operator itself is
+    character-correct on unicode in Spark."""
+    s = (
+        scan(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").isNotNull() & F.col("s_name").rlike("^[ -~]*$"))
+        .select("s_suppkey", "s_nationkey", "s_name")
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    dist = F.expr("levenshtein(a.s_name, b.s_name, 2)")
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .filter(dist >= 0)
+        .select(
+            F.col("a.s_suppkey").alias("key_a"),
+            F.col("b.s_suppkey").alias("key_b"),
+            dist.cast("int").alias("dist"),
+        )
+        .orderBy("key_a", "key_b")
+    )

@@ -125,6 +125,7 @@ QUERY_SET = [
     "l34_weighted_sample",
     "l35_dataset_split",
     "x8_polymorphic_udtf",
+    "f15_fuzzy_match",
 ]
 
 

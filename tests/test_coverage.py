@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 183 operator rows across 13 categories
+# The full §2 inventory: 184 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -61,6 +61,7 @@ SURVEY_IDS = {
     "F12",  # round-3: digest/encoding family (md5, sha2, base64, hex)
     "F13",  # round-6: string collations (UTF8_LCASE predicates)
     "F14",  # round-6: TIMESTAMP_NTZ family (zone-less wall time)
+    "F15",  # round-7: blocked fuzzy matching (bounded levenshtein)
     # §2.9 streaming-shaped (batch forms)
     "T1", "T2", "T3", "T4", "T5", "T6",
     "T7",  # round-2: stream-stream interval join
