@@ -24,6 +24,12 @@ EXEMPT = {
     # W7 consumes the collected frame with size(array_distinct(...)) —
     # set cardinality is order-insensitive by construction.
     "queries/windows.py": ["F.size(F.array_distinct(F.collect_list"],
+    # A16 merges two sketches: sort_array sits OUTSIDE the
+    # flatten+distinct (sort_array(array_distinct(flatten(collect_list)))),
+    # so the collected order is erased before anything order-sensitive.
+    "queries/aggregates.py": [
+        "F.sort_array(F.array_distinct(F.flatten(F.collect_list"
+    ],
 }
 
 
