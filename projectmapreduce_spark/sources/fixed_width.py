@@ -18,12 +18,15 @@ width of ``Z`` characters, which can never collide with hex/padding.
 Newlines or control characters in the DATA can therefore never break
 the LINE framing.
 
-Scale notes: reads stream line-by-line per file (no whole-file
-buffering); the planner ships only (path, spec) per partition.  Column
-pruning/pushdown are not implemented — a fixed-width record must be
-sliced whole anyway, and filters stay in the Spark plan where codegen
-runs them (the API's ``pushFilters`` hook is the extension point if a
-field-level skip index existed).
+Scale notes: each partition reads one ALIGNED byte range (a whole
+small file, or a record-range slice of a large one — fixed record
+width makes offsets exact) and decodes it with numpy kernels into a
+``pyarrow.RecordBatch``; the write side is the symmetric vectorized
+encoder.  The planner ships only (path, spec, range) per partition.
+Column pruning/pushdown are not implemented — a fixed-width record
+must be sliced whole anyway, and filters stay in the Spark plan where
+codegen runs them (the API's ``pushFilters`` hook is the extension
+point if a field-level skip index existed).
 """
 
 from __future__ import annotations
@@ -301,15 +304,108 @@ def register(spark) -> None:
     spark.dataSource.register(FixedWidthDataSource)
 
 
-def encode_lines_fn(spec: list[tuple[str, int]]):
+def _u64_to_hex_matrix(u, nulls):
+    """(n,) uint64 values → (n, 16) lowercase-hex ASCII uint8 matrix,
+    'Z'-filled where ``nulls``.  Inverse of the reader's _hex_u64."""
+    import numpy as np
+
+    n = len(u)
+    out = np.empty((n, 16), dtype=np.uint8)
+    for j in range(16):
+        nib = ((u >> np.uint64(60 - 4 * j)) & np.uint64(0xF)).astype(np.uint8)
+        out[:, j] = np.where(nib > 9, nib + 87, nib + 48)
+    if nulls is not None and nulls.any():
+        out[nulls] = ord("Z")
+    return out
+
+
+def _string_to_hex_matrix(col, w: int):
+    """Arrow string array → (n, w) space-padded UTF-8-hex ASCII matrix,
+    'Z'-filled where null — the exact inverse of the reader's
+    masked-flatten decode, built from the array's raw offset/data
+    buffers so no per-row Python runs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(col)
+    nulls = np.asarray(col.is_null())
+    filled = pc.fill_null(col, "")
+    # normalize to a zero-copy view with explicit offset accounting
+    buf_validity, buf_offsets, buf_data = filled.buffers()
+    raw_off = np.frombuffer(buf_offsets, dtype=np.int32)
+    off = raw_off[filled.offset : filled.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(buf_data, dtype=np.uint8)[off[0] : off[-1]]
+    off = off - off[0]
+    lens = np.diff(off)
+    if (2 * lens > w).any():
+        bad = int(np.argmax(2 * lens > w))
+        raise ValueError(
+            f"string field overflows declared hex width {w}: row {bad}"
+        )
+    # hex-encode the WHOLE data buffer in one C call, then scatter:
+    # row i's hex chars occupy [2*off[i], 2*off[i+1]), contiguous in
+    # row order — the same keep-mask shape the reader flattens with.
+    hex_all = np.frombuffer(bytes(data.tobytes().hex(), "ascii"), dtype=np.uint8)
+    out = np.full((n, w), ord(" "), dtype=np.uint8)
+    keep = np.arange(w)[None, :] < (2 * lens)[:, None]
+    out[keep] = hex_all
+    if nulls.any():
+        out[nulls] = ord("Z")
+    return out
+
+
+def encode_batch_arrow(b, spec: list[tuple[str, int]]):
+    """One Arrow RecordBatch → one single-column ('value') RecordBatch
+    of fixed-width lines, fully numpy-vectorized (the write-side twin
+    of _decode_batch_arrow; the reader's test suite pins the two paths
+    against each other and against the scalar codecs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = b.num_rows
+    mats = []
+    for (t, w), col in zip(spec, b.columns):
+        nulls = np.asarray(col.is_null())
+        if t in ("bigint", "long"):
+            u = np.asarray(col.fill_null(0), dtype=np.int64).view(np.uint64)
+            mats.append(_u64_to_hex_matrix(u, nulls))
+        elif t == "double":
+            # fill_null keeps NaN distinct from null (Arrow semantics —
+            # the reason this kernel is Arrow, not pandas)
+            u = np.asarray(col.fill_null(0.0), dtype=np.float64).view(np.uint64)
+            mats.append(_u64_to_hex_matrix(u, nulls))
+        else:
+            mats.append(_string_to_hex_matrix(col, w))
+    matrix = np.hstack(mats) if mats else np.empty((n, 0), dtype=np.uint8)
+    width = matrix.shape[1]
+    offsets = (np.arange(n + 1, dtype=np.int32) * width).tobytes()
+    lines = pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets), pa.py_buffer(matrix.tobytes()), None, 0
+    )
+    return pa.RecordBatch.from_arrays([lines], names=["value"])
+
+
+def encode_lines_fn(spec: list[tuple[str, int]], vectorized: bool = True):
     """Build a ``mapInArrow`` kernel turning rows into fixed-width lines
     (the WRITE side, used by the declared round-trip query and tests).
     Arrow, not pandas, deliberately: a pandas float64 column renders
     BOTH null and NaN as NaN, which would conflate a missing balance
-    with a NaN balance — ``to_pylist()`` on the Arrow array preserves
-    None vs float('nan').  ``spec`` mirrors the reader:
-    (type, hex_width_for_strings)."""
+    with a NaN balance — Arrow arrays preserve None vs float('nan').
+    ``spec`` mirrors the reader: (type, hex_width_for_strings).
+
+    Default path is the numpy-vectorized encoder (no per-row Python);
+    ``vectorized=False`` keeps the scalar-codec reference loop the
+    vectorized kernel is tested against."""
     import pyarrow as pa
+
+    if vectorized:
+
+        def fn(batches):
+            for b in batches:
+                yield encode_batch_arrow(b, spec)
+
+        return fn
 
     def fn(batches):
         for b in batches:

@@ -738,3 +738,42 @@ def test_l35_split_matches_independent_reimplementation(spark):
         want[k] = (n + 1, chars + d.n_chars, ids + d.doc_id)
     got = {(r.split, r.source): (r.n_docs, r.total_chars, r.id_checksum) for r in rows}
     assert got == want
+
+
+def test_fixed_width_writer_vectorized_equals_rowwise(spark):
+    """The numpy-vectorized encoder must produce BYTE-IDENTICAL lines
+    to the scalar-codec reference loop on the hostile value classes."""
+    import pyarrow as pa
+
+    from projectmapreduce_spark.sources.fixed_width import encode_lines_fn
+
+    rows = [
+        (1, "plain", 10, 1.5),
+        (2, None, -(2**63), float("nan")),
+        (3, "line\nbreak", 2**63 - 1, -0.0),
+        (4, "ünïcode ♥", None, float("inf")),
+        (5, "", 0, float("-inf")),
+        (6, " pad  ", -1, 5e-324),
+        (None, "nulls", 7, None),
+    ]
+    w = max(len(s.encode("utf-8")) * 2 for _, s, _, _ in rows if s is not None)
+    spec = [("long", 0), ("string", w), ("long", 0), ("double", 0)]
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.int64()),
+            pa.array([r[1] for r in rows], pa.string()),
+            pa.array([r[2] for r in rows], pa.int64()),
+            pa.array([r[3] for r in rows], pa.float64()),
+        ],
+        names=["k", "s", "v", "d"],
+    )
+    vec = list(encode_lines_fn(spec, vectorized=True)([batch]))[0]
+    row = list(encode_lines_fn(spec, vectorized=False)([batch]))[0]
+    assert vec.column(0).to_pylist() == row.column(0).to_pylist()
+
+    # overflow must still raise, not truncate
+    import pytest as _pytest
+
+    tiny = [("long", 0), ("string", 4), ("long", 0), ("double", 0)]
+    with _pytest.raises(Exception, match="overflows"):
+        list(encode_lines_fn(tiny, vectorized=True)([batch]))
