@@ -482,3 +482,104 @@ def w10_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "trough_event_id")
     )
+
+
+@query(
+    "w11_funnel_analysis",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS v_ts
+  FROM events
+),
+c AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= v_ts
+                      AND ts <= v_ts + INTERVAL 72 HOUR THEN ts END)
+               OVER (PARTITION BY user_id) AS c_ts
+  FROM v
+),
+p AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= c_ts
+                      AND ts <= c_ts + INTERVAL 72 HOUR THEN ts END)
+               OVER (PARTITION BY user_id) AS p_ts
+  FROM c
+),
+per_user AS (
+  SELECT user_id, max(v_ts) AS v_ts, max(c_ts) AS c_ts, max(p_ts) AS p_ts
+  FROM p GROUP BY user_id
+)
+SELECT count(v_ts)::BIGINT AS n_view,
+       count(c_ts)::BIGINT AS n_click,
+       count(p_ts)::BIGINT AS n_purchase,
+       sum(epoch_us(c_ts::TIMESTAMP) - epoch_us(v_ts::TIMESTAMP))::BIGINT AS click_lag_us,
+       sum(CASE WHEN p_ts IS NOT NULL
+                THEN epoch_us(p_ts::TIMESTAMP) - epoch_us(c_ts::TIMESTAMP) END)::BIGINT
+           AS purchase_lag_us
+FROM per_user
+""",
+    survey="W11",
+    category="window",
+)
+def w11_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: ordered event-SEQUENCE matching (funnel analysis) — for
+    each user, the first view, the first click within 72 h AFTER that
+    view, and the first purchase within 72 h after that click; the
+    funnel reports per-step user counts and exact step-latency sums.
+    This is the product-analytics shape (and the windowed cousin of
+    W10's pattern matching): each stage is a conditional MIN over the
+    user's partition referencing the previous stage's column, so the
+    whole three-stage funnel compiles to ONE shuffle on user_id and
+    three window passes — never a self-join per stage (the naive
+    3-way event self-join is quadratic in events-per-user; the window
+    form is linear and is what survives 100 TB).
+
+    Determinism: stage anchors are MINIMUM timestamps (tie-collapsing,
+    so duplicate-ts events cannot flip the anchor), latencies are
+    exact integer microseconds, and the output is a single global
+    aggregate row — nothing floats."""
+    e = scan(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    h72 = F.expr("INTERVAL 72 HOURS")
+    v = e.withColumn(
+        "v_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    c = v.withColumn(
+        "c_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("v_ts"))
+                & (F.col("ts") <= F.col("v_ts") + h72),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    p = c.withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("c_ts"))
+                & (F.col("ts") <= F.col("c_ts") + h72),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = p.groupBy("user_id").agg(
+        F.max("v_ts").alias("v_ts"),
+        F.max("c_ts").alias("c_ts"),
+        F.max("p_ts").alias("p_ts"),
+    )
+    return per_user.agg(
+        F.count("v_ts").alias("n_view"),
+        F.count("c_ts").alias("n_click"),
+        F.count("p_ts").alias("n_purchase"),
+        F.sum(F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("click_lag_us"),
+        F.sum(
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.unix_micros("p_ts") - F.unix_micros("c_ts"),
+            )
+        ).alias("purchase_lag_us"),
+    )

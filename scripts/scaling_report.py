@@ -121,6 +121,7 @@ QUERY_SET = [
     "s20_python_datasource",
     "s22_cbo_join_reorder",
     "w10_pattern_detect",
+    "w11_funnel_analysis",
     "a16_kmv_distinct",
     "l34_weighted_sample",
     "l35_dataset_split",

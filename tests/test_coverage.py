@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 184 operator rows across 13 categories
+# The full §2 inventory: 185 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -47,6 +47,7 @@ SURVEY_IDS = {
     "W8",  # round-2: per-key ordered-fold recurrence (EMA)
     "W9",  # round-2: time-weighted average
     "W10",  # round-7: MATCH_RECOGNIZE-style row-pattern detection
+    "W11",  # round-7: funnel analysis (ordered sequence matching)
     # §2.6 sort / limit / top-k
     "O1", "O2", "O3", "O4",
     "O5",  # round-2: deterministic k-per-group subsample

@@ -777,3 +777,40 @@ def test_fixed_width_writer_vectorized_equals_rowwise(spark):
     tiny = [("long", 0), ("string", 4), ("long", 0), ("double", 0)]
     with _pytest.raises(Exception, match="overflows"):
         list(encode_lines_fn(tiny, vectorized=True)([batch]))
+
+
+def test_w11_funnel_ordering_and_window(spark, tmp_path):
+    """Funnel semantics on a constructed fixture: a click BEFORE the
+    first view must not count; a click 73h after the view must not
+    count; a purchase within 72h of a qualifying click must."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    rows = [
+        # user 1: full funnel (view@0, click@1, purchase@2)
+        (1, at(0), 1, "view", 1.0, "{}"),
+        (2, at(1), 1, "click", 1.0, "{}"),
+        (3, at(2), 1, "purchase", 1.0, "{}"),
+        # user 2: click BEFORE view -> funnel stops at view
+        (4, at(5), 2, "view", 1.0, "{}"),
+        (5, at(4), 2, "click", 1.0, "{}"),
+        # user 3: click 73h after view -> outside the window
+        (6, at(0), 3, "view", 1.0, "{}"),
+        (7, at(73), 3, "click", 1.0, "{}"),
+        # user 4: view+click, purchase 100h after click -> no purchase
+        (8, at(0), 4, "view", 1.0, "{}"),
+        (9, at(10), 4, "click", 1.0, "{}"),
+        (10, at(110), 4, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["w11_funnel_analysis"](spark, str(tmp_path)).collect()[0]
+    assert (out.n_view, out.n_click, out.n_purchase) == (4, 2, 1)
+    assert out.click_lag_us == (1 + 10) * 3600 * 1_000_000
+    assert out.purchase_lag_us == 1 * 3600 * 1_000_000
