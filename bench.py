@@ -228,6 +228,7 @@ HEADLINE = [
     "l35_dataset_split",
     "x8_polymorphic_udtf",
     "f15_fuzzy_match",
+    "l30_corpus_funnel",
     # round-6 batch 7: new function-family surfaces (collations, NTZ)
     # plus the pivot-inverse and the Catalyst-inlined SQL UDF — all
     # codegen-bound, priced like the f9-f12 families.  m9b stays OUT

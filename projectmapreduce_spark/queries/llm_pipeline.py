@@ -1828,33 +1828,87 @@ def l30_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection stages), and the whole funnel is SQL-oracled — the
     DuckDB mirror recomputes all six stage counts independently, so a
     semantic drift in ANY stage breaks the hash."""
-    from projectmapreduce_spark.operators.dedup import exact_dedup, ngram_jaccard_join
-    from projectmapreduce_spark.operators.pipeline import deterministic_split
-    from projectmapreduce_spark.operators.text import quality_filter
+    from pyspark.sql.window import Window
 
+    from projectmapreduce_spark.operators.dedup import ngram_jaccard_join
+    from projectmapreduce_spark.operators.pipeline import hash_bucket
+    from projectmapreduce_spark.operators.text import _STOPWORDS, tokenize
+
+    # Single-pass CUMULATIVE-FLAG form (round-7 rework).  The original
+    # composition unioned six independent counts, so stage k's plan
+    # re-derived stages 1..k — the corpus re-scanned per stage and the
+    # expensive jaccard join executed TWICE (91 shuffle exchanges at
+    # sf0.01).  Here every stage contributes one boolean survival flag
+    # on ONE pass over the corpus; the only extra lineage is the
+    # near-dup candidate derivation the join needs anyway, and the six
+    # counts are conditional sums in a single aggregate (the stage
+    # semantics — and the DuckDB oracle — are unchanged; each flag is
+    # the conjunction of all earlier flags, exactly the old
+    # filter-chain).
     d = scan(spark, sf_dir, "documents")
-    en = d.filter(F.col("lang") == "en")
-    q = quality_filter(en, "text")
-    dd = exact_dedup(q, "text", "doc_id").drop("content_hash")
+    toks = tokenize(F.col("text"))
+    n_tok = F.size(toks)
+    mean_len = F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / n_tok
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_tok
+    quality_pred = (n_tok >= 10) & (mean_len <= 12.0) & (stop_ratio >= 0.0)
+
+    lang_ok = F.col("lang") == "en"
+    q_ok = F.coalesce(lang_ok & quality_pred, F.lit(False))
+    flagged = d.select("doc_id", "text", lang_ok.alias("lang_ok"), q_ok.alias("q_ok"))
+    # exact-dedup survivor among q_ok rows: min doc_id per content hash
+    # (doc_id is the PK, so min == the old row_number()==1 survivor)
+    wh = Window.partitionBy(F.sha2(F.col("text"), 256))
+    flagged = flagged.withColumn(
+        "ex_ok",
+        F.col("q_ok")
+        & (F.col("doc_id") == F.min(F.when(F.col("q_ok"), F.col("doc_id"))).over(wh)),
+    )
     dups = (
-        ngram_jaccard_join(dd, "doc_id", "text", threshold=0.8, n=1)
-        .select(F.col("id_b").alias("doc_id"))
+        ngram_jaccard_join(
+            flagged.filter(F.col("ex_ok")).select("doc_id", "text"),
+            "doc_id",
+            "text",
+            threshold=0.8,
+            n=1,
+        )
+        .select(F.col("id_b").alias("doc_id"), F.lit(True).alias("is_dup"))
         .distinct()
     )
-    nd = dd.join(dups, "doc_id", "left_anti")
-    tr = deterministic_split(nd, "doc_id").filter(F.col("split") == "train")
-
-    stages = [
-        ("raw", d), ("lang_en", en), ("quality", q),
-        ("exact_dedup", dd), ("near_dedup", nd), ("train_split", tr),
-    ]
-    out = None
-    for i, (name, sdf) in enumerate(stages, start=1):
-        row = sdf.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(i).cast("long").alias("stage_ord"), F.lit(name).alias("stage"), "n_docs"
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    split_train = (
+        F.when(hash_bucket("doc_id", 100, 0) < 80, F.lit("train")).otherwise(F.lit(""))
+        == "train"
+    )
+    final = flagged.join(dups, "doc_id", "left").select(
+        "lang_ok",
+        "q_ok",
+        "ex_ok",
+        (F.col("ex_ok") & F.col("is_dup").isNull()).alias("near_ok"),
+        (F.col("ex_ok") & F.col("is_dup").isNull() & split_train).alias("train_ok"),
+    )
+    c = final.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.sum(F.col("lang_ok").cast("long")).alias("lang_en"),
+        F.sum(F.col("q_ok").cast("long")).alias("quality"),
+        F.sum(F.col("ex_ok").cast("long")).alias("exact_dedup"),
+        F.sum(F.col("near_ok").cast("long")).alias("near_dedup"),
+        F.sum(F.col("train_ok").cast("long")).alias("train_split"),
+    )
+    names = ["raw", "lang_en", "quality", "exact_dedup", "near_dedup", "train_split"]
+    return c.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("stage_ord"),
+                        F.lit(n).alias("stage"),
+                        F.col(n).alias("n_docs"),
+                    )
+                    for i, n in enumerate(names, start=1)
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
 
 
 @query(

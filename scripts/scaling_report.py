@@ -127,6 +127,7 @@ QUERY_SET = [
     "l35_dataset_split",
     "x8_polymorphic_udtf",
     "f15_fuzzy_match",
+    "l30_corpus_funnel",
 ]
 
 
