@@ -2299,3 +2299,121 @@ def l35_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "source")
     )
+
+
+_L36_TOKEN_HASH = """list_reduce(list_transform(generate_series(1, 13),
+      i -> CASE WHEN ascii(substr(md5(tok), i, 1)) BETWEEN 48 AND 57
+                THEN ascii(substr(md5(tok), i, 1)) - 48
+                ELSE ascii(substr(md5(tok), i, 1)) - 87 END::BIGINT),
+      (acc, n) -> acc * 16 + n)"""
+
+
+@query(
+    "l36_source_overlap_matrix",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT source, unnest(string_split_regex(trim(text, ' '), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL AND trim(text, ' ') <> ''
+),
+h AS (
+  SELECT DISTINCT source, {_L36_TOKEN_HASH} AS h FROM tok
+),
+sk AS (
+  SELECT source, h FROM h
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 256
+),
+pairs AS (
+  SELECT a.source AS g1, b.source AS g2
+  FROM (SELECT DISTINCT source FROM sk) a
+  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+),
+uni AS (
+  SELECT p.g1, p.g2, s.h
+  FROM pairs p JOIN sk s ON s.source = p.g1 OR s.source = p.g2
+  GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT g1, g2, h FROM uni
+  QUALIFY row_number() OVER (PARTITION BY g1, g2 ORDER BY h) <= 256
+),
+stats AS (
+  SELECT g1, g2, count(*)::BIGINT AS k_eff, max(h) AS kth FROM m GROUP BY 1, 2
+),
+ovl AS (
+  SELECT m.g1, m.g2, count(*)::BIGINT AS overlap
+  FROM m
+  JOIN sk sa ON sa.source = m.g1 AND sa.h = m.h
+  JOIN sk sb ON sb.source = m.g2 AND sb.h = m.h
+  GROUP BY 1, 2
+)
+SELECT s.g1, s.g2,
+       coalesce(o.overlap, 0)::BIGINT AS overlap,
+       s.k_eff,
+       round(coalesce(o.overlap, 0)::DOUBLE / s.k_eff, 6) AS jaccard_est
+FROM stats s LEFT JOIN ovl o ON s.g1 = o.g1 AND s.g2 = o.g2
+ORDER BY jaccard_est DESC, s.g1, s.g2
+""",
+    survey="L36,A16",
+    category="llm",
+)
+def l36_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L36: cross-source VOCABULARY-overlap matrix from KMV sketches —
+    the corpus-analytics deliverable A16's set algebra exists for:
+    which sources share a domain (high token-set Jaccard), which are
+    disjoint — the signal mixture design (L15) and source caps (L32)
+    consume.  One sketch of each source's distinct-token set (k=256
+    minimum md5-52 hashes), then ALL source pairs estimated from the
+    sketches alone: merged union top-k per pair, overlap fraction =
+    Jaccard estimate.
+
+    Scale shape: the corpus is touched ONCE (token explode + distinct,
+    the same shuffle an exact vocabulary count pays); everything
+    pairwise operates on k-row sketches — 20 sources means 190 pairs
+    of <=256-element arrays, pure metadata, and 10,000 sources would
+    still be array math on the driver-side-free broadcast self-join,
+    never a corpus-squared comparison.  Engine-exact md5 arithmetic
+    (operators/sketch.py::md5_hash52), so every estimate hash-matches
+    the oracle; ties in the estimate order break on the (g1, g2)
+    names.  Plan note: the g1 < g2 pair join is a
+    BroadcastNestedLoopJoin BY DESIGN — an inequality join over the
+    SKETCH FRAME (one row per source, 20 rows here, 10k at the
+    extreme), i.e. the metadata-scale pair enumeration, never a
+    corpus-side nested loop (the corpus pipeline ends at the sketch
+    aggregate above it)."""
+    from projectmapreduce_spark.operators.sketch import md5_hash52
+    from projectmapreduce_spark.operators.text import tokenize
+
+    k = 256
+    d = scan(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    toks = d.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("tok")
+    ).distinct()
+    hashed = toks.select("source", md5_hash52("tok").alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    )
+    a = sk.select(F.col("source").alias("g1"), F.col("hs").alias("a_hs"))
+    b = sk.select(F.col("source").alias("g2"), F.col("hs").alias("b_hs"))
+    pairs = a.join(b, F.col("g1") < F.col("g2"))
+    merged = F.slice(F.sort_array(F.array_distinct(F.concat("a_hs", "b_hs"))), 1, k)
+    out = pairs.select(
+        "g1",
+        "g2",
+        merged.alias("m"),
+        F.size(F.array_intersect(F.array_intersect(merged, "a_hs"), "b_hs"))
+        .cast("long")
+        .alias("overlap"),
+    ).select(
+        "g1",
+        "g2",
+        "overlap",
+        F.size("m").cast("long").alias("k_eff"),
+        F.round(F.col("overlap").cast("double") / F.size("m"), 6).alias("jaccard_est"),
+    )
+    return out.orderBy(F.col("jaccard_est").desc(), "g1", "g2")

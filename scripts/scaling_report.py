@@ -125,6 +125,7 @@ QUERY_SET = [
     "a16_kmv_distinct",
     "l34_weighted_sample",
     "l35_dataset_split",
+    "l36_source_overlap_matrix",
     "x8_polymorphic_udtf",
     "f15_fuzzy_match",
     "l30_corpus_funnel",

@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 185 operator rows across 13 categories
+# The full §2 inventory: 186 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -94,6 +94,7 @@ SURVEY_IDS = {
     "L33",  # round-6: hybrid-retrieval reciprocal-rank fusion (RRF)
     "L34",  # round-7: deterministic weighted sampling (Efraimidis-Spirakis PRF)
     "L35",  # round-7: deterministic train/val/test split (PRF mod)
+    "L36",  # round-7: cross-source overlap matrix (KMV set algebra)
     # §2.12 UDF surface
     "X1", "X2", "X3", "X4",
     "X5",  # round-2: cogroup
