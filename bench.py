@@ -243,6 +243,14 @@ HEADLINE = [
     # surfaces (both plan to existing machinery; priced like c4)
     "c24_lateral_topk",
     "c25_parameterized_sql",
+    # round-8 batch: the DataSource WRITER round-trip (prices the
+    # staged-rename commit path + Arrow encode, the write twin of s20)
+    # and the session-variable EXECUTE IMMEDIATE surface (plans like
+    # c25 — parameterization changes composition, not the plan).
+    # s24/t12 stay OUT (precedent t7s: streaming drains time
+    # state-store/sink machinery, fully hash-checked in CORRECTNESS).
+    "s23_datasource_writer",
+    "c26_session_variables",
 ]
 
 

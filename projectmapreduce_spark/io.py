@@ -384,6 +384,16 @@ def build_stats_manifest_distributed(
     mapPartitions over a plain file list, not ``format("binaryFile")``:
     binaryFile would ship the whole file to the executor just to read its
     footer — the opposite of metadata-scale.
+
+    Deployment constraint (ADVICE r7 item 3): the tasks open the
+    driver-enumerated paths with local ``open()`` and import this
+    package, so executors must SHARE the driver's filesystem view of
+    ``root`` (true for local[N], NFS/FUSE-mounted object stores, and
+    clusters whose data lives on a shared mount) and have the package
+    shipped (``--py-files`` / cluster image).  On executors with no
+    shared mount, resolve paths through the Hadoop FS API instead —
+    the ``hadoop_fs`` helper above is the entry point; the task body
+    would read footers via the FS input stream rather than ``open``.
     """
     paths: list[str] = []
     for dirpath, _dirs, files in os.walk(root):

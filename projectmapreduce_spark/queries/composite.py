@@ -1404,3 +1404,57 @@ def c25_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 150000, "cutoff": datetime.date(1996, 6, 1)},
     )
+
+
+@query(
+    "c26_session_variables",
+    oracle="""
+SELECT c_mktsegment AS c_mktsegment,
+       count(*)::BIGINT AS n_cust,
+       round(sum(CAST(round(c_acctbal, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS total_bal,
+       round((SELECT max(c_acctbal) * 0.5 FROM customer), 2)::DOUBLE AS bal_floor
+FROM customer
+WHERE c_acctbal > (SELECT max(c_acctbal) * 0.5 FROM customer)
+  AND c_mktsegment <> 'FURNITURE'
+GROUP BY 1
+""",
+    survey="C26,C25",
+    category="composite",
+)
+def c26_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26: session variables + EXECUTE IMMEDIATE (VERDICT r7 task 5)
+    — the notebook/ETL parameterization surface that remains after
+    c25's ``spark.sql(args=...)``: DECLARE VARIABLE / SET VAR hold
+    state ACROSS statements in the session, SET VAR can be fed from a
+    scalar SUBQUERY (a data-derived threshold, here max(c_acctbal)/2 —
+    exact double arithmetic, so both engines compute the identical
+    boundary), and EXECUTE IMMEDIATE runs SQL TEXT held in a variable,
+    binding parameters from variables via USING.
+
+    Three resolutions exercised in one statement: ``:floor`` bound
+    from a variable through USING, ``:seg`` bound from a literal
+    through USING, and ``pmr_bal_floor`` referenced DIRECTLY by name
+    inside the executed text (session-variable resolution, no
+    binding).  All reach Catalyst as foldable constants at parse time
+    — like c25, the surface changes statement composition, not the
+    plan; the filter still pushes to the scan.  The oracle re-expresses
+    the variables as scalar subqueries."""
+    scan(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    spark.sql("DECLARE OR REPLACE VARIABLE pmr_bal_floor DOUBLE")
+    spark.sql("SET VAR pmr_bal_floor = (SELECT max(c_acctbal) * 0.5 FROM customer)")
+    spark.sql("DECLARE OR REPLACE VARIABLE pmr_stmt STRING")
+    spark.sql(
+        """SET VAR pmr_stmt =
+        'SELECT c_mktsegment,
+                count(*) AS n_cust,
+                CAST(round(sum(CAST(round(c_acctbal, 4) AS DECIMAL(20,4))), 2) AS DOUBLE)
+                  AS total_bal,
+                round(pmr_bal_floor, 2) AS bal_floor
+         FROM customer
+         WHERE c_acctbal > :floor AND c_mktsegment <> :seg
+         GROUP BY 1'
+        """
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE pmr_stmt USING (pmr_bal_floor AS floor, 'FURNITURE' AS seg)"
+    )

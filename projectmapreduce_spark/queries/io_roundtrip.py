@@ -944,6 +944,75 @@ def s20_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s23_datasource_writer",
+    oracle="""
+SELECT count(*)::BIGINT AS n_rows,
+       sum(s_suppkey)::BIGINT AS key_sum,
+       min(s_name) AS min_name,
+       max(s_name) AS max_name,
+       sum(s_nationkey::BIGINT)::BIGINT AS nation_sum,
+       round(sum(CAST(round(s_acctbal, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS total_bal
+FROM supplier
+""",
+    survey="S23,S20",
+    category="io",
+)
+def s23_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S23: the connector's WRITE quadrant — ``df.write.format(
+    "pmr_fixedwidth")`` through Spark 4's Python ``DataSource.writer()``
+    API (VERDICT r7 task 2), not the mapInArrow helper s20 uses.
+
+    The writer (`sources/fixed_width.py:FixedWidthWriter`) is an
+    ``DataSourceArrowWriter``: each task encodes its RecordBatches with
+    the numpy matrix kernel (zero per-row Python) into a ``_staged-*``
+    file the reader's listing filter cannot see; the driver-side
+    ``commit`` renames staged files to visible part names only after
+    EVERY task succeeded (overwrite mode deletes the previous
+    generation inside that same commit), and ``abort`` deletes the
+    staged files — a failed job never publishes partial data (pinned
+    by tests/test_new_surfaces.py::test_writer_abort_leaves_nothing).
+
+    Round-trip proof: supplier written through the writer API as 8
+    files, read back through the registered source, aggregated — must
+    hash-match DuckDB over the ORIGINAL table, which checks the write
+    path end-to-end (spec parsing, Arrow encode, staging, commit
+    rename) against the already-proven read path."""
+    from projectmapreduce_spark.sources.fixed_width import (
+        SUPPLIER_DDL,
+        register,
+        supplier_write_frame,
+    )
+
+    path = _p("s23_fixedwidth_writer")
+    sup, w = supplier_write_frame(spark, sf_dir)
+    spec = f"long,string:{w},long,double"
+    register(spark)
+    (
+        sup.repartition(8)
+        .write.format("pmr_fixedwidth")
+        .option("path", path)
+        .option("spec", spec)
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("pmr_fixedwidth")
+        .option("path", path)
+        .option("spec", spec)
+        .option("ddl", SUPPLIER_DDL)
+        .load()
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("s_suppkey").alias("key_sum"),
+        F.min("s_name").alias("min_name"),
+        F.max("s_name").alias("max_name"),
+        F.sum("s_nationkey").alias("nation_sum"),
+        money_sum("s_acctbal").alias("total_bal"),
+    )
+
+
+@query(
     "s22_cbo_join_reorder",
     oracle="""
 SELECT p_brand AS p_brand,

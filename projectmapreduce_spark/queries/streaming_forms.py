@@ -446,6 +446,169 @@ def t7o_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t12_multi_stateful",
+    oracle="""
+WITH v AS (
+  SELECT date_trunc('hour', ts) AS win_start, user_id,
+         count(*)::BIGINT AS n_views
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+c AS (
+  SELECT date_trunc('hour', ts) AS win_start, user_id,
+         count(*)::BIGINT AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT v.win_start AS win_start, v.user_id AS user_id,
+       v.n_views AS n_views, c.n_clicks AS n_clicks
+FROM v JOIN c ON v.win_start = c.win_start AND v.user_id = c.user_id
+""",
+    survey="T12,T7,T1",
+    category="streaming",
+)
+def t12_multi_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: CHAINED STATEFUL OPERATORS in one streaming query (VERDICT
+    r7 task 3) — window aggregate → window aggregate → stream-stream
+    join, THREE stateful operators in a single micro-batch plan, the
+    class every prior drain was blind to (each carried exactly one).
+
+    Shape: per-user HOURLY view counts (windowed aggregation, append
+    mode — a window emits only once the watermark passes its end) and
+    per-user hourly click counts (second aggregation, independent
+    state) are stream-stream INNER JOINED on (window, user_id).  The
+    aggregates' emitted ``window`` column is still an event-time
+    column, which is what makes the downstream join's state bounded:
+    Spark evicts join state for windows the watermark has passed.
+    This is the supported multi-stateful composition (Spark 3.5+/4
+    `statefulOperator.allowMultiple`, default on).
+
+    Drained under the paced-replay harness (8 time-ordered files,
+    maxFilesPerTrigger=1) + the watermark-flush sentinel so (a) the
+    watermark actually advances BETWEEN batches — windows finalize in
+    different micro-batches and the join must match rows arriving from
+    its two upstream states across batches, and (b) the final hour's
+    windows close and emit.  Hash-equal to the batch hourly-join
+    oracle; the streaming_baseline entry pins all THREE stateful
+    operators and their state rows."""
+    import shutil
+
+    from projectmapreduce_spark.streaming import (
+        append_watermark_flush_file,
+        materialize_paced_replay,
+    )
+
+    scratch = materialize_paced_replay(spark, sf_dir, n_chunks=8)
+    try:
+        append_watermark_flush_file(spark, scratch)
+        views = (
+            with_watermark(
+                read_events_stream(spark, scratch).filter(F.col("event_type") == "view")
+            )
+            .groupBy(F.window("ts", "1 hour"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_views"))
+        )
+        clicks = (
+            with_watermark(
+                read_events_stream(spark, scratch).filter(F.col("event_type") == "click")
+            )
+            .groupBy(F.window("ts", "1 hour"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_clicks"))
+        )
+        joined = views.join(clicks, ["window", "user_id"], "inner").select(
+            F.col("window.start").alias("win_start"),
+            "user_id",
+            "n_views",
+            "n_clicks",
+        )
+        drained = _drain(spark, joined, "append")
+        # Sentinel residue: the flush rows are user -1 (view) / -2
+        # (click), which can never join to each other — filter anyway.
+        return drained.filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "s24_python_stream_sink",
+    oracle="""
+SELECT s_nationkey::BIGINT AS s_nationkey,
+       count(*)::BIGINT AS n_suppliers,
+       round(sum(CAST(round(s_acctbal, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS total_bal
+FROM supplier GROUP BY 1
+""",
+    survey="S24,S21",
+    category="streaming",
+)
+def s24_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S24: custom STREAMING SINK via the Python DataSource API —
+    ``df.writeStream.format("pmr_fixedwidth")`` through Spark 4's
+    ``DataSource.streamWriter()`` (`sources/fixed_width.py:
+    FixedWidthStreamWriter`), completing the connector's fourth and
+    last quadrant (VERDICT r7 task 2: batch/stream × read/write).
+
+    The pipe is Python end-to-end: supplier encoded to a fixed-width
+    directory, ingested through the custom STREAM READER (s21's offset
+    management), and drained into the custom STREAM WRITER — per
+    micro-batch, executor tasks stage Arrow-encoded ``_staged-*``
+    files and the driver-side ``commit(messages, batchId)`` renames
+    them to DETERMINISTIC ``part-<batchId>-NNNNN.txt`` names (deleting
+    any prior files of that batchId first), so a crash-replayed batch
+    overwrites its own output instead of duplicating it — the
+    idempotent-under-replay contract a file sink needs under
+    Structured Streaming's at-least-once batch delivery.  Multi-batch
+    replay + replay idempotence are pinned in
+    tests/test_new_surfaces.py.
+
+    The check reads the SINK DIRECTORY back through the batch reader
+    and aggregates: the files the stream committed — not the in-memory
+    stream — must hash-match the batch aggregate over the ORIGINAL
+    supplier table."""
+    from projectmapreduce_spark.io import scratch_path
+    from projectmapreduce_spark.sources.fixed_width import (
+        SUPPLIER_DDL,
+        register,
+        write_supplier_fixed_width,
+    )
+
+    src = scratch_path("s24_stream_sink_src")
+    dst = scratch_path("s24_stream_sink_dst")
+    ckpt = scratch_path("s24_stream_sink_ckpt")
+    import shutil
+
+    for p in (dst, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    w = write_supplier_fixed_width(spark, sf_dir, src)
+    spec = f"long,string:{w},long,double"
+    register(spark)
+    stream = (
+        spark.readStream.format("pmr_fixedwidth")
+        .option("path", src)
+        .option("spec", spec)
+        .option("ddl", SUPPLIER_DDL)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("pmr_fixedwidth")
+        .option("path", dst)
+        .option("spec", spec)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = (
+        spark.read.format("pmr_fixedwidth")
+        .option("path", dst)
+        .option("spec", spec)
+        .option("ddl", SUPPLIER_DDL)
+        .load()
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        money_sum("s_acctbal").alias("total_bal"),
+    )
+
+
+@query(
     "s21_python_stream_source",
     oracle="""
 SELECT s_nationkey::BIGINT AS s_nationkey,

@@ -23,6 +23,12 @@ small file, or a record-range slice of a large one — fixed record
 width makes offsets exact) and decodes it with numpy kernels into a
 ``pyarrow.RecordBatch``; the write side is the symmetric vectorized
 encoder.  The planner ships only (path, spec, range) per partition.
+All four connector quadrants are implemented: batch read
+(``FixedWidthReader``), streaming read (``FixedWidthStreamReader``),
+batch write (``FixedWidthWriter`` — staged-rename commit, so failed
+jobs never publish partial data), streaming write
+(``FixedWidthStreamWriter`` — per-batch deterministic names,
+idempotent under micro-batch replay).
 Column pruning/pushdown are not implemented — a fixed-width record
 must be sliced whole anyway, and filters stay in the Spark plan where
 codegen runs them (the API's ``pushFilters`` hook is the extension
@@ -37,13 +43,35 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
 FORMAT_NAME = "pmr_fixedwidth"
+
+
+def _parse_spec(options: dict, schema: StructType) -> list[tuple[str, int]]:
+    """Parse the ``spec`` option against a schema (shared by the reader
+    and both writers): comma-separated per-field ``type`` or
+    ``type:width`` (strings), one per schema field."""
+    parts = options["spec"].split(",")
+    if len(parts) != len(schema.fields):
+        raise ValueError(
+            f"spec has {len(parts)} fields but schema declares "
+            f"{len(schema.fields)} — a silent zip-truncation here would "
+            "surface as an opaque executor-side row/schema mismatch"
+        )
+    spec = []
+    for part in parts:
+        bits = part.split(":")
+        t = bits[0]
+        spec.append((t, _field_width(t, int(bits[1]) if len(bits) > 1 else 0)))
+    return spec
 
 
 def _field_width(field_type: str, declared: int) -> int:
@@ -129,20 +157,7 @@ class FixedWidthReader(DataSourceReader):
 
     def __init__(self, options: dict, schema: StructType):
         self.path = options["path"]
-        # spec: comma-separated per-field "type" or "type:width" (strings)
-        parts = options["spec"].split(",")
-        if len(parts) != len(schema.fields):
-            raise ValueError(
-                f"spec has {len(parts)} fields but schema declares "
-                f"{len(schema.fields)} — a silent zip-truncation here would "
-                "surface as an opaque executor-side row/schema mismatch"
-            )
-        self.spec = []
-        for part, field in zip(parts, schema.fields):
-            bits = part.split(":")
-            t = bits[0]
-            w = _field_width(t, int(bits[1]) if len(bits) > 1 else 0)
-            self.spec.append((t, w))
+        self.spec = _parse_spec(options, schema)
         self.names = [f.name for f in schema.fields]
         self.vectorized = options.get("vectorized", "true").lower() == "true"
         self.split_bytes = int(options.get("splitSizeBytes", str(32 << 20)))
@@ -158,7 +173,17 @@ class FixedWidthReader(DataSourceReader):
 
     def _n_records(self, path: str) -> int:
         size = os.path.getsize(path)
-        # tolerate a missing trailing newline on the final record
+        # tolerate a missing trailing newline on the final record, but
+        # refuse any OTHER misalignment loudly: a file with stray
+        # trailing bytes (truncated copy, concatenated garbage) would
+        # otherwise shift every subsequent field decode silently
+        # (ADVICE r7 item 1).
+        if size % self.span not in (0, self.span - 1):
+            raise ValueError(
+                f"{path}: size {size} is not a multiple of the record "
+                f"span {self.span} (± the final newline) — file is "
+                "truncated or not in this fixed-width layout"
+            )
         return (size + 1) // self.span
 
     def partitions(self):
@@ -241,6 +266,30 @@ def _decode_batch_arrow(blob: bytes, n: int, span: int, spec, names):
     import pyarrow as pa
 
     mat = np.frombuffer(blob, dtype=np.uint8).reshape(n, span)
+    # Framing + alphabet validation (ADVICE r7 items 1 and 4), both
+    # vectorized one-pass LUT lookups so the fast path stays fast:
+    # every record must end in '\n', and every data byte must be
+    # lowercase hex, the ' ' string pad, or the 'Z' null fill —
+    # anything else (uppercase hex from a hand-edited file, corrupt
+    # bytes) previously decoded to garbage NUMBERS without error
+    # because _hex_nibbles maps arbitrary bytes to arbitrary values.
+    if not (mat[:, span - 1] == ord("\n")).all():
+        bad = int(np.argmin(mat[:, span - 1] == ord("\n")))
+        raise ValueError(
+            f"record {bad} does not end in a newline at span {span} — "
+            "misaligned or corrupt fixed-width input"
+        )
+    ok = np.zeros(256, dtype=bool)
+    ok[[ord(c) for c in "0123456789abcdef Z"]] = True
+    body = mat[:, : span - 1]
+    valid = ok[body]
+    if not valid.all():
+        r, c = np.unravel_index(int(np.argmin(valid)), valid.shape)
+        raise ValueError(
+            f"invalid byte 0x{int(body[r, c]):02x} at record {int(r)} "
+            f"col {int(c)} — not lowercase hex / pad / null-fill "
+            "(the writer contract is lowercase hex)"
+        )
     arrays = []
     off = 0
     Z = ord("Z")
@@ -299,6 +348,12 @@ class FixedWidthDataSource(DataSource):
     def streamReader(self, schema: StructType) -> "FixedWidthStreamReader":
         return FixedWidthStreamReader(self.options, schema)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "FixedWidthWriter":
+        return FixedWidthWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "FixedWidthStreamWriter":
+        return FixedWidthStreamWriter(self.options, schema, overwrite)
+
 
 def register(spark) -> None:
     spark.dataSource.register(FixedWidthDataSource)
@@ -355,13 +410,13 @@ def _string_to_hex_matrix(col, w: int):
     return out
 
 
-def encode_batch_arrow(b, spec: list[tuple[str, int]]):
-    """One Arrow RecordBatch → one single-column ('value') RecordBatch
-    of fixed-width lines, fully numpy-vectorized (the write-side twin
-    of _decode_batch_arrow; the reader's test suite pins the two paths
-    against each other and against the scalar codecs)."""
+def _encode_matrix(b, spec: list[tuple[str, int]]):
+    """One Arrow RecordBatch → the (n, record_width) uint8 ASCII matrix
+    of its fixed-width encoding (no newlines), fully numpy-vectorized —
+    the shared kernel under ``encode_batch_arrow`` (mapInArrow write
+    path) and the DataSource writers (which append the newline column
+    and write bytes straight to the staged file)."""
     import numpy as np
-    import pyarrow as pa
 
     n = b.num_rows
     mats = []
@@ -377,7 +432,19 @@ def encode_batch_arrow(b, spec: list[tuple[str, int]]):
             mats.append(_u64_to_hex_matrix(u, nulls))
         else:
             mats.append(_string_to_hex_matrix(col, w))
-    matrix = np.hstack(mats) if mats else np.empty((n, 0), dtype=np.uint8)
+    return np.hstack(mats) if mats else np.empty((n, 0), dtype=np.uint8)
+
+
+def encode_batch_arrow(b, spec: list[tuple[str, int]]):
+    """One Arrow RecordBatch → one single-column ('value') RecordBatch
+    of fixed-width lines, fully numpy-vectorized (the write-side twin
+    of _decode_batch_arrow; the reader's test suite pins the two paths
+    against each other and against the scalar codecs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = b.num_rows
+    matrix = _encode_matrix(b, spec)
     width = matrix.shape[1]
     offsets = (np.arange(n + 1, dtype=np.int32) * width).tobytes()
     lines = pa.StringArray.from_buffers(
@@ -496,13 +563,157 @@ class FixedWidthStreamReader(DataSourceStreamReader):
         self._floor = max(getattr(self, "_floor", 0), end["n_files"])
 
 
-def write_supplier_fixed_width(spark, sf_dir: str, path: str, n_files: int = 8):
-    """Write the supplier table as ``n_files`` fixed-width text files
-    (shared by the s20 batch and s21 streaming round-trip queries and
-    their tests).  Returns the data-sized string hex width ``w``; the
-    read spec is ``f"long,string:{w},long,double"`` with ddl
-    ``s_suppkey bigint, s_name string, s_nationkey bigint,
-    s_acctbal double``."""
+class _StagedFile(WriterCommitMessage):
+    """Commit message: the staged (invisible) file a task wrote plus its
+    row count.  ``staged`` is None for empty partitions (nothing to
+    publish).  Plain attributes, picklable by construction."""
+
+    def __init__(self, staged, n_rows: int):
+        self.staged = staged
+        self.n_rows = n_rows
+
+
+def _write_staged(path: str, spec, iterator) -> _StagedFile:
+    """Executor-side body shared by the batch and streaming writers:
+    encode every incoming Arrow RecordBatch with the vectorized matrix
+    kernel and append it (newline-framed) to ONE staged file whose name
+    starts with ``_`` — the reader's ``list_files`` filter makes staged
+    data invisible until the driver-side commit renames it, which is
+    what gives the writer its all-or-nothing visibility contract.
+    Staged names embed the task attempt id (unique across the app), so
+    retried/speculative attempts can never collide."""
+    import uuid as _uuid
+
+    import numpy as np
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    tag = (
+        f"{ctx.partitionId():05d}-{ctx.taskAttemptId()}"
+        if ctx is not None
+        else _uuid.uuid4().hex[:16]
+    )
+    staged = os.path.join(path, f"_staged-{tag}.txt")
+    n = 0
+    with open(staged, "wb") as fh:
+        for b in iterator:
+            if b.num_rows == 0:
+                continue
+            matrix = _encode_matrix(b, spec)
+            lines = np.hstack(
+                [matrix, np.full((len(matrix), 1), ord("\n"), dtype=np.uint8)]
+            )
+            fh.write(lines.tobytes())
+            n += b.num_rows
+    if n == 0:
+        os.remove(staged)
+        return _StagedFile(None, 0)
+    return _StagedFile(staged, n)
+
+
+class FixedWidthWriter(DataSourceArrowWriter):
+    """Batch writer — completes the connector's fourth quadrant
+    (read/batch + read/stream + write/stream done elsewhere), so
+    ``df.write.format("pmr_fixedwidth")`` works like any built-in sink
+    (VERDICT r7 task 2).
+
+    Arrow path deliberately (``DataSourceArrowWriter``): each task
+    receives ``pyarrow.RecordBatch`` objects and encodes them with the
+    same numpy matrix kernel the reader decodes with — no per-row
+    Python anywhere on the write path.
+
+    Commit protocol (the part a file sink must get right): tasks write
+    to ``_staged-*`` names the reader cannot see; ``commit`` runs ONCE
+    on the driver after every task succeeded and renames staged files
+    to ``part-NNNNN-<job>.txt`` (for overwrite mode it first removes
+    the previously-visible generation); ``abort`` deletes the staged
+    files.  A failed or half-finished job therefore never leaves a
+    partially-visible dataset — readers see the old generation or the
+    new one, nothing in between.  Same-filesystem note: rename-commit
+    assumes executors and driver share the target filesystem (true for
+    local[N] and shared mounts; an object-store deployment would stage
+    to a prefix and commit via manifest, same protocol shape)."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        import uuid as _uuid
+
+        self.path = options["path"]
+        self.spec = _parse_spec(options, schema)
+        self.overwrite = overwrite
+        self.job_id = _uuid.uuid4().hex[:12]
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> _StagedFile:
+        return _write_staged(self.path, self.spec, iterator)
+
+    def _cleanup_staged(self) -> None:
+        # Remove every leftover staged file (failed/speculative
+        # attempts whose messages never reached the driver).
+        for f in os.listdir(self.path):
+            if f.startswith("_staged-"):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass
+
+    def commit(self, messages) -> None:
+        staged = [m.staged for m in messages if m is not None and m.staged]
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".txt") and not f.startswith("_"):
+                    os.remove(os.path.join(self.path, f))
+        for i, s in enumerate(staged):
+            os.replace(s, os.path.join(self.path, f"part-{i:05d}-{self.job_id}.txt"))
+        self._cleanup_staged()
+
+    def abort(self, messages) -> None:
+        self._cleanup_staged()
+
+
+class FixedWidthStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink — ``df.writeStream.format("pmr_fixedwidth")``.
+
+    Per micro-batch: tasks stage exactly like the batch writer;
+    ``commit(messages, batchId)`` renames to DETERMINISTIC names
+    ``part-<batchId>-NNNNN.txt`` after first deleting any existing
+    files of that batchId — so a batch REPLAYED after a crash between
+    sink commit and checkpoint commit overwrites its own output
+    instead of duplicating it (idempotent-under-replay, the same
+    recipe the t8s foreachBatch sink uses with partition overwrite).
+    ``abort`` deletes that batch's staged files.  Batch-id ordering in
+    the final names also preserves ingest order for the streaming
+    reader, whose offsets are name-sorted file counts."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.path = options["path"]
+        self.spec = _parse_spec(options, schema)
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> _StagedFile:
+        return _write_staged(self.path, self.spec, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        prefix = f"part-{batchId:08d}-"
+        for f in os.listdir(self.path):
+            if f.startswith(prefix) and f.endswith(".txt"):
+                os.remove(os.path.join(self.path, f))
+        staged = [m.staged for m in messages if m is not None and m.staged]
+        for i, s in enumerate(staged):
+            os.replace(s, os.path.join(self.path, f"{prefix}{i:05d}.txt"))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.staged:
+                try:
+                    os.remove(m.staged)
+                except FileNotFoundError:
+                    pass
+
+
+def supplier_write_frame(spark, sf_dir: str):
+    """(supplier DataFrame in the fixed-width column layout, string hex
+    width ``w`` sized from the data) — shared by the mapInArrow helper
+    below and the s23 writer-API round-trip query."""
     import pyspark.sql.functions as F
 
     from projectmapreduce_spark.io import scan
@@ -518,6 +729,17 @@ def write_supplier_fixed_width(spark, sf_dir: str, path: str, n_files: int = 8):
         .collect()[0][0]
         or 1
     ) * 2
+    return sup, w
+
+
+def write_supplier_fixed_width(spark, sf_dir: str, path: str, n_files: int = 8):
+    """Write the supplier table as ``n_files`` fixed-width text files
+    (shared by the s20 batch and s21 streaming round-trip queries and
+    their tests).  Returns the data-sized string hex width ``w``; the
+    read spec is ``f"long,string:{w},long,double"`` with ddl
+    ``s_suppkey bigint, s_name string, s_nationkey bigint,
+    s_acctbal double``."""
+    sup, w = supplier_write_frame(spark, sf_dir)
     spec = [("long", 0), ("string", w), ("long", 0), ("double", 0)]
     (
         sup.repartition(n_files)

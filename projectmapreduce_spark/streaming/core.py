@@ -13,7 +13,12 @@ dropped, closed windows are evicted); `dropDuplicatesWithinWatermark`
 keeps only in-horizon keys; the stream-static join broadcasts the
 static dim per micro-batch.  On a real cluster add
 ``spark.sql.streaming.statefulOperator.stateRebalancing.enabled`` and
-RocksDB state store for 100 TB-day topics; both are config, not code.
+the RocksDB state store for 100 TB-day topics.  The RocksDB provider
+is exercised for real (not just recommended) by
+tests/test_streaming.py::test_rocksdb_state_store_restart: a paced
+session drain under ``RocksDBStateStoreProvider`` with a mid-stream
+kill-and-restart, provider engagement asserted from the rocksdb*
+custom metrics and recovered output hash-equal to batch.
 """
 
 from __future__ import annotations

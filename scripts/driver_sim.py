@@ -23,8 +23,17 @@ from pathlib import Path
 import duckdb
 from pyspark.sql import SparkSession
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+_REPO = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, _REPO)
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+# Executor-side Python workers unpickle classes (the DataSource
+# connector) BY REFERENCE, so the repo package must be importable in
+# the worker processes too.  With cwd == repo root that happens via
+# the '' sys.path entry; exporting PYTHONPATH makes driver_sim
+# cwd-independent (the local-mode workers inherit the JVM's env,
+# which inherits ours).  A real cluster ships the package with
+# --py-files / the image instead.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 import __spark_entry__ as entrymod
 from oracle_utils import _canon_frame, dtype_families  # strict, type-sensitive canon
@@ -112,6 +121,11 @@ def main() -> int:
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     names = args.names or sorted(qs)
+    if args.lane != "all" and args.names:
+        # ADVICE r7 item 2: the lane filter only applies to full-catalog
+        # sweeps; explicit names run regardless of lane, so say so
+        # instead of silently ignoring the flag.
+        print(f"[lane] WARNING: --lane {args.lane} ignored — explicit query names given")
     if args.lane != "all" and not args.names:
         from projectmapreduce_spark.queries import streaming_query_names
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 186 operator rows across 13 categories
+# The full §2 inventory: 190 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -27,6 +27,8 @@ SURVEY_IDS = {
     "S20",  # round-6: Python DataSource connector (fixed-width reader)
     "S21",  # round-6: Python STREAMING DataSource (offset-managed connector)
     "S22",  # round-7: CBO statistics-driven join reordering
+    "S23",  # round-8: Python DataSource WRITER (staged-rename commit/abort)
+    "S24",  # round-8: Python STREAMING SINK (idempotent per-batch commit)
     # §2.2 projection / filter
     "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
     # §2.3 joins
@@ -70,6 +72,7 @@ SURVEY_IDS = {
     "T9",  # round-3: hierarchical rollup from mergeable hourly partials
     "T10",  # round-3: gaps-and-islands burst detection (manual islands surface)
     "T11",  # round-6: gap-filling resample (hourly grid + forward fill)
+    "T12",  # round-8: chained multi-stateful streaming (agg + agg -> join)
     # §2.10 MR-heritage surface
     "M1", "M2", "M3", "M4", "M5", "M6", "M7", "M8",
     "M9",  # round-2: job counters
@@ -126,6 +129,7 @@ SURVEY_IDS = {
     "C23",  # round-6: SQL pipe syntax surface (|>, Spark 4)
     "C24",  # round-6: correlated LATERAL subquery (decorrelated per-row top-k)
     "C25",  # round-6: parameterized SQL (server-side bound placeholders)
+    "C26",  # round-8: session variables + EXECUTE IMMEDIATE
 }
 
 

@@ -814,3 +814,258 @@ def test_w11_funnel_ordering_and_window(spark, tmp_path):
     assert (out.n_view, out.n_click, out.n_purchase) == (4, 2, 1)
     assert out.click_lag_us == (1 + 10) * 3600 * 1_000_000
     assert out.purchase_lag_us == 1 * 3600 * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Round 8: Python DataSource WRITER (S23 batch / S24 streaming) — the
+# commit/abort semantics the s23/s24 hash oracles cannot see.
+# ---------------------------------------------------------------------------
+
+
+def test_writer_api_roundtrip_hostile(spark, tmp_path):
+    """df.write.format("pmr_fixedwidth") must round-trip the hostile
+    value classes (NULL per type, NaN/-0.0/±inf/denormal, min/max
+    int64, empty/newline/unicode strings) bit-exactly — the writer API
+    path, not the mapInArrow helper the older tests cover."""
+    from pyspark.sql import types as T
+
+    from projectmapreduce_spark.sources.fixed_width import register
+
+    rows = [
+        (1, "plain", 10, 1.5),
+        (2, None, -(2**63), float("nan")),
+        (3, "line\nbreak", 2**63 - 1, -0.0),
+        (4, "ünïcode ♥", None, float("inf")),
+        (5, "", 0, float("-inf")),
+        (6, " pad  ", -1, 5e-324),
+        (None, "nulls", 7, None),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("d", T.DoubleType()),
+        ]
+    )
+    w = max(len(s.encode("utf-8")) * 2 for _, s, _, _ in rows if s is not None)
+    spec = f"long,string:{w},long,double"
+    path = str(tmp_path / "writer_hostile")
+    register(spark)
+    df = spark.createDataFrame(rows, schema)
+    (
+        df.repartition(3)
+        .write.format("pmr_fixedwidth")
+        .option("path", path)
+        .option("spec", spec)
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("pmr_fixedwidth")
+        .option("path", path)
+        .option("spec", spec)
+        .option("ddl", "k bigint, s string, v bigint, d double")
+        .load()
+        .collect()
+    )
+
+    def canon(t):
+        # NaN != NaN; compare via repr which renders nan/-0.0 distinctly
+        return tuple(repr(x) for x in t)
+
+    assert sorted(canon(tuple(r)) for r in back) == sorted(canon(r) for r in rows)
+
+
+def test_writer_abort_leaves_nothing(spark, tmp_path):
+    """Commit protocol proof (VERDICT r7 task 2 done-criterion): a
+    write job with a failing task must (a) raise, (b) leave the
+    PREVIOUS generation fully visible and untouched — overwrite happens
+    inside commit, after all tasks succeed — and (c) leave zero staged
+    files behind."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from projectmapreduce_spark.sources.fixed_width import register
+
+    register(spark)
+    path = str(tmp_path / "writer_abort")
+    spec = "long,double"
+    ddl = "k bigint, d double"
+    old = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, d double")
+    (
+        old.write.format("pmr_fixedwidth")
+        .option("path", path)
+        .option("spec", spec)
+        .mode("overwrite")
+        .save()
+    )
+    gen0 = sorted(os.listdir(path))
+
+    @F.udf(T.DoubleType())
+    def boom(v):
+        raise RuntimeError("injected task failure")
+
+    bad = spark.createDataFrame([(9, 9.0)], "k long, d double").withColumn("d", boom("d"))
+    with pytest.raises(Exception):
+        (
+            bad.write.format("pmr_fixedwidth")
+            .option("path", path)
+            .option("spec", spec)
+            .mode("overwrite")
+            .save()
+        )
+    assert sorted(os.listdir(path)) == gen0, "failed overwrite must not touch the old generation"
+    back = (
+        spark.read.format("pmr_fixedwidth")
+        .option("path", path)
+        .option("spec", spec)
+        .option("ddl", ddl)
+        .load()
+        .collect()
+    )
+    assert sorted(tuple(r) for r in back) == [(1, 1.0), (2, 2.0)]
+
+
+def test_stream_writer_multibatch_and_replay_idempotent(spark, tmp_path):
+    """The streaming sink under a PACED source (filesPerTrigger=2 over
+    8 files → ≥4 micro-batches): every batch publishes deterministic
+    part-<batchId>-* names, the union of all batches equals the source
+    multiset, and a REPLAYED commit of the same batchId (the crash
+    window between sink commit and checkpoint commit) overwrites its
+    own files instead of duplicating rows."""
+    import os
+    import time
+
+    from projectmapreduce_spark.io import scan, scratch_path
+    from projectmapreduce_spark.sources.fixed_width import (
+        SUPPLIER_DDL,
+        FixedWidthStreamWriter,
+        _StagedFile,
+        register,
+        write_supplier_fixed_width,
+    )
+
+    src = scratch_path("s24_paced_src_test")
+    dst = str(tmp_path / "dst")
+    w = write_supplier_fixed_width(spark, SF_CORRECT, src)
+    spec = f"long,string:{w},long,double"
+    register(spark)
+    stream = (
+        spark.readStream.format("pmr_fixedwidth")
+        .option("path", src)
+        .option("spec", spec)
+        .option("filesPerTrigger", "2")
+        .option("ddl", SUPPLIER_DDL)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("pmr_fixedwidth")
+        .option("path", dst)
+        .option("spec", spec)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        n_sup = scan(spark, SF_CORRECT, "supplier").count()
+        while time.time() < deadline:
+            q.processAllAvailable()
+            visible = [f for f in os.listdir(dst) if f.endswith(".txt") and not f.startswith("_")]
+            batch_ids = {f.split("-")[1] for f in visible}
+            if len(batch_ids) >= 4:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    visible = sorted(f for f in os.listdir(dst) if f.endswith(".txt") and not f.startswith("_"))
+    batch_ids = {f.split("-")[1] for f in visible}
+    assert len(batch_ids) >= 4, f"paced drain should commit >= 4 micro-batches, saw {batch_ids}"
+    assert not any(f.startswith("_staged-") for f in os.listdir(dst))
+    back = (
+        spark.read.format("pmr_fixedwidth")
+        .option("path", dst)
+        .option("spec", spec)
+        .option("ddl", SUPPLIER_DDL)
+        .load()
+    )
+    want = sorted(
+        tuple(r)
+        for r in scan(spark, SF_CORRECT, "supplier")
+        .select("s_suppkey", "s_name", F.col("s_nationkey").cast("long"), "s_acctbal")
+        .collect()
+    )
+    assert sorted(tuple(r) for r in back.collect()) == want
+
+    # Replay: re-commit batch 0 with fresh staged files — the sink must
+    # REPLACE batch 0's output (same deterministic names), not append.
+    from pyspark.sql.types import StructType
+
+    opts = {"path": dst, "spec": spec}
+    wtr = FixedWidthStreamWriter(
+        opts, spark.createDataFrame([], SUPPLIER_DDL).schema, overwrite=False
+    )
+    replay = os.path.join(dst, "_staged-replay.txt")
+    batch0 = [f for f in visible if f.startswith("part-00000000-")]
+    content = "".join(
+        open(os.path.join(dst, f)).read() for f in sorted(batch0)
+    )
+    with open(replay, "w") as fh:
+        fh.write(content)
+    wtr.commit([_StagedFile(replay, content.count("\n"))], 0)
+    back2 = (
+        spark.read.format("pmr_fixedwidth")
+        .option("path", dst)
+        .option("spec", spec)
+        .option("ddl", SUPPLIER_DDL)
+        .load()
+    )
+    assert sorted(tuple(r) for r in back2.collect()) == want, "replayed batch must not duplicate"
+
+
+def test_fixed_width_rejects_corrupt_input(spark, tmp_path):
+    """ADVICE r7 items 1+4: the vectorized reader must REFUSE corrupt
+    files loudly — stray trailing bytes (span misalignment) and
+    non-lowercase-hex bytes both previously decoded to garbage numbers
+    silently."""
+    import os
+
+    from projectmapreduce_spark.sources.fixed_width import register
+
+    register(spark)
+    path = str(tmp_path / "corrupt")
+    spec = "long,double"
+    ddl = "k bigint, d double"
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], "k long, d double")
+    (
+        df.coalesce(1)
+        .write.format("pmr_fixedwidth")
+        .option("path", path)
+        .option("spec", spec)
+        .mode("overwrite")
+        .save()
+    )
+    part = [f for f in os.listdir(path) if not f.startswith("_")][0]
+    reader = (
+        spark.read.format("pmr_fixedwidth")
+        .option("path", path)
+        .option("spec", spec)
+        .option("ddl", ddl)
+    )
+    assert reader.load().count() == 3
+
+    # (a) stray trailing garbage -> span misalignment must raise
+    with open(os.path.join(path, part), "ab") as fh:
+        fh.write(b"garbage")
+    with pytest.raises(Exception, match="not a multiple of the record span|truncated"):
+        reader.load().collect()
+    # restore alignment, then (b) corrupt one byte to uppercase hex
+    size = os.path.getsize(os.path.join(path, part)) - len(b"garbage")
+    with open(os.path.join(path, part), "r+b") as fh:
+        fh.truncate(size)
+        fh.seek(3)
+        fh.write(b"A")
+    with pytest.raises(Exception, match="invalid byte|lowercase hex"):
+        reader.load().collect()
