@@ -251,6 +251,9 @@ HEADLINE = [
     # state-store/sink machinery, fully hash-checked in CORRECTNESS).
     "s23_datasource_writer",
     "c26_session_variables",
+    # s25 prices the pushdown path: the Arrow mask halves what crosses
+    # the Python->JVM boundary on a selective scan.
+    "s25_datasource_pushdown",
 ]
 
 

@@ -43,9 +43,18 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 
 
 def scratch_path(name: str) -> str:
-    """Return ``<repo>/.scratch/<name>``, creating the scratch root."""
-    os.makedirs(_SCRATCH, exist_ok=True)
-    return os.path.join(_SCRATCH, name)
+    """Return ``<scratch_root>/<name>``, creating the scratch root.
+
+    The root defaults to ``<repo>/.scratch`` and can be redirected with
+    ``$SPARK_GRAFT_SCRATCH`` (read per call, not at import).  The
+    override exists because scratch names are FIXED per query — one
+    process re-running a query overwrites its own path safely, but two
+    CONCURRENT sweeps (e.g. two driver_sim tiers in parallel) would
+    race on the same ``_temporary`` dirs and fail or cross-read;
+    pointing each sweep at its own root makes parallel sweeps safe."""
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", _SCRATCH)
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, name)
 
 
 def hadoop_fs(spark: SparkSession, path: str):

@@ -1013,6 +1013,73 @@ def s23_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s25_datasource_pushdown",
+    oracle="""
+SELECT s_nationkey::BIGINT AS s_nationkey,
+       count(*)::BIGINT AS n_suppliers,
+       round(sum(CAST(round(s_acctbal, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS total_bal
+FROM supplier
+WHERE s_nationkey BETWEEN 5 AND 14
+  AND s_acctbal > 1000
+  AND s_name LIKE 'Supplier%'
+GROUP BY 1
+""",
+    survey="S25,S20,P4",
+    category="io",
+)
+def s25_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S25: FILTER PUSHDOWN through the Python DataSource API
+    (Spark 4.1 ``DataSourceReader.pushFilters``) — the last connector
+    hook the fixed-width source left unexercised.  The reader accepts
+    conjunctive comparisons / IN / null tests / string prefix-suffix-
+    contains on top-level fields and applies them as ONE vectorized
+    Arrow mask inside ``read()``, so only matching rows cross the
+    Python→JVM boundary; unsupported filters are yielded back and stay
+    in Spark's plan.
+
+    The correctness stakes are higher than a normal filter: when a
+    source ACCEPTS a filter, Catalyst REMOVES it from the plan (pinned
+    in tests/test_new_surfaces.py — no Filter node above the scan), so
+    a source that keeps or drops one wrong row produces silently wrong
+    results no engine check would catch.  That is exactly what this
+    query's hash oracle decides: the pushed-scan aggregate must equal
+    DuckDB's over the original table with the same WHERE.  Conf note:
+    ``spark.sql.python.filterPushdown.enabled`` is a session default
+    (session.py) — Spark 4.1 refuses to plan a pushFilters-implementing
+    reader with it off, so per-query scoping would break every other
+    read of the source."""
+    from projectmapreduce_spark.sources.fixed_width import (
+        SUPPLIER_DDL,
+        register,
+        write_supplier_fixed_width,
+    )
+
+    path = _p("s25_pushdown_src")
+    w = write_supplier_fixed_width(spark, sf_dir, path)
+    register(spark)
+    back = (
+        spark.read.format("pmr_fixedwidth")
+        .option("path", path)
+        .option("spec", f"long,string:{w},long,double")
+        .option("ddl", SUPPLIER_DDL)
+        .load()
+    )
+    out = (
+        back.filter(
+            F.col("s_nationkey").between(5, 14)
+            & (F.col("s_acctbal") > 1000)
+            & F.col("s_name").startswith("Supplier")
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            money_sum("s_acctbal").alias("total_bal"),
+        )
+    )
+    return out
+
+
+@query(
     "s22_cbo_join_reorder",
     oracle="""
 SELECT p_brand AS p_brand,

@@ -29,6 +29,13 @@ _RUNTIME_CONF = {
     # ~0.5 s on wide plan builds (profiled: _capture_call_site); the
     # engine's own errors carry enough context.
     "spark.python.sql.dataFrameDebugging.enabled": "false",
+    # The fixed-width connector implements DataSourceReader.pushFilters
+    # (S25); Spark 4.1 REFUSES to plan a reader that implements the
+    # hook while this conf is off (DATA_SOURCE_PUSHDOWN_DISABLED), so
+    # it is a session default, not per-query scoping.  It only gates
+    # Python-source pushdown — JVM sources and filterless reads plan
+    # identically either way.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Streaming stateful operators key their state store on the shuffle
     # partition count and AQE does not coalesce them — 200 near-empty
     # state tasks per micro-batch on local fixtures.  Batch plans are
@@ -127,5 +134,14 @@ def get_spark(
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     else:
         builder = builder.config("spark.sql.shuffle.partitions", "32")
+    # Parallel-process isolation: when $SPARK_GRAFT_SCRATCH redirects
+    # io.scratch_path, redirect the managed-table warehouse with it —
+    # concurrent harness processes (sweeps, bench, plan reports) would
+    # otherwise race on the shared spark-warehouse/ directory.
+    if os.environ.get("SPARK_GRAFT_SCRATCH"):
+        builder = builder.config(
+            "spark.sql.warehouse.dir",
+            os.path.join(os.environ["SPARK_GRAFT_SCRATCH"], "warehouse"),
+        )
     spark = builder.getOrCreate()
     return ensure_session_conf(spark)

@@ -47,7 +47,20 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -163,6 +176,132 @@ class FixedWidthReader(DataSourceReader):
         self.split_bytes = int(options.get("splitSizeBytes", str(32 << 20)))
         self.record_width = sum(w for _, w in self.spec)
         self.span = self.record_width + 1  # + newline
+        # Filters accepted by pushFilters, applied inside read() so
+        # Spark's own Filter node can drop them from the plan.
+        self.pushed: list[Filter] = []
+
+    # -- filter pushdown (Spark 4.1 DataSourceReader.pushFilters) -----
+
+    _PUSHABLE = (
+        EqualTo,
+        EqualNullSafe,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+        In,
+        IsNull,
+        IsNotNull,
+        StringStartsWith,
+        StringEndsWith,
+        StringContains,
+    )
+
+    def _filter_supported(self, f: Filter) -> bool:
+        if not isinstance(f, self._PUSHABLE):
+            return False
+        attr = f.attribute
+        if len(attr) != 1 or attr[0] not in self.names:
+            return False  # nested paths can't exist in a flat record
+        return True
+
+    def pushFilters(self, filters):
+        """Accept the conjunctive filters this source can evaluate
+        (comparisons / IN / null tests on top-level fields) and yield
+        the rest back to Spark.  Accepted filters are applied
+        VECTORIZED inside ``read()`` — rows are dropped before the
+        Arrow batch crosses into the JVM, so a selective scan ships
+        (and deserializes, and processes upstream) only matching rows.
+        A fixed-width record must be byte-decoded either way (no skip
+        index), so the win is transfer + downstream volume, not IO —
+        exactly what the API's contract promises for a Python source.
+        Spark REMOVES accepted filters from its own plan, which makes
+        correctness observable: the s25 oracle hash-fails if this
+        source keeps or drops one wrong row."""
+        for f in filters:
+            if self._filter_supported(f):
+                self.pushed.append(f)
+            else:
+                yield f
+
+    def _filter_mask(self, batch):
+        """AND-combined pyarrow boolean mask for the pushed filters
+        over a decoded RecordBatch (SQL semantics: a comparison with
+        NULL is null → row dropped by ``filter``)."""
+        import pyarrow.compute as pc
+
+        mask = None
+        for f in self.pushed:
+            col = batch.column(f.attribute[0])
+            if isinstance(f, IsNull):
+                m = pc.is_null(col)
+            elif isinstance(f, IsNotNull):
+                m = pc.is_valid(col)
+            elif isinstance(f, EqualNullSafe):
+                m = (
+                    pc.is_null(col)
+                    if f.value is None
+                    else pc.and_kleene(pc.is_valid(col), pc.equal(col, f.value))
+                )
+            elif isinstance(f, EqualTo):
+                m = pc.equal(col, f.value)
+            elif isinstance(f, GreaterThan):
+                m = pc.greater(col, f.value)
+            elif isinstance(f, GreaterThanOrEqual):
+                m = pc.greater_equal(col, f.value)
+            elif isinstance(f, LessThan):
+                m = pc.less(col, f.value)
+            elif isinstance(f, LessThanOrEqual):
+                m = pc.less_equal(col, f.value)
+            elif isinstance(f, StringStartsWith):
+                m = pc.starts_with(col, pattern=f.value)
+            elif isinstance(f, StringEndsWith):
+                m = pc.ends_with(col, pattern=f.value)
+            elif isinstance(f, StringContains):
+                m = pc.match_substring(col, pattern=f.value)
+            else:  # In
+                import pyarrow as pa
+
+                m = pc.is_in(col, value_set=pa.array(list(f.value), col.type))
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        return mask
+
+    def _row_predicate(self):
+        """The rowwise twin of _filter_mask (reference decode path)."""
+
+        def _one(f, v):
+            if isinstance(f, IsNull):
+                return v is None
+            if isinstance(f, IsNotNull):
+                return v is not None
+            if isinstance(f, EqualNullSafe):
+                return v == f.value if f.value is not None else v is None
+            if v is None:
+                return False
+            if isinstance(f, EqualTo):
+                return v == f.value
+            if isinstance(f, GreaterThan):
+                return v > f.value
+            if isinstance(f, GreaterThanOrEqual):
+                return v >= f.value
+            if isinstance(f, LessThan):
+                return v < f.value
+            if isinstance(f, LessThanOrEqual):
+                return v <= f.value
+            if isinstance(f, StringStartsWith):
+                return v.startswith(f.value)
+            if isinstance(f, StringEndsWith):
+                return v.endswith(f.value)
+            if isinstance(f, StringContains):
+                return f.value in v
+            return v in set(f.value)  # In
+
+        idx = {n: i for i, n in enumerate(self.names)}
+
+        def pred(row: tuple) -> bool:
+            return all(_one(f, row[idx[f.attribute[0]]]) for f in self.pushed)
+
+        return pred
 
     def list_files(self) -> list[str]:
         return [
@@ -218,8 +357,12 @@ class FixedWidthReader(DataSourceReader):
         if n == 0:
             return
         if self.vectorized:
-            yield _decode_batch_arrow(blob, n, self.span, self.spec, self.names)
+            batch = _decode_batch_arrow(blob, n, self.span, self.spec, self.names)
+            if self.pushed:
+                batch = batch.filter(self._filter_mask(batch))
+            yield batch
             return
+        pred = self._row_predicate() if self.pushed else None
         decoders = []
         off = 0
         for t, w in self.spec:
@@ -233,7 +376,9 @@ class FixedWidthReader(DataSourceReader):
             off = hi
         for i in range(n):
             line = blob[i * self.span : (i + 1) * self.span - 1].decode("ascii")
-            yield tuple(d(line) for d in decoders)
+            row = tuple(d(line) for d in decoders)
+            if pred is None or pred(row):
+                yield row
 
 
 def _hex_nibbles(mat):

@@ -89,17 +89,35 @@ def main() -> int:
         "keeps the FULL catalog inside a recorded per-tier budget "
         "instead of truncating mid-sweep",
     )
+    ap.add_argument(
+        "--skip",
+        action="append",
+        default=[],
+        help="query names to EXCLUDE from a sweep, printed so the "
+        "exclusion is recorded (e.g. m11_triangle_count on the skew "
+        "tier, whose near-complete co-supply graph makes the exact "
+        "count a documented resource-refusal case — BASELINE.md note)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
-    spark = (
+    builder = (
         SparkSession.builder.master(args.master)
         .appName("driver-sim")
         .config("spark.sql.session.timeZone", args.hostile_tz)
         .config("spark.driver.memory", args.driver_mem)
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # Parallel-sweep isolation: when $SPARK_GRAFT_SCRATCH redirects the
+    # query scratch root (io.scratch_path), redirect the managed-table
+    # warehouse with it — sink_managed queries (s22) would otherwise
+    # race on the shared spark-warehouse/ directory across processes.
+    if os.environ.get("SPARK_GRAFT_SCRATCH"):
+        builder = builder.config(
+            "spark.sql.warehouse.dir",
+            os.path.join(os.environ["SPARK_GRAFT_SCRATCH"], "warehouse"),
+        )
+    spark = builder.getOrCreate()
 
     # --- smoke ---
     t0 = time.time()
@@ -113,6 +131,15 @@ def main() -> int:
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{args.duck_mem}'")
     con.execute("SET threads=8")
+    # DuckDB's default spill dir is the CWD-relative ".tmp/" — two
+    # concurrent driver_sims (parallel tier sweeps) share it and one
+    # process's cleanup deletes the other's live temp file, crashing
+    # the survivor with an uncaught IO exception (observed killing a
+    # 111-query hostile sweep mid-run).  A pid-unique dir isolates
+    # each process's spill.
+    duck_tmp = os.path.join(".tmp", f"duck_{os.getpid()}")
+    os.makedirs(duck_tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{duck_tmp}'")
     for t in TABLES:
         # Driver fixtures are single files; Spark-written tiers (the
         # sf1 synth data) are directories of part files — glob those.
@@ -132,6 +159,10 @@ def main() -> int:
         drains = streaming_query_names()
         names = [n for n in names if (n in drains) == (args.lane == "streaming")]
         print(f"[lane] {args.lane}: {len(names)} queries")
+    if args.skip:
+        skipped = [n for n in names if n in set(args.skip)]
+        names = [n for n in names if n not in set(args.skip)]
+        print(f"[skip] excluded {len(skipped)}: {' '.join(skipped)}")
     if args.sample and not args.names:
         import random
 

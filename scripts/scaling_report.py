@@ -129,6 +129,14 @@ QUERY_SET = [
     "x8_polymorphic_udtf",
     "f15_fuzzy_match",
     "l30_corpus_funnel",
+    # round-8 additions: the connector writer and pushdown round-trips
+    # (vectorized encode/mask — linear by construction; the exponents
+    # verify the staged-rename commit and the Arrow mask add no
+    # per-file or per-row driver overhead) and the session-variable
+    # surface (plans identically to c25's parameterized scan)
+    "s23_datasource_writer",
+    "s25_datasource_pushdown",
+    "c26_session_variables",
 ]
 
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 190 operator rows across 13 categories
+# The full §2 inventory: 191 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -29,6 +29,7 @@ SURVEY_IDS = {
     "S22",  # round-7: CBO statistics-driven join reordering
     "S23",  # round-8: Python DataSource WRITER (staged-rename commit/abort)
     "S24",  # round-8: Python STREAMING SINK (idempotent per-batch commit)
+    "S25",  # round-8: Python DataSource filter pushdown (pushFilters)
     # §2.2 projection / filter
     "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
     # §2.3 joins

@@ -1069,3 +1069,122 @@ def test_fixed_width_rejects_corrupt_input(spark, tmp_path):
         fh.write(b"A")
     with pytest.raises(Exception, match="invalid byte|lowercase hex"):
         reader.load().collect()
+
+
+def test_pushdown_removes_filter_node_and_stays_correct(spark, tmp_path):
+    """S25 plan proof: when every conjunct is accepted by pushFilters,
+    Catalyst REMOVES the Filter node above the Python scan — so
+    correctness rests entirely on the source's mask.  Both decode
+    paths (vectorized Arrow mask, rowwise predicate) must agree with
+    the unpushed baseline row-for-row, including NULL semantics
+    (comparison with NULL drops the row; IsNull keeps it)."""
+    from pyspark.sql import types as T
+
+    from projectmapreduce_spark.sources.fixed_width import register
+
+    register(spark)
+    rows = [
+        (1, "alpha", 10, 1.5),
+        (2, None, 5, None),
+        (3, "alphabet", None, -2.0),
+        (4, "beta", 20, 3.0),
+        (5, "al", 30, 0.0),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("d", T.DoubleType()),
+        ]
+    )
+    w = max(len(s.encode()) * 2 for _, s, _, _ in rows if s) or 2
+    spec = f"long,string:{w},long,double"
+    path = str(tmp_path / "pushdown")
+    df = spark.createDataFrame(rows, schema)
+    (
+        df.write.format("pmr_fixedwidth")
+        .option("path", path)
+        .option("spec", spec)
+        .mode("overwrite")
+        .save()
+    )
+
+    def load(vectorized=True):
+        return (
+            spark.read.format("pmr_fixedwidth")
+            .option("path", path)
+            .option("spec", spec)
+            .option("vectorized", str(vectorized).lower())
+            .option("ddl", "k bigint, s string, v bigint, d double")
+            .load()
+        )
+
+    cond = (
+        F.col("s").startswith("al")
+        & (F.col("v") >= 10)
+        & F.col("d").isNotNull()
+    )
+    pushed = load(True).filter(cond)
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert not re.search(r"\bFilter \(", plan), (
+        f"all conjuncts pushable, Filter node must vanish:\n{plan}"
+    )
+    expect = sorted(tuple(r) for r in df.filter(cond).collect())
+    assert sorted(tuple(r) for r in pushed.collect()) == expect
+    assert sorted(tuple(r) for r in load(False).filter(cond).collect()) == expect
+    # IsNull pushdown keeps exactly the null rows
+    assert [r["k"] for r in load(True).filter(F.col("v").isNull()).collect()] == [3]
+
+
+def test_pushdown_yields_unsupported_filters_back(spark, tmp_path):
+    """A conjunct the source cannot evaluate must be yielded back:
+    the plan keeps a Filter node for the residual, the supported
+    conjuncts still vanish, and results match the unpushed
+    computation."""
+    from projectmapreduce_spark.sources.fixed_width import (
+        FixedWidthReader,
+        register,
+    )
+    from pyspark.sql.datasource import EqualTo, StringStartsWith
+
+    register(spark)
+    path = str(tmp_path / "p2")
+    df = spark.createDataFrame(
+        [(1, "aXb", 1.0), (2, "ayb", 2.0), (3, "aXc", 3.0)], "k long, s string, d double"
+    )
+    spec = "long,string:6,double"
+    (
+        df.write.format("pmr_fixedwidth")
+        .option("path", path)
+        .option("spec", spec)
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("pmr_fixedwidth")
+        .option("path", path)
+        .option("spec", spec)
+        .option("ddl", "k bigint, s string, d double")
+        .load()
+    )
+    # Catalyst decomposes LIKE 'a%b' into StartsWith('a') AND
+    # EndsWith('b') (both pushed) AND a length(s) >= 2 residual the
+    # source cannot express — the residual must survive as a Filter
+    # node while the pushable conjuncts vanish into the scan.
+    q = back.filter(F.col("s").like("a%b") & (F.col("k") > 0))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"\bFilter \(length", plan), plan
+    assert sorted(r["k"] for r in q.collect()) == [1, 2]
+
+    # API-level: pushFilters returns exactly the unsupported subset
+    rdr = FixedWidthReader({"path": path, "spec": spec}, back.schema)
+    unsupported = list(
+        rdr.pushFilters([EqualTo(("k",), 1), StringStartsWith(("missing",), "a")])
+    )
+    assert [type(f).__name__ for f in unsupported] == ["StringStartsWith"]
+    assert [type(f).__name__ for f in rdr.pushed] == ["EqualTo"]
