@@ -528,6 +528,103 @@ def t12_multi_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t13_agg_after_agg",
+    oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, event_type,
+         count(*)::BIGINT AS n_hourly
+  FROM events GROUP BY 1, 2
+)
+SELECT date_trunc('day', hr) AS day, event_type,
+       sum(n_hourly)::BIGINT AS n_events,
+       count(*)::BIGINT AS n_hours,
+       max(n_hourly)::BIGINT AS peak_hour
+FROM h GROUP BY 1, 2
+""",
+    survey="T12,T1,T9",
+    category="streaming",
+)
+def t13_agg_after_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12's second shape: AGGREGATE-AFTER-AGGREGATE in one streaming
+    query — hourly windowed counts re-aggregated into daily windows by
+    a SECOND stateful aggregation over the first's emitted ``window``
+    column (``F.window(F.col("window"), "1 day")``, the chained
+    time-window aggregation Spark supports since 3.4).  Together with
+    t12 (agg+agg→join) the state-shape gate now sees both documented
+    multi-stateful compositions.
+
+    Semantics under the paced replay: the HOURLY aggregate emits a
+    window only once the watermark passes its end (append mode), so
+    daily state receives finalized hourly rows incrementally across
+    micro-batches and must keep its own windows open until the
+    watermark passes the DAY boundary — two stateful operators whose
+    emission cadences differ by 24×, which is what makes this shape a
+    distinct test from t12's equal-granularity join.  The flush
+    sentinel closes the final day; sentinel residue is excluded
+    upstream (user_id filter AFTER the watermark node, so the sentinel
+    still advances the clock but never enters the aggregation).
+    peak_hour (max over the hourly counts) additionally proves the
+    daily state holds real per-hour values, not just a running sum."""
+    import shutil
+
+    from projectmapreduce_spark.streaming import (
+        append_watermark_flush_file,
+        materialize_paced_replay,
+    )
+
+    scratch = materialize_paced_replay(spark, sf_dir, n_chunks=8)
+    try:
+        # TWO flush files at strictly later event times: chained
+        # stateful aggregates want one flush level per stage (hourly
+        # finalizes, THEN daily ingests and finalizes) — the second
+        # sentinel guarantees the margin whatever the batch/no-data
+        # cadence.
+        append_watermark_flush_file(spark, scratch, delta="20 days")
+        append_watermark_flush_file(spark, scratch, delta="40 days")
+        #
+        # SENTINEL-EXCLUSION TRAP (found live, 145/150 rows): a plain
+        # pre-aggregation `filter(user_id >= 0)` gets PUSHED DOWN
+        # through the EventTimeWatermark node into the parquet scan,
+        # where row-group stats skip the sentinel file whole — the
+        # sentinel rows then never reach the watermark operator, the
+        # clock never passes the last day's end, and the final day per
+        # event_type is silently withheld.  (t7o/t12 never hit this
+        # because their sentinels deliberately PASS the event_type
+        # filters.)  So: no pre-agg filter at all — the sentinels flow
+        # through BOTH aggregations (advancing the watermark at the
+        # source), and a marker aggregated alongside (min user_id per
+        # window; sentinel windows are 20/40 days from any real event,
+        # so they never mix with real groups) drops them at the END,
+        # where a filter on an aggregate output cannot be pushed past
+        # the aggregation.
+        wm = with_watermark(read_events_stream(spark, scratch))
+        hourly = wm.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+            F.count(F.lit(1)).alias("n_hourly"),
+            F.min("user_id").alias("min_uid"),
+        )
+        daily = (
+            hourly.groupBy(F.window(F.col("window"), "1 day"), "event_type")
+            .agg(
+                F.sum("n_hourly").alias("n_events"),
+                F.count(F.lit(1)).alias("n_hours"),
+                F.max("n_hourly").alias("peak_hour"),
+                F.min("min_uid").alias("min_uid"),
+            )
+            .filter(F.col("min_uid") >= 0)
+            .select(
+                F.col("window.start").alias("day"),
+                "event_type",
+                "n_events",
+                "n_hours",
+                "peak_hour",
+            )
+        )
+        return _drain(spark, daily, "append")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
     "s24_python_stream_sink",
     oracle="""
 SELECT s_nationkey::BIGINT AS s_nationkey,
