@@ -535,7 +535,7 @@ WITH h AS (
          count(*)::BIGINT AS n_hourly
   FROM events GROUP BY 1, 2
 )
-SELECT date_trunc('day', hr) AS day, event_type,
+SELECT date_trunc('day', hr)::TIMESTAMP AS day, event_type,
        sum(n_hourly)::BIGINT AS n_events,
        count(*)::BIGINT AS n_hours,
        max(n_hourly)::BIGINT AS peak_hour
