@@ -1458,3 +1458,80 @@ def c26_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "EXECUTE IMMEDIATE pmr_stmt USING (pmr_bal_floor AS floor, 'FURNITURE' AS seg)"
     )
+
+
+_C27_AVG = (
+    "CAST(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))) AS DOUBLE) / count(*)"
+)
+
+
+@query(
+    "c27_sql_scripting",
+    oracle=f"""
+WITH t0 AS (SELECT {_C27_AVG} AS thr FROM orders),
+     t1 AS (SELECT {_C27_AVG} AS thr FROM orders, t0 WHERE o_totalprice > t0.thr),
+     t2 AS (SELECT {_C27_AVG} AS thr FROM orders, t1 WHERE o_totalprice > t1.thr),
+     t3 AS (SELECT {_C27_AVG} AS thr FROM orders, t2 WHERE o_totalprice > t2.thr)
+SELECT CAST(3 AS INT)                       AS n_iters,
+       round(t3.thr, 2)                     AS thr,
+       (SELECT count(*) FROM orders, t3 WHERE o_totalprice > t3.thr) AS n_above,
+       CASE WHEN (SELECT count(*) FROM orders, t3 WHERE o_totalprice > t3.thr)
+                 * 10 < (SELECT count(*) FROM orders)
+            THEN 'tail' ELSE 'bulk' END     AS band
+FROM t3
+""",
+    survey="C27",
+    category="composite",
+)
+def c27_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27: SQL scripting (Spark 4.1, ``spark.sql.scripting.enabled``)
+    — procedural control flow INSIDE the SQL surface: ``BEGIN ... END``
+    compound statements with scripted ``DECLARE`` locals, a ``WHILE``
+    loop whose body re-runs data-dependent statements, and ``IF /
+    ELSE`` branching on a queried value.  This is the third
+    parameterization idiom after C25 (bound placeholders) and C26
+    (session variables): the ETL-migration surface for warehouse
+    procedures (Teradata BTEQ / T-SQL / PL/SQL bodies) without a
+    driver-language round-trip per statement.
+
+    The script computes an ITERATIVE trimmed threshold: thr_0 = mean
+    order price, thr_{i+1} = mean price of orders ABOVE thr_i, three
+    refinements — a genuinely sequential computation (each iteration's
+    filter depends on the previous result) that single-statement SQL
+    must UNROLL, which is exactly what the oracle does with chained
+    CTEs.  Each loop body statement is one scan+aggregate job; the
+    loop itself is driver-side control flow over tiny scalars, so at
+    100 TB the cost is 4 aggregate passes (each a normal partial-agg
+    scan), never a driver-side data structure.
+
+    Exactness discipline: each mean is an exact DECIMAL(20,4) sum cast
+    to DOUBLE, divided by an exact count — ONE float division of
+    identical inputs per iteration, so the thresholds (and therefore
+    the filtered row sets) are bit-identical across engines; the loop
+    emits its own counter so the row proves the loop actually ran."""
+    scan(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 0.0;
+          DECLARE i INT DEFAULT 0;
+          DECLARE n_above BIGINT DEFAULT 0;
+          DECLARE n_total BIGINT DEFAULT 0;
+          DECLARE band STRING DEFAULT '';
+          SET thr = (SELECT {_C27_AVG} FROM orders);
+          WHILE i < 3 DO
+            SET thr = (SELECT {_C27_AVG} FROM orders WHERE o_totalprice > thr);
+            SET i = i + 1;
+          END WHILE;
+          SET n_above = (SELECT count(*) FROM orders WHERE o_totalprice > thr);
+          SET n_total = (SELECT count(*) FROM orders);
+          IF n_above * 10 < n_total THEN
+            SET band = 'tail';
+          ELSE
+            SET band = 'bulk';
+          END IF;
+          SELECT i AS n_iters, round(thr, 2) AS thr, n_above, band;
+        END
+        """
+    )

@@ -131,6 +131,7 @@ SURVEY_IDS = {
     "C24",  # round-6: correlated LATERAL subquery (decorrelated per-row top-k)
     "C25",  # round-6: parameterized SQL (server-side bound placeholders)
     "C26",  # round-8: session variables + EXECUTE IMMEDIATE
+    "C27",  # round-8: SQL scripting (BEGIN...END compound statements)
 }
 
 
