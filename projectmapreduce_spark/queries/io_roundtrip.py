@@ -1159,3 +1159,65 @@ def s22_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", prev_reorder)
     return out
+
+
+@query(
+    "s26_metadata_columns",
+    oracle="""
+SELECT lang,
+       count(*)            AS n_rows,
+       CAST(1 AS BIGINT)   AS n_files,
+       count(*)            AS rows_by_index,
+       count(*)            AS n_path_match,
+       TRUE                AS files_sized
+FROM documents
+GROUP BY lang
+""",
+    survey="S26",
+    category="io",
+)
+def s26_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S26: hidden file-metadata columns — every file-source scan
+    exposes `_metadata` (file_path, file_name, file_size, row_index,
+    file_modification_time) as a struct column populated BY THE SCAN
+    at zero extra I/O (constant per file, attached during planning).
+    This is the lineage/audit surface a 100 TB lake job leans on:
+    which physical file produced a bad row, incremental processing by
+    file identity, and per-file row accounting without a manifest.
+
+    The query writes documents partitioned by lang (repartition(lang)
+    first, so each hive directory holds exactly ONE file — a lang maps
+    to one shuffle partition), reads it back, and audits the layout
+    from `_metadata` alone: per lang the file count, the row count by
+    max(row_index)+1 (contiguity within a single file), and agreement
+    between the partition value EXTRACTED FROM THE PATH and the
+    decoded partition column (NULL decodes from the hive default
+    partition, hence the coalesce).  Every audit column must reproduce
+    plain batch counts, which is what the oracle checks."""
+    docs = scan(spark, sf_dir, "documents").select("doc_id", "lang")
+    path = _p("s26_docs_bylang")
+    (
+        docs.repartition("lang")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        "lang",
+        F.regexp_extract(F.col("_metadata.file_path"), r"lang=([^/]+)/", 1).alias(
+            "path_lang"
+        ),
+        F.col("_metadata.file_name").alias("fn"),
+        F.col("_metadata.file_size").alias("fs"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("fn").alias("n_files"),
+        (F.max("ri") + F.lit(1)).alias("rows_by_index"),
+        F.count_if(
+            F.col("path_lang")
+            == F.coalesce(F.col("lang"), F.lit("__HIVE_DEFAULT_PARTITION__"))
+        ).alias("n_path_match"),
+        (F.min("fs") > F.lit(0)).alias("files_sized"),
+    )

@@ -758,3 +758,67 @@ def s21_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum("s_acctbal").alias("total_bal"),
     )
     return _drain(spark, agg, "complete")
+
+
+@query(
+    "t14_state_reader",
+    oracle="""
+SELECT 'stateStoreSave'                AS op_name,
+       date_trunc('hour', ts)          AS win_start,
+       event_type,
+       count(*)                        AS n_events,
+       round(sum(value), 2)            AS sum_value
+FROM events GROUP BY 2, 3
+""",
+    survey="T14",
+    category="streaming",
+)
+def t14_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14: state-store INTROSPECTION (Spark 4 State Data Source) —
+    the checkpoint's state store read back as an ordinary DataFrame:
+    ``spark.read.format("statestore").load(ckpt)`` returns the live
+    (key, value) rows of a stateful operator, and
+    ``format("state-metadata")`` enumerates the checkpoint's operators
+    (name, store, partition count, batch range).  This is the
+    streaming-ops surface a production pipeline needs at 100 TB of
+    state: inspect what a stuck query is actually holding, audit
+    watermark eviction, and debug skewed state partitions WITHOUT
+    stopping the query or adding instrumentation — state lives in
+    per-partition stores, and this source plans one read task per
+    state partition (no driver collect of state).
+
+    The query drains an hourly windowed aggregate (complete mode, no
+    watermark, so state retains every window) and then answers FROM
+    THE STATE STORE ALONE: each state row's key is the (window,
+    event_type) group, its value the running (count, sum) — for a
+    fully-drained finite source these must equal the batch aggregate
+    exactly, which is what the hash oracle checks.  ``op_name`` comes
+    from the state-metadata source, pinning the documented operator
+    name of a streaming aggregation's state commit."""
+    name = "pmrt14_" + uuid.uuid4().hex[:12]
+    ckpt = f"/tmp/pmr_stream_ckpt/{name}"
+    stream = read_events_stream(spark, sf_dir)
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("sum_raw")
+    )
+    run_available_now(agg, ckpt, output_mode="complete", query_name=name)
+    meta = (
+        spark.read.format("state-metadata")
+        .load(ckpt)
+        .select(F.col("operatorName").alias("op_name"))
+        .limit(1)
+    )
+    state = (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .select(
+            F.col("key.window.start").alias("win_start"),
+            F.col("key.event_type").alias("event_type"),
+            # State value fields are named by the PHYSICAL aggregate
+            # (`count`, `sum`), not the query aliases — the store
+            # persists the unresolved aggregation buffer schema.
+            F.col("value.count").alias("n_events"),
+            F.round(F.col("value.sum"), 2).alias("sum_value"),
+        )
+    )
+    return state.join(F.broadcast(meta))

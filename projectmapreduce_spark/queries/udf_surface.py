@@ -417,3 +417,59 @@ def x8_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority, bucket
         """
     )
+
+
+@query(
+    "x9_arrow_udf",
+    oracle=r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       CASE WHEN trim(text) = '' THEN NULL
+            ELSE string_split_regex(trim(text), '\s+')[1] END   AS head_token,
+       n_chars * 2 + doc_id % 7                                 AS mixed
+FROM documents
+WHERE text IS NOT NULL AND regexp_matches(text, '^[ -~]*$')
+""",
+    survey="X9",
+    category="udf",
+)
+def x9_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: Arrow-OPTIMIZED scalar Python UDF (``useArrow=True``,
+    Spark 3.5+/4) — the middle tier of the Python-UDF cost spectrum:
+    the same per-value authoring model as X1 (plain Python function,
+    no pandas in sight) but transported in Arrow RecordBatches instead
+    of one pickled row per call — the serialization boundary drops
+    from O(rows) round-trips to O(batches) while the function body
+    stays scalar.  This is the migration path for the thousands of
+    existing row UDFs a real warehouse carries: flip one flag, keep
+    the body.  (X2 remains the faster tier when the body itself can
+    vectorize.)
+
+    Domain guard (f15's discipline): Python ``str.split()`` treats
+    unicode whitespace (U+00A0 &c.) as separators while the oracle's
+    RE2 ``\\s`` is ASCII-only — the oracle domain is printable-ASCII
+    documents, over which the two tokenizations agree exactly."""
+
+    @F.udf(returnType="long", useArrow=True)
+    def tok_count(text: str) -> int:
+        return len(text.split()) if text is not None else None
+
+    @F.udf(returnType="string", useArrow=True)
+    def head_token(text: str) -> str:
+        toks = text.split() if text is not None else []
+        return toks[0] if toks else None
+
+    @F.udf(returnType="long", useArrow=True)
+    def mixed(n_chars: int, doc_id: int) -> int:
+        return n_chars * 2 + doc_id % 7
+
+    d = scan(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("text").rlike("^[ -~]*$")
+    )
+    return d.select(
+        "doc_id",
+        tok_count("text").alias("n_tokens"),
+        head_token("text").alias("head_token"),
+        mixed("n_chars", "doc_id").alias("mixed"),
+    )

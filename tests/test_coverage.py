@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 191 operator rows across 13 categories
+# The full §2 inventory: 195 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -30,6 +30,7 @@ SURVEY_IDS = {
     "S23",  # round-8: Python DataSource WRITER (staged-rename commit/abort)
     "S24",  # round-8: Python STREAMING SINK (idempotent per-batch commit)
     "S25",  # round-8: Python DataSource filter pushdown (pushFilters)
+    "S26",  # round-8: hidden file-metadata columns (_metadata)
     # §2.2 projection / filter
     "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
     # §2.3 joins
@@ -74,6 +75,7 @@ SURVEY_IDS = {
     "T10",  # round-3: gaps-and-islands burst detection (manual islands surface)
     "T11",  # round-6: gap-filling resample (hourly grid + forward fill)
     "T12",  # round-8: chained multi-stateful streaming (agg + agg -> join)
+    "T14",  # round-8: state-store introspection (State Data Source)
     # §2.10 MR-heritage surface
     "M1", "M2", "M3", "M4", "M5", "M6", "M7", "M8",
     "M9",  # round-2: job counters
@@ -105,6 +107,7 @@ SURVEY_IDS = {
     "X6",  # round-2: mapInArrow batch surface
     "X7",  # round-6: SQL-defined UDF (Catalyst-inlined function body)
     "X8",  # round-7: polymorphic Python UDTF (analyze + TABLE args)
+    "X9",  # round-8: Arrow-optimized scalar Python UDF (useArrow=True)
     # §2.13 composite analytics
     "C1", "C2",
     "C3",  # round-2: large-order customers (TPC-H Q18 shape)

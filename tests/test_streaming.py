@@ -602,3 +602,44 @@ def test_rocksdb_state_store_restart(spark, tmp_path):
         else:
             spark.conf.set(conf_key, prev)
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_t14_state_metadata_facts(spark):
+    """T14's literal 'stateStoreSave' is only honest if the
+    state-metadata source actually reports it — pin the metadata row
+    (operator name, store name, partition count, batch range) and the
+    statestore source's per-partition read layout."""
+    import shutil
+
+    from projectmapreduce_spark.streaming import read_events_stream, run_available_now
+
+    name = "pmrt14meta_" + uuid.uuid4().hex[:8]
+    ckpt = f"/tmp/pmr_stream_ckpt/{name}"
+    try:
+        agg = (
+            read_events_stream(spark, SF_SMOKE)
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        run_available_now(agg, ckpt, output_mode="complete", query_name=name)
+
+        meta = spark.read.format("state-metadata").load(ckpt).collect()
+        assert len(meta) == 1, "exactly one stateful operator in the plan"
+        row = meta[0]
+        assert row.operatorName == "stateStoreSave"
+        assert row.stateStoreName == "default"
+        assert row.numPartitions == int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert row.minBatchId == 0 and row.maxBatchId >= 0
+
+        st = spark.read.format("statestore").load(ckpt)
+        # one state row per (window, event_type) group, spread across
+        # numPartitions per-partition stores — never a driver collect
+        batch = (
+            scan(spark, SF_SMOKE, "events")
+            .groupBy(F.date_trunc("hour", "ts"), "event_type")
+            .count()
+        )
+        assert st.count() == batch.count()
+        assert st.select("partition_id").distinct().count() > 1
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
