@@ -637,3 +637,97 @@ def f15_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_a", "key_b")
     )
+
+
+# Shared payload construction — the SAME expression text runs in Spark
+# (then parse_json → variant) and in the DuckDB oracle (then JSON path
+# extraction), so what the hash compares is the EXTRACTION semantics.
+# coalesce() everywhere NULLs could reach concat: Spark concat is
+# NULL-propagating while DuckDB concat skips NULL args (the f9 lesson),
+# so a bare NULL column would silently produce MALFORMED json in one
+# engine only.  Amounts render via DECIMAL(18,2) → string, which both
+# engines print with exactly two fraction digits.
+_F9B_PAYLOAD = """
+CASE WHEN event_type IN ('click', 'view') THEN
+  concat('{"kind":"interaction","k":', CAST(coalesce(event_id, -1) % 100 AS STRING),
+         ',"meta":{"ut":', CAST(coalesce(user_id, -1) % 5 AS STRING),
+         ',"tags":["', coalesce(event_type, 'none'),
+         '","t', CAST(coalesce(event_id, -1) % 3 AS STRING), '"]}}')
+ELSE
+  concat('{"kind":"txn","k":', CAST(coalesce(user_id, -1) % 100 AS STRING),
+         ',"amount":', CASE WHEN value IS NULL THEN 'null'
+                            ELSE CAST(CAST(round(value, 2) AS DECIMAL(18,2)) AS STRING) END,
+         CASE WHEN coalesce(user_id, -1) % 11 = 0 THEN ',"note":null' ELSE '' END,
+         '}')
+END
+"""
+
+
+@query(
+    "f9b_variant_shred",
+    oracle=f"""
+WITH j AS (SELECT {_F9B_PAYLOAD} AS payload FROM events)
+SELECT json_extract_string(payload, '$.kind')            AS kind,
+       CAST(payload->>'$.k' AS BIGINT) % 5               AS k_bucket,
+       count(*)                                          AS n,
+       CAST(sum(CAST(payload->>'$.meta.ut' AS BIGINT)) AS BIGINT) AS ut_sum,
+       CAST(round(sum(CAST(payload->>'$.amount' AS DECIMAL(18,2))), 2) AS DOUBLE)
+                                                         AS amount_sum,
+       count(*) FILTER (WHERE json_type(payload, '$.note') = 'NULL')
+                                                         AS n_note_null,
+       count(DISTINCT json_extract_string(payload, '$.meta.tags[1]'))
+                                                         AS n_tags
+FROM j
+GROUP BY 1, 2
+""",
+    survey="F9",
+    category="functions",
+)
+def f9b_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 extension: HETEROGENEOUS variant shredding THROUGH PARQUET —
+    the three variant behaviors f9 doesn't touch, on payloads whose
+    shape differs per row (interaction events carry nested meta/tags,
+    transactions carry a decimal amount; that schema drift is the
+    reason the VARIANT type exists):
+
+    - persistence: the variant column is WRITTEN TO PARQUET and read
+      back before extraction (Spark 4 stores variant as the Parquet
+      variant logical type — binary value + metadata, NOT re-serialized
+      JSON text), so the hash certifies the storage round-trip;
+    - JSON-null vs MISSING discrimination: ``is_variant_null(
+      try_variant_get(...))`` is true only where the key exists AS
+      json null (`"note":null`), false where it is absent — mirrored
+      by DuckDB's ``json_type(...) = 'NULL'`` (whose missing-path
+      result is SQL NULL);
+    - typed DECIMAL extraction: amounts come out as DECIMAL(18,2) and
+      sum exactly, so even the money column hash-matches.
+
+    At 100 TB this is one binary parse per row at INGEST, then typed
+    path reads (no re-parse per field, unlike get_json_object) and
+    ordinary columnar aggregation; the parquet variant encoding keeps
+    payloads compressed and splittable like any other column."""
+    from projectmapreduce_spark.io import scratch_path
+
+    ev = scan(spark, sf_dir, "events")
+    parsed = ev.select(F.parse_json(F.expr(_F9B_PAYLOAD)).alias("v"))
+    path = scratch_path("f9b_variant_store")
+    parsed.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.select(
+            F.expr("variant_get(v, '$.kind', 'string')").alias("kind"),
+            (F.expr("variant_get(v, '$.k', 'bigint')") % 5).alias("k_bucket"),
+            F.expr("try_variant_get(v, '$.meta.ut', 'bigint')").alias("ut"),
+            F.expr("try_variant_get(v, '$.amount', 'decimal(18,2)')").alias("amount"),
+            F.expr("is_variant_null(try_variant_get(v, '$.note'))").alias("jnull"),
+            F.expr("try_variant_get(v, '$.meta.tags[1]', 'string')").alias("tag1"),
+        )
+        .groupBy("kind", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ut").alias("ut_sum"),
+            dround(F.sum("amount"), 2).cast("double").alias("amount_sum"),
+            F.count_if(F.col("jnull")).alias("n_note_null"),
+            F.countDistinct("tag1").alias("n_tags"),
+        )
+    )
