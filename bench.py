@@ -254,6 +254,15 @@ HEADLINE = [
     # s25 prices the pushdown path: the Arrow mask halves what crosses
     # the Python->JVM boundary on a selective scan.
     "s25_datasource_pushdown",
+    # round-8 batch 2: the scripting loop prices 4 sequential aggregate
+    # passes (driver control flow over scalars); f9b prices the variant
+    # parquet round-trip + typed path extraction; s26 the _metadata
+    # audit scan; x9 the Arrow-batched scalar-UDF boundary.  t14 stays
+    # OUT (streaming-drain precedent).
+    "c27_sql_scripting",
+    "f9b_variant_shred",
+    "s26_metadata_columns",
+    "x9_arrow_udf",
 ]
 
 
