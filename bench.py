@@ -263,6 +263,15 @@ HEADLINE = [
     "f9b_variant_shred",
     "s26_metadata_columns",
     "x9_arrow_udf",
+    # round-8 batch 3: the native top-k sketch lifecycle (a17), the
+    # parse-time name binding (c28 — plans identically to the literal
+    # query), the XML extractor family (f17 — codegen projection like
+    # f7/f9), and the iterator-form pandas UDF (x10 — prices the
+    # amortized-init Arrow loop against x2's per-batch re-entry).
+    "a17_approx_top_k",
+    "c28_identifier_clause",
+    "f17_xml_funcs",
+    "x10_iter_pandas_udf",
 ]
 
 

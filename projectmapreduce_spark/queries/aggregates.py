@@ -958,3 +958,49 @@ def a16_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((overlap.cast("double") / k_eff) * union_est, 2).alias("est"),
     )
     return per_grp.unionByName(inter)
+
+
+@query(
+    "a17_approx_top_k",
+    oracle="""
+SELECT event_type, count(*) AS n
+FROM events
+WHERE event_type IS NOT NULL
+GROUP BY event_type
+""",
+    survey="A17",
+    category="aggregates",
+)
+def a17_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: approx_top_k heavy-hitter sketch (Spark 4.1) — the native
+    frequent-items aggregate, exercised through its FULL mergeable
+    lifecycle: `approx_top_k_accumulate` builds one sketch per month
+    partition, `approx_top_k_combine` merges the partials, and
+    `approx_top_k_estimate` extracts the ranked items — the
+    store-the-sketch pattern (a13's HLL discipline) that lets a 100 TB
+    pipeline keep per-partition top-k state at O(maxItemsTracked) per
+    group and re-aggregate across any time range without touching raw
+    rows again.  Exactness contract making the hash check possible:
+    the sketch is EXACT whenever the observed item domain fits within
+    maxItemsTracked (100 here vs a 5-value domain), and k (10) exceeds
+    the domain, so the estimate IS the full exact frequency table —
+    no rank-boundary tie to drift cross-engine.  NULLs are excluded
+    (sketch semantics), mirrored in the oracle."""
+    scan(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH part AS (
+          SELECT date_trunc('month', ts) AS m,
+                 approx_top_k_accumulate(event_type, 100) AS acc
+          FROM events
+          WHERE event_type IS NOT NULL
+          GROUP BY 1
+        ),
+        est AS (
+          SELECT approx_top_k_estimate(approx_top_k_combine(acc), 10) AS e
+          FROM part
+        )
+        SELECT t.item AS event_type, CAST(t.count AS BIGINT) AS n
+        FROM est LATERAL VIEW explode(e) AS t
+        """
+    )

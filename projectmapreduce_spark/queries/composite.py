@@ -1535,3 +1535,51 @@ def c27_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "c28_identifier_clause",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))), 2) AS DOUBLE)
+         AS total
+FROM orders
+WHERE o_totalprice > 100000
+GROUP BY o_orderpriority
+""",
+    survey="C28",
+    category="composite",
+)
+def c28_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C28: the IDENTIFIER clause (Spark 4) — parameterized
+    IDENTIFIERS, the surface C25/C26 deliberately lack: a bound
+    ``:param`` can only be a VALUE, so a service that templates the
+    TABLE or COLUMN a query runs against is forced back to string
+    interpolation (and SQL injection) without this.  ``IDENTIFIER(
+    :p)`` promotes a bound string to a name at PARSE time with
+    identifier validation (quoting/escaping enforced, never spliced
+    as text) — here the table, the grouping column, the aggregated
+    column, and the filter column all arrive as parameters.  The
+    resolved plan is byte-identical to the literal query (names
+    resolve during analysis; pushdown and aggregation shapes are
+    unchanged), which is exactly what the literal-text oracle
+    checks."""
+    scan(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp),
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(round(IDENTIFIER(:val), 4) AS DECIMAL(20,4))), 2)
+                    AS DOUBLE) AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE IDENTIFIER(:val) > :floor
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={
+            "tbl": "orders",
+            "grp": "o_orderpriority",
+            "val": "o_totalprice",
+            "floor": 100000,
+        },
+    )

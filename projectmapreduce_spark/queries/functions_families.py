@@ -731,3 +731,60 @@ def f9b_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("tag1").alias("n_tags"),
         )
     )
+
+
+@query(
+    "f17_xml_funcs",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey                              AS oid_attr,
+       o_orderpriority                         AS prio,
+       coalesce(o_custkey, -1)                 AS cust,
+       2::BIGINT                               AS n_lines,
+       CAST(o_orderkey % 5 AS VARCHAR)         AS second_n,
+       coalesce(o_custkey, -1)                 AS fx_cust
+FROM orders WHERE o_orderkey < 3000
+""",
+    survey="F17",
+    category="functions",
+)
+def f17_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17: XML function family (Spark 4 `from_xml` + the `xpath_*`
+    extractors) — the OTHER semi-structured ingest format: B2B feeds,
+    SOAP-era exports, and config dumps still arrive as XML at lake
+    scale, and Spark parses them JVM-side inside codegen (no Python,
+    no shuffle — a pure projection like F7/F9).  Exercised: attribute
+    extraction (`/order/@id`), scalar tag paths (`xpath_string`,
+    `xpath_int`), REPEATED-element paths (`xpath(...)` returning the
+    array of matches — the shape JSON paths express with [i]), and
+    schema-full `from_xml` into a typed struct.
+
+    DuckDB has no XML functions, so the oracle uses the f11 contract:
+    the XML is BUILT from typed columns in-query, and the oracle
+    re-derives every extracted value from the same base columns —
+    proving the parse exactly inverts the construction (NULL FK
+    rendered as a sentinel value; the fixtures' priority strings are
+    markup-safe ASCII)."""
+    o = scan(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    xml = F.concat(
+        F.lit('<order id="'), F.col("o_orderkey").cast("string"),
+        F.lit('"><prio>'), F.col("o_orderpriority"),
+        F.lit("</prio><cust>"),
+        F.coalesce(F.col("o_custkey").cast("string"), F.lit("-1")),
+        F.lit("</cust><lines><n>"), (F.col("o_orderkey") % 3).cast("string"),
+        F.lit("</n><n>"), (F.col("o_orderkey") % 5).cast("string"),
+        F.lit("</n></lines></order>"),
+    )
+    d = o.select("o_orderkey", xml.alias("x"))
+    fx = F.expr("from_xml(x, 'prio STRING, cust BIGINT')")
+    return d.select(
+        "o_orderkey",
+        F.expr("xpath_long(x, '/order/@id')").alias("oid_attr"),
+        F.expr("xpath_string(x, '/order/prio')").alias("prio"),
+        F.expr("xpath_long(x, '/order/cust')").alias("cust"),
+        F.expr("cast(size(xpath(x, '/order/lines/n/text()')) as bigint)").alias(
+            "n_lines"
+        ),
+        F.expr("xpath(x, '/order/lines/n/text()')[1]").alias("second_n"),
+        fx.getField("cust").alias("fx_cust"),
+    )

@@ -9,6 +9,8 @@ a full value-hash check.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -473,3 +475,48 @@ def x9_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         head_token("text").alias("head_token"),
         mixed("n_chars", "doc_id").alias("mixed"),
     )
+
+
+@query(
+    "x10_iter_pandas_udf",
+    oracle="""
+SELECT doc_id,
+       round(ln(1 + n_chars) *
+             CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.9
+                       WHEN 'es' THEN 0.8 WHEN 'fr' THEN 0.7
+                       WHEN 'zh' THEN 0.6 ELSE 0.5 END, 6) AS score
+FROM documents
+""",
+    survey="X10",
+    category="udf",
+)
+def x10_iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: ITERATOR-form pandas UDF (``Iterator[Tuple[pd.Series, ...]]
+    → Iterator[pd.Series]``) — the Arrow-batched UDF variant whose
+    reason to exist is AMORTIZED per-partition initialization: the
+    function body runs ONCE per partition, does its expensive setup
+    (load a model, open a tokenizer, warm a cache) BEFORE the loop,
+    then streams every Arrow batch of that partition through the
+    already-initialized state.  The scalar pandas UDF (X2) re-enters
+    per batch with nowhere to hold such state — for an LLM-pipeline
+    scoring pass over 100 TB (quality model, perplexity scorer,
+    embedding head) this form is the difference between one model
+    load per PARTITION and one per few-thousand-row batch.
+
+    Here the "model" is a per-lang weight table built in the setup
+    phase; the score is ln(1+n_chars)·w(lang), rounded to 6 dp on
+    both sides (libm last-ulp discipline, module header)."""
+    import math
+
+    @F.pandas_udf("double")
+    def lang_score(
+        it: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        # setup phase: runs once per PARTITION, not per batch
+        weights = {"en": 1.0, "de": 0.9, "es": 0.8, "fr": 0.7, "zh": 0.6}
+        for n_chars, lang in it:
+            w = lang.map(weights).fillna(0.5)
+            yield ((1.0 + n_chars).map(math.log) * w).round(6)
+
+    d = scan(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_score("n_chars", "lang").alias("score"))

@@ -137,6 +137,22 @@ QUERY_SET = [
     "s23_datasource_writer",
     "s25_datasource_pushdown",
     "c26_session_variables",
+    # round-8 batch 2/3: the scripting loop (4 sequential aggregate
+    # passes — the exponent prices the per-pass scan), variant parquet
+    # round-trip (linear parse+store+extract), the _metadata audit
+    # (scan-bound), both new Python-UDF boundary forms (Arrow-batched
+    # by construction), the native top-k sketch lifecycle (partials
+    # bounded by maxItemsTracked, never vocabulary), parse-time name
+    # binding (plans identically to the literal query), and the XML
+    # extractor projection (f7/f9-class codegen)
+    "c27_sql_scripting",
+    "c28_identifier_clause",
+    "f9b_variant_shred",
+    "f17_xml_funcs",
+    "s26_metadata_columns",
+    "x9_arrow_udf",
+    "x10_iter_pandas_udf",
+    "a17_approx_top_k",
 ]
 
 

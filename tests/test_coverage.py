@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 195 operator rows across 13 categories
+# The full §2 inventory: 199 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -45,6 +45,7 @@ SURVEY_IDS = {
     "A14",  # round-2: incremental aggregate maintenance
     "A15",  # round-3: second moments (var/std/corr) under the exact-sum contract
     "A16",  # round-7: KMV distinct sketch with set algebra (intersection)
+    "A17",  # round-8: approx_top_k heavy hitters (accumulate/combine/estimate)
     # §2.5 windows
     "W1", "W2", "W3", "W4", "W5", "W6",
     "W7",  # round-2: windowed distinct count
@@ -67,6 +68,7 @@ SURVEY_IDS = {
     "F13",  # round-6: string collations (UTF8_LCASE predicates)
     "F14",  # round-6: TIMESTAMP_NTZ family (zone-less wall time)
     "F15",  # round-7: blocked fuzzy matching (bounded levenshtein)
+    "F17",  # round-8: XML function family (from_xml + xpath_*)
     # §2.9 streaming-shaped (batch forms)
     "T1", "T2", "T3", "T4", "T5", "T6",
     "T7",  # round-2: stream-stream interval join
@@ -108,6 +110,7 @@ SURVEY_IDS = {
     "X7",  # round-6: SQL-defined UDF (Catalyst-inlined function body)
     "X8",  # round-7: polymorphic Python UDTF (analyze + TABLE args)
     "X9",  # round-8: Arrow-optimized scalar Python UDF (useArrow=True)
+    "X10",  # round-8: iterator pandas UDF (amortized per-partition init)
     # §2.13 composite analytics
     "C1", "C2",
     "C3",  # round-2: large-order customers (TPC-H Q18 shape)
@@ -135,6 +138,7 @@ SURVEY_IDS = {
     "C25",  # round-6: parameterized SQL (server-side bound placeholders)
     "C26",  # round-8: session variables + EXECUTE IMMEDIATE
     "C27",  # round-8: SQL scripting (BEGIN...END compound statements)
+    "C28",  # round-8: IDENTIFIER clause (parameterized names)
 }
 
 
