@@ -272,6 +272,13 @@ HEADLINE = [
     "c28_identifier_clause",
     "f17_xml_funcs",
     "x10_iter_pandas_udf",
+    # round-8 batch 4: the inlined SQL table function (prices the
+    # call-boundary inlining against the literal query), the
+    # pandas-on-Spark surface (same Catalyst plan, different client),
+    # and the SQL:2023 listagg ordered aggregate.
+    "x11_sql_table_function",
+    "c29_pandas_on_spark",
+    "a8b_listagg",
 ]
 
 

@@ -1004,3 +1004,42 @@ def a17_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM est LATERAL VIEW explode(e) AS t
         """
     )
+
+
+@query(
+    "a8b_listagg",
+    oracle="""
+SELECT o_orderpriority,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderkey) FILTER (WHERE o_orderkey < 500)
+         AS status_seq,
+       string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS status_set
+FROM orders
+GROUP BY o_orderpriority
+""",
+    survey="A8",
+    category="aggregate",
+)
+def a8b_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 extension: `listagg(...) WITHIN GROUP (ORDER BY ...)` — the
+    SQL:2023 ordered string aggregate (Spark 4.1), the STANDARD
+    spelling of what a8 builds from collect_set + sort_array + concat:
+    the within-group ordering is declared ON the aggregate, so the
+    planner sorts only the aggregation buffers, never the input frame
+    (no window, no global sort).  Both forms exercised: an ordered
+    value sequence under a FILTER clause (o_orderkey ordering makes
+    the concatenation deterministic without a distinct pass) and
+    LISTAGG(DISTINCT ... ORDER BY the value itself) — the one ordering
+    DISTINCT permits.  DuckDB's string_agg carries the same ORDER BY
+    extension, so the oracle is a direct re-expression."""
+    scan(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(CASE WHEN o_orderkey < 500 THEN o_orderstatus END, ',')
+                 WITHIN GROUP (ORDER BY o_orderkey) AS status_seq,
+               listagg(DISTINCT o_orderstatus, '|')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS status_set
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )

@@ -1583,3 +1583,58 @@ def c28_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             "floor": 100000,
         },
     )
+
+
+@query(
+    "c29_pandas_on_spark",
+    oracle="""
+SELECT o_orderpriority,
+       count(*)                              AS n_orders,
+       CAST(sum(o_orderkey % 100) AS BIGINT) AS key_sum,
+       max(o_totalprice)                     AS max_price
+FROM orders
+WHERE o_totalprice > 50000
+GROUP BY o_orderpriority
+""",
+    survey="C29",
+    category="composite",
+)
+def c29_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C29: the pandas-on-Spark API (`pyspark.pandas`) — the engine's
+    FOURTH query surface after DataFrame, classic SQL, and pipe syntax:
+    pandas syntax (boolean-mask filters, column assignment, groupby /
+    agg / reset_index) compiled to the SAME Catalyst plans, which is
+    the migration path for the pandas codebases a data platform
+    inherits.  Everything here stays lazy and distributed — no
+    toPandas() — and `to_spark()` hands the logical plan back to the
+    DataFrame API, so the driver's oracle machinery checks the pandas
+    surface exactly like any other query.
+
+    Determinism discipline: aggregates are exact (count, integer sum,
+    double max) — no order-sensitive float summation crosses the API
+    boundary.  `index_col` pins the frame index to a real column at
+    read time, so the default distributed-sequence index (a
+    zipWithIndex-shaped extra stage) is never materialized."""
+    import pyspark.pandas as ps
+
+    path = f"{sf_dir}/orders.parquet"
+    pdf = ps.read_parquet(path, index_col="o_orderkey")
+    pdf = pdf.reset_index()
+    pdf = pdf[pdf["o_totalprice"] > 50000]
+    pdf = pdf.assign(key_mod=pdf["o_orderkey"] % 100)
+    out = (
+        pdf.groupby("o_orderpriority")
+        .agg(
+            n_orders=("o_orderkey", "count"),
+            key_sum=("key_mod", "sum"),
+            max_price=("o_totalprice", "max"),
+        )
+        .reset_index()
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("key_sum").cast("long").alias("key_sum"),
+        "max_price",
+    )

@@ -520,3 +520,53 @@ def x10_iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = scan(spark, sf_dir, "documents")
     return d.select("doc_id", lang_score("n_chars", "lang").alias("score"))
+
+
+@query(
+    "x11_sql_table_function",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))), 2) AS DOUBLE)
+         AS total
+FROM orders
+WHERE o_totalprice > 150000 AND o_orderdate >= DATE '1996-01-01'
+GROUP BY o_orderpriority
+""",
+    survey="X11",
+    category="udf",
+)
+def x11_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: SQL-defined TABLE function (`CREATE FUNCTION ... RETURNS
+    TABLE`, Spark 4) — the table-valued counterpart of x7's scalar SQL
+    UDF and the zero-serialization end of the UDTF spectrum x4b/x8
+    occupy from Python: the function body is a full SELECT that
+    Catalyst INLINES into the calling plan at resolution time, so a
+    parameterized "view with arguments" (the classic warehouse
+    reporting primitive) costs exactly what the literal query costs —
+    filter pushdown, partial aggregation, and AQE all apply THROUGH
+    the call boundary.  No Python worker, no Arrow boundary, no
+    per-row anything.
+
+    The parameters feed predicates (not foldable-required positions),
+    and the oracle is the body with the same literals inlined —
+    proving the inlining is semantics-preserving."""
+    scan(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION pmr_priority_report(
+            thr DOUBLE, cutoff DATE)
+        RETURNS TABLE (o_orderpriority STRING, n_orders BIGINT, total DOUBLE)
+        RETURN
+          SELECT o_orderpriority,
+                 count(*) AS n_orders,
+                 CAST(round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))), 2)
+                      AS DOUBLE) AS total
+          FROM orders
+          WHERE o_totalprice > thr AND o_orderdate >= cutoff
+          GROUP BY o_orderpriority
+        """
+    )
+    return spark.sql(
+        "SELECT * FROM pmr_priority_report(150000.0D, DATE '1996-01-01')"
+    )

@@ -153,6 +153,9 @@ QUERY_SET = [
     "x9_arrow_udf",
     "x10_iter_pandas_udf",
     "a17_approx_top_k",
+    "x11_sql_table_function",
+    "c29_pandas_on_spark",
+    "a8b_listagg",
 ]
 
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 199 operator rows across 13 categories
+# The full §2 inventory: 201 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -111,6 +111,7 @@ SURVEY_IDS = {
     "X8",  # round-7: polymorphic Python UDTF (analyze + TABLE args)
     "X9",  # round-8: Arrow-optimized scalar Python UDF (useArrow=True)
     "X10",  # round-8: iterator pandas UDF (amortized per-partition init)
+    "X11",  # round-8: SQL-defined TABLE function (RETURNS TABLE, inlined)
     # §2.13 composite analytics
     "C1", "C2",
     "C3",  # round-2: large-order customers (TPC-H Q18 shape)
@@ -139,6 +140,7 @@ SURVEY_IDS = {
     "C26",  # round-8: session variables + EXECUTE IMMEDIATE
     "C27",  # round-8: SQL scripting (BEGIN...END compound statements)
     "C28",  # round-8: IDENTIFIER clause (parameterized names)
+    "C29",  # round-8: pandas-on-Spark API surface (pyspark.pandas)
 }
 
 

@@ -32,6 +32,13 @@ STATEFUL = [
     "s15_snapshot_read",
     "s16_malformed_tolerance",
     "a14_incremental_agg",
+    # round-8: parquet-backed variant store, the _metadata audit's
+    # partitioned scratch write, the scripting block's session-scoped
+    # locals, and the OR REPLACE'd SQL table function
+    "f9b_variant_shred",
+    "s26_metadata_columns",
+    "c27_sql_scripting",
+    "x11_sql_table_function",
 ]
 
 
