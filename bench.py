@@ -279,6 +279,11 @@ HEADLINE = [
     "x11_sql_table_function",
     "c29_pandas_on_spark",
     "a8b_listagg",
+    # round-8 batch 5: the bloom-footer write + point-predicate read
+    # (prices the no-dictionary key column) and the inferred-key
+    # aggregate (plans identically to the explicit list).
+    "s27_parquet_bloom",
+    "c30_group_by_all",
 ]
 
 

@@ -1638,3 +1638,52 @@ def c29_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key_sum").cast("long").alias("key_sum"),
         "max_price",
     )
+
+
+@query(
+    "c30_group_by_all",
+    oracle="""
+SELECT o_orderpriority,
+       o_orderstatus,
+       year(o_orderdate)                     AS order_year,
+       count(*)                              AS n_orders,
+       CAST(round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))), 2) AS DOUBLE)
+         AS total
+FROM orders
+WHERE o_totalprice > 120000
+GROUP BY ALL
+ORDER BY ALL
+""",
+    survey="C30",
+    category="composite",
+)
+def c30_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C30: `GROUP BY ALL` / `ORDER BY ALL` (Spark 4) — the
+    maintenance-friendly SQL spelling where the grouping key set is
+    INFERRED as every non-aggregate select item (and the ordering as
+    every output column, left to right).  The point at scale is
+    what it prevents: adding a projected column to a hand-listed
+    GROUP BY query and forgetting to extend the key list is a silent
+    semantics change (rows collapse differently); ALL keeps the
+    grouping definitionally in sync with the projection.  Resolution
+    happens in the analyzer — the optimized plan is identical to the
+    explicit-list query (one partial+final hash aggregate, filter
+    pushed to the scan).  DuckDB originated this syntax, so the
+    oracle runs the IDENTICAL text.  The inferred-key contract is
+    pinned by including a computed column (year) among the keys —
+    misinference would change the row count, not just values."""
+    scan(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               o_orderstatus,
+               year(o_orderdate) AS order_year,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))), 2)
+                    AS DOUBLE) AS total
+        FROM orders
+        WHERE o_totalprice > 120000
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -1221,3 +1221,66 @@ def s26_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_path_match"),
         (F.min("fs") > F.lit(0)).alias("files_sized"),
     )
+
+
+@query(
+    "s27_parquet_bloom",
+    oracle="""
+SELECT l_orderkey,
+       count(*) AS n_lines,
+       CAST(round(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(20,4))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_orderkey IN (42, 1234, 4242)
+GROUP BY l_orderkey
+""",
+    survey="S27",
+    category="io",
+)
+def s27_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S27: parquet BLOOM FILTERS on write (`parquet.bloom.filter.
+    enabled#col` + `expected.ndv#col`) — the row-group skipping index
+    for HIGH-CARDINALITY point lookups, exactly where min/max zone
+    maps fail: a key column whose values spread uniformly across the
+    file makes every row group's [min,max] contain every probe, so
+    stats-based pruning (s18's lever) skips nothing, while the
+    per-row-group bloom answers "definitely not here" in O(1) probe
+    bytes.  At 100 TB this is the difference between touching every
+    row group of a fact table for an orderkey lookup and touching
+    only the groups that can contain it — at the cost of ~1 byte/row
+    of footer payload the writer sizes from expected NDV.
+
+    The query writes lineitem with a bloom on l_orderkey, reads it
+    back through a 3-key point predicate (pushed to the scan), and
+    must reproduce the base-table aggregate.  Measured boundary
+    (tests/test_new_surfaces.py::test_s27_bloom_footer_payload): the
+    bloom-enabled file is strictly larger than the bloom-less twin of
+    identical data — the payload is IN the footer; engagement at read
+    time happens inside parquet-mr's row-group filter, which exposes
+    no per-group counter to assert locally, so what this query pins
+    is write-side validity + read-path correctness THROUGH the
+    filter, not a skip count."""
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    path = _p("s27_bloom")
+    (
+        li.write.option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_orderkey", "20000")
+        # parquet-mr suppresses the bloom while a chunk is fully
+        # dictionary-encoded (the dictionary already filters exactly);
+        # turning the dictionary off for the key column models the
+        # dict-overflow regime a 100 TB high-cardinality key lives in
+        # (measured in the unit test: with the dictionary on, the
+        # "bloom" file is byte-identical to the plain one)
+        .option("parquet.enable.dictionary#l_orderkey", "false")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("l_orderkey").isin(42, 1234, 4242)
+    )
+    return back.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dround(money_sum(F.col("l_extendedprice")), 2).alias("revenue"),
+    )

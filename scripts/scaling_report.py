@@ -156,6 +156,8 @@ QUERY_SET = [
     "x11_sql_table_function",
     "c29_pandas_on_spark",
     "a8b_listagg",
+    "s27_parquet_bloom",
+    "c30_group_by_all",
 ]
 
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 201 operator rows across 13 categories
+# The full §2 inventory: 203 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -31,6 +31,7 @@ SURVEY_IDS = {
     "S24",  # round-8: Python STREAMING SINK (idempotent per-batch commit)
     "S25",  # round-8: Python DataSource filter pushdown (pushFilters)
     "S26",  # round-8: hidden file-metadata columns (_metadata)
+    "S27",  # round-8: parquet bloom filters on write (dict-overflow regime)
     # §2.2 projection / filter
     "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
     # §2.3 joins
@@ -141,6 +142,7 @@ SURVEY_IDS = {
     "C27",  # round-8: SQL scripting (BEGIN...END compound statements)
     "C28",  # round-8: IDENTIFIER clause (parameterized names)
     "C29",  # round-8: pandas-on-Spark API surface (pyspark.pandas)
+    "C30",  # round-8: GROUP BY ALL / ORDER BY ALL (inferred keys)
 }
 
 

@@ -1188,3 +1188,55 @@ def test_pushdown_yields_unsupported_filters_back(spark, tmp_path):
     )
     assert [type(f).__name__ for f in unsupported] == ["StringStartsWith"]
     assert [type(f).__name__ for f in rdr.pushed] == ["EqualTo"]
+
+
+def test_s27_bloom_footer_payload(spark):
+    """S27's honesty boundary: parquet-mr exposes no row-group-skip
+    counter locally, so what IS assertable is that the bloom write
+    option put a real payload in the file — the bloom-enabled file
+    must be strictly larger than a bloom-less twin of identical data,
+    with identical row counts, and a point lookup must read correctly
+    through the filter."""
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pmr_s27_")
+    try:
+        li = (
+            spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+            .select("l_orderkey", "l_linenumber")
+            .coalesce(1)
+        )
+        li.write.mode("overwrite").parquet(f"{d}/plain")
+        (
+            li.write.option("parquet.bloom.filter.enabled#l_orderkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#l_orderkey", "20000")
+            # parquet-mr SKIPS the bloom while a chunk stays fully
+            # dictionary-encoded (the dictionary is already an exact
+            # filter); disable the dictionary for the key column to
+            # model the high-cardinality dict-overflow case the bloom
+            # exists for (measured: with dictionary on, the fixture's
+            # file is byte-identical to the bloom-less twin)
+            .option("parquet.enable.dictionary#l_orderkey", "false")
+            .mode("overwrite")
+            .parquet(f"{d}/bloom")
+        )
+
+        def _bytes(p):
+            return sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+
+        plain, bloom = _bytes(f"{d}/plain"), _bytes(f"{d}/bloom")
+        assert bloom > plain, (plain, bloom)
+        # sized-from-NDV payload is non-trivial (>=1 KiB for 20k NDV)
+        assert bloom - plain > 1024, (plain, bloom)
+
+        back = spark.read.parquet(f"{d}/bloom").filter(F.col("l_orderkey") == 42)
+        base = li.filter(F.col("l_orderkey") == 42)
+        assert back.count() == base.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

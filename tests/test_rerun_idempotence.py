@@ -39,6 +39,7 @@ STATEFUL = [
     "s26_metadata_columns",
     "c27_sql_scripting",
     "x11_sql_table_function",
+    "s27_parquet_bloom",
 ]
 
 
