@@ -284,6 +284,8 @@ HEADLINE = [
     # aggregate (plans identically to the explicit list).
     "s27_parquet_bloom",
     "c30_group_by_all",
+    # x12 prices the zero-pandas grouped-map boundary against x3/x6.
+    "x12_apply_in_arrow",
 ]
 
 

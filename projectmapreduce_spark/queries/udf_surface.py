@@ -570,3 +570,84 @@ def x11_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * FROM pmr_priority_report(150000.0D, DATE '1996-01-01')"
     )
+
+
+@query(
+    "x12_apply_in_arrow",
+    oracle="""
+SELECT o_orderpriority,
+       count(*)                                   AS n_orders,
+       CAST(sum(o_orderkey % 1000) AS BIGINT)     AS key_sum,
+       min(CAST(o_orderdate AS DATE))::TIMESTAMP  AS first_date,
+       max(CAST(o_orderdate AS DATE))::TIMESTAMP  AS last_date
+FROM orders
+GROUP BY o_orderpriority
+""",
+    survey="X12",
+    category="udf",
+)
+def x12_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: grouped `applyInArrow` (Spark 4) — the zero-pandas tier of
+    the grouped-map family: each group arrives as ONE
+    `pyarrow.Table` and the body runs pyarrow.compute kernels
+    (C++-vectorized, no pandas object materialization), the same
+    boundary X6 exercises for un-grouped mapInArrow.  Compared with
+    X3's applyInPandas, this skips the Arrow→pandas→Arrow double
+    conversion — for a numeric per-group kernel at 100 TB that
+    conversion IS the dominant Python-side cost.  Grouped-map caveat
+    carried from X3: the whole group materializes in one worker, so
+    it is for bounded groups (5 priority classes here), never
+    unbounded-cardinality keys.
+
+    Aggregates are exact (count / integer sum / date min-max) so even
+    the Arrow-kernel path is hash-checked."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_group(table: pa.Table) -> pa.Table:
+        keys = table.column("o_orderpriority")
+        key_mod = table.column("key_mod")
+        dates = table.column("o_orderdate")
+        return pa.table(
+            {
+                "o_orderpriority": [keys[0].as_py() if len(keys) else None],
+                "n_orders": [table.num_rows],
+                "key_sum": [pc.sum(key_mod).as_py()],
+                "first_date": [pc.min(dates).as_py()],
+                "last_date": [pc.max(dates).as_py()],
+            },
+            schema=pa.schema(
+                [
+                    ("o_orderpriority", pa.string()),
+                    ("n_orders", pa.int64()),
+                    ("key_sum", pa.int64()),
+                    ("first_date", pa.date32()),
+                    ("last_date", pa.date32()),
+                ]
+            ),
+        )
+
+    # expressible math stays JVM-side (pyarrow.compute ships no mod
+    # kernel, and pushing it into the worker would be backwards anyway)
+    o = scan(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderkey") % 1000).alias("key_mod"),
+        # DATE, not timestamp, crosses the Arrow boundary: date32 is
+        # timezone-free, so the kernel's min/max cannot shift under
+        # the driver's hostile session zone (the cast itself runs
+        # under the ensure_session_conf-repaired UTC session)
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    out = o.groupBy("o_orderpriority").applyInArrow(
+        per_group,
+        schema=(
+            "o_orderpriority string, n_orders long, key_sum long, "
+            "first_date date, last_date date"
+        ),
+    )
+    # canon families compare DATE as 'other' but TIMESTAMP as
+    # 'datetime' — surface the dates as midnight timestamps, the
+    # repo-wide date-output convention (functions_families f2)
+    return out.withColumn(
+        "first_date", F.col("first_date").cast("timestamp")
+    ).withColumn("last_date", F.col("last_date").cast("timestamp"))

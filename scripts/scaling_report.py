@@ -158,6 +158,7 @@ QUERY_SET = [
     "a8b_listagg",
     "s27_parquet_bloom",
     "c30_group_by_all",
+    "x12_apply_in_arrow",
 ]
 
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 203 operator rows across 13 categories
+# The full §2 inventory: 204 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -113,6 +113,7 @@ SURVEY_IDS = {
     "X9",  # round-8: Arrow-optimized scalar Python UDF (useArrow=True)
     "X10",  # round-8: iterator pandas UDF (amortized per-partition init)
     "X11",  # round-8: SQL-defined TABLE function (RETURNS TABLE, inlined)
+    "X12",  # round-8: grouped applyInArrow (zero-pandas grouped map)
     # §2.13 composite analytics
     "C1", "C2",
     "C3",  # round-2: large-order customers (TPC-H Q18 shape)
