@@ -286,6 +286,8 @@ HEADLINE = [
     "c30_group_by_all",
     # x12 prices the zero-pandas grouped-map boundary against x3/x6.
     "x12_apply_in_arrow",
+    # s28 prices the whole-file ingest + real PNG decode round-trip.
+    "s28_binary_file_scan",
 ]
 
 

@@ -1284,3 +1284,81 @@ def s27_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         dround(money_sum(F.col("l_extendedprice")), 2).alias("revenue"),
     )
+
+
+@query(
+    "s28_binary_file_scan",
+    oracle="""
+SELECT doc_id                AS media_id,
+       8::INT                AS width,
+       greatest(1, least(64, (octet_length(encode(coalesce(text, ''))) + 23) // 24))::INT
+                             AS height,
+       TRUE                  AS len_consistent
+FROM documents
+WHERE doc_id < 200
+""",
+    survey="S28,L11",
+    category="io",
+)
+def s28_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S28: the `binaryFile` source — Spark's whole-file ingest format
+    (one row per file: path, modificationTime, length, content) and
+    the front door of every image/audio/video corpus at 100 TB: media
+    arrives as FILES, not rows, and this source turns a directory
+    tree into the (id, payload) relation the multimodal tier (L11)
+    consumes, with `pathGlobFilter`/`recursiveFileLookup` scoping the
+    listing.  Known scale property carried on the row: content is one
+    in-memory cell per file (fine for media objects, wrong for
+    archives), and many small files make listing the bottleneck —
+    which is why the compaction story (s14) exists.
+
+    End-to-end here: real RFC-2083 PNGs (the l11f synthesis) are
+    written as ONE FILE PER DOCUMENT by an executor-side partition
+    task (no driver loop), read back through binaryFile, the id
+    recovered from the file NAME, the geometry parsed from the
+    DECODED IHDR by the real codec walker, and the source's `length`
+    column cross-checked against octet_length(content).  The oracle
+    re-derives geometry from the synthesis constants (l11f's
+    contract); mtime is deliberately not surfaced (not portable)."""
+    import os
+    import shutil
+
+    from projectmapreduce_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    d = scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = synthesize_media(d, "doc_id", "text", kind="image", image_format="png")
+    outdir = _p("s28_binfiles")
+    shutil.rmtree(outdir, ignore_errors=True)
+    os.makedirs(outdir, exist_ok=True)
+
+    def _write(batches):
+        for pdf in batches:
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                # executor-side write (shared FS on local[N]; an object
+                # store or DFS path plays this role on a cluster)
+                with open(os.path.join(outdir, f"m_{int(mid):06d}.png"), "wb") as f:
+                    f.write(bytes(payload))
+            yield pdf[["media_id"]]
+
+    media.select("media_id", "payload").mapInPandas(_write, "media_id long").count()
+
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(outdir)
+        .select(
+            F.regexp_extract(F.col("path"), r"m_(\d+)\.png$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.col("content").alias("payload"),
+            (F.length("content") == F.col("length")).alias("len_consistent"),
+        )
+    )
+    feats = extract_features(back.select("media_id", "kind", "payload"), fake=False)
+    return feats.select("media_id", "width", "height").join(
+        back.select("media_id", "len_consistent"), "media_id"
+    )

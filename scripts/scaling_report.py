@@ -159,6 +159,7 @@ QUERY_SET = [
     "s27_parquet_bloom",
     "c30_group_by_all",
     "x12_apply_in_arrow",
+    "s28_binary_file_scan",
 ]
 
 

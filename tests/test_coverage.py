@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 204 operator rows across 13 categories
+# The full §2 inventory: 205 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -32,6 +32,7 @@ SURVEY_IDS = {
     "S25",  # round-8: Python DataSource filter pushdown (pushFilters)
     "S26",  # round-8: hidden file-metadata columns (_metadata)
     "S27",  # round-8: parquet bloom filters on write (dict-overflow regime)
+    "S28",  # round-8: binaryFile whole-file source (multimodal ingest)
     # §2.2 projection / filter
     "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
     # §2.3 joins

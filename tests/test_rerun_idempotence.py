@@ -40,6 +40,7 @@ STATEFUL = [
     "c27_sql_scripting",
     "x11_sql_table_function",
     "s27_parquet_bloom",
+    "s28_binary_file_scan",
 ]
 
 
