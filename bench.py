@@ -288,6 +288,8 @@ HEADLINE = [
     "x12_apply_in_arrow",
     # s28 prices the whole-file ingest + real PNG decode round-trip.
     "s28_binary_file_scan",
+    # m12 prices the ordered-streaming alternative to grouped maps.
+    "m12_secondary_sort",
 ]
 
 

@@ -509,3 +509,75 @@ def m9b_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows bigint, qty_sum double, min_price double, max_price double, n_returned bigint",
     )
+
+
+@query(
+    "m12_secondary_sort",
+    oracle="""
+WITH o AS (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id,
+       count(*)                             AS n_events,
+       count(*) FILTER (WHERE prev IS NOT NULL AND value IS NOT NULL
+                          AND value > prev) AS n_up
+FROM o GROUP BY user_id
+""",
+    survey="M12",
+    category="mr",
+)
+def m12_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12: the MR SECONDARY SORT — `repartition(key)` +
+    `sortWithinPartitions(key, ts, id)` + a partition-STREAMING scan
+    (mapInPandas), the Hadoop composite-key/grouping-comparator
+    pattern re-expressed.  Why it exists next to X3/X12: the grouped
+    APIs materialize EACH WHOLE GROUP in one worker call, which dies
+    when a key is huge (the 100 TB skew case); here the group never
+    materializes — rows of a key arrive ordered and the scan streams
+    Arrow batch by Arrow batch carrying only the previous row plus
+    per-key running counters (partial-aggregate-sized state, never
+    row-sized), the carry-over preserved ACROSS batch boundaries
+    inside one partition.  The result (per-user ordered
+    up-transition counts) is partition-count-independent because
+    repartition(key) puts each key's full run in exactly one
+    partition and the in-partition sort fixes the order — which the
+    window-function oracle re-derives declaratively.
+
+    Tie discipline: the sort key is (user_id, ts, event_id) — the PK
+    tiebreak keeps consecutive-pair comparisons deterministic;
+    NULL-value comparisons count as not-up on both sides."""
+    ev = scan(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def ordered_scan(batches):
+        prev_user, prev_val = None, None
+        counts: dict[int, list[int]] = {}
+        for pdf in batches:
+            for u, v in zip(pdf["user_id"], pdf["value"]):
+                u = None if pd.isna(u) else int(u)
+                v = None if pd.isna(v) else float(v)
+                c = counts.setdefault(u, [0, 0])
+                c[0] += 1
+                if (
+                    u == prev_user
+                    and prev_val is not None
+                    and v is not None
+                    and v > prev_val
+                ):
+                    c[1] += 1
+                prev_user, prev_val = u, v
+        yield pd.DataFrame(
+            {
+                "user_id": list(counts),
+                "n_events": [c[0] for c in counts.values()],
+                "n_up": [c[1] for c in counts.values()],
+            }
+        )
+
+    out = (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(ordered_scan, "user_id long, n_events long, n_up long")
+    )
+    return out

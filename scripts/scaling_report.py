@@ -160,6 +160,7 @@ QUERY_SET = [
     "c30_group_by_all",
     "x12_apply_in_arrow",
     "s28_binary_file_scan",
+    "m12_secondary_sort",
 ]
 
 

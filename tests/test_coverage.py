@@ -7,7 +7,7 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 205 operator rows across 13 categories
+# The full §2 inventory: 206 operator rows across 13 categories
 # (85 round-1 rows + the round-2/round-3 additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -85,6 +85,7 @@ SURVEY_IDS = {
     "M9",  # round-2: job counters
     "M10",  # round-2: PageRank
     "M11",  # round-2: triangle count / clustering coefficient
+    "M12",  # round-8: secondary sort (ordered per-key streaming scan)
     # §2.11 LLM-data-pipeline
     "L1", "L2", "L3", "L4", "L5", "L6", "L7", "L8", "L9", "L10", "L11", "L12",
     "L13", "L14", "L15", "L16", "L17",  # round-2 training-pipeline verbs
