@@ -74,14 +74,18 @@ def streaming_facts(spark, name: str, sf_dir: str = SF_DIR) -> dict:
     spark.streams.addListener(col)
     try:
         QUERIES[name](spark, sf_dir).collect()
-        # drain the async listener queue: stable count for 1s
+        # drain the async listener queue: stable count for 2s (1s
+        # proved flaky once under full-machine CPU starvation — a
+        # late progress event landed after collection, under-counting
+        # batches/state rows; the failure is the harness race, not
+        # the query)
         last, stable_since = -1, time.time()
-        deadline = time.time() + 30
+        deadline = time.time() + 60
         while time.time() < deadline:
             n = len(col.progresses)
             if n != last:
                 last, stable_since = n, time.time()
-            elif time.time() - stable_since > 1.0:
+            elif time.time() - stable_since > 2.0:
                 break
             time.sleep(0.1)
     finally:
