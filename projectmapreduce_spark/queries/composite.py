@@ -1510,9 +1510,14 @@ def c27_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filtered row sets) are bit-identical across engines; the loop
     emits its own counter so the row proves the loop actually ran."""
     scan(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # Conf scoping (s22's save/restore convention): the flag only
+    # gates script PARSING, so it can be restored as soon as spark.sql
+    # returns — no session leakage into later queries.
+    prev_scripting = spark.conf.get("spark.sql.scripting.enabled")
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql(
-        f"""
+    try:
+        return spark.sql(
+            f"""
         BEGIN
           DECLARE thr DOUBLE DEFAULT 0.0;
           DECLARE i INT DEFAULT 0;
@@ -1534,7 +1539,9 @@ def c27_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT i AS n_iters, round(thr, 2) AS thr, n_above, band;
         END
         """
-    )
+        )
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev_scripting)
 
 
 @query(

@@ -1050,12 +1050,15 @@ def s25_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     read of the source."""
     from projectmapreduce_spark.sources.fixed_width import (
         SUPPLIER_DDL,
+        ensure_supplier_fixed_width,
         register,
-        write_supplier_fixed_width,
     )
 
+    # Idempotent fixture (VERDICT r8 task 3): rerunning s25 reuses the
+    # on-disk files, so bench iterations price the PUSHED SCAN — the
+    # declared surface — not a repeated identical fixture write.
     path = _p("s25_pushdown_src")
-    w = write_supplier_fixed_width(spark, sf_dir, path)
+    w = ensure_supplier_fixed_width(spark, sf_dir, path)
     register(spark)
     back = (
         spark.read.format("pmr_fixedwidth")

@@ -47,7 +47,10 @@ def query(name: str, oracle: str | None = None, survey: str = "", category: str 
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        META[name] = {"survey": survey, "category": category}
+        # ``module`` records where the query is DEFINED (the wrapper
+        # itself lives here) — the registry tag driver_sim's
+        # --changed-since incremental mode maps git-diff paths onto.
+        META[name] = {"survey": survey, "category": category, "module": fn.__module__}
         return wrapped
 
     return deco

@@ -125,6 +125,36 @@ def t5s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t5b_stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    survey="T5",
+    category="streaming",
+)
+def t5b_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 hash-checkable twin (VERDICT r8 task 5) — streaming
+    ``dropDuplicates`` with UNBOUNDED state over a keys-only
+    projection.  t5s must stay rows-only because
+    dropDuplicatesWithinWatermark's surviving row MULTISET is
+    arrival-order-dependent across watermark horizons; here the
+    projection keeps nothing but the dedup key itself, so the
+    surviving set IS the key set — deterministic regardless of which
+    physical row won — and the drain carries a plain ``SELECT
+    DISTINCT`` oracle (the row_number()=1 formulation collapses to
+    DISTINCT once only keys are projected).  Together the twins pin
+    both halves of the streaming-dedup contract: t5b the exact key
+    set, t5s the watermark-bounded state the 100 TB deployment
+    actually runs (unbounded dedup state grows with distinct keys —
+    fine for the ~7.5k key pairs here, a documented non-starter on an
+    unbounded keyspace).  NULL user_id is a key value of its own on
+    both engines."""
+    stream = read_events_stream(spark, sf_dir)
+    out = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _drain(spark, out, "append")
+
+
+@query(
     "x5s_stateful_totals",
     oracle="""
 SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
@@ -767,7 +797,7 @@ SELECT 'stateStoreSave'                AS op_name,
        date_trunc('hour', ts)          AS win_start,
        event_type,
        count(*)                        AS n_events,
-       round(sum(value), 2)            AS sum_value
+       round(sum(CAST(round(value, 4) AS DECIMAL(20,4))), 2)::DOUBLE AS sum_value
 FROM events GROUP BY 2, 3
 """,
     survey="T14",
@@ -798,8 +828,12 @@ def t14_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "pmrt14_" + uuid.uuid4().hex[:12]
     ckpt = f"/tmp/pmr_stream_ckpt/{name}"
     stream = read_events_stream(spark, sf_dir)
+    # Exact-sum discipline (module convention, cf. t12/t9s): the state
+    # buffer holds a DECIMAL(20,4) running sum, not an order-dependent
+    # double — the read-back equals the batch oracle at any tier.
     agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
-        F.count("*").alias("n_events"), F.sum("value").alias("sum_raw")
+        F.count("*").alias("n_events"),
+        F.sum(dround("value", 4).cast("decimal(20,4)")).alias("sum_raw"),
     )
     run_available_now(agg, ckpt, output_mode="complete", query_name=name)
     meta = (
@@ -818,7 +852,7 @@ def t14_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (`count`, `sum`), not the query aliases — the store
             # persists the unresolved aggregation buffer schema.
             F.col("value.count").alias("n_events"),
-            F.round(F.col("value.sum"), 2).alias("sum_value"),
+            F.round(F.col("value.sum"), 2).cast("double").alias("sum_value"),
         )
     )
     return state.join(F.broadcast(meta))

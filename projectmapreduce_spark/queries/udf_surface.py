@@ -464,6 +464,8 @@ def x9_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(returnType="long", useArrow=True)
     def mixed(n_chars: int, doc_id: int) -> int:
+        if n_chars is None or doc_id is None:  # NULL in → NULL out,
+            return None  # matching the oracle's propagation (siblings' guard)
         return n_chars * 2 + doc_id % 7
 
     d = scan(spark, sf_dir, "documents").filter(

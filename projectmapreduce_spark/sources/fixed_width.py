@@ -895,4 +895,32 @@ def write_supplier_fixed_width(spark, sf_dir: str, path: str, n_files: int = 8):
     return w
 
 
+def ensure_supplier_fixed_width(spark, sf_dir: str, path: str, n_files: int = 8):
+    """Idempotent wrapper around :func:`write_supplier_fixed_width`
+    (VERDICT r8 task 3): s25's bench cost was dominated by re-WRITING
+    the identical fixture on every iteration, so the pushdown scan —
+    the thing s25 exists to price — was noise inside a fixed write
+    cost.  A marker file records (sf_dir, n_files, w); when it matches,
+    the on-disk fixture is reused and only the pushed scan runs.  The
+    marker is written AFTER a successful write, so a torn earlier write
+    (no marker) is simply redone.  Local-filesystem scratch only — on a
+    real cluster the fixture is a persisted table and this question
+    disappears."""
+    import json
+
+    marker = os.path.join(path, "_PMR_FIXTURE.json")
+    key = {"sf_dir": os.path.abspath(sf_dir), "n_files": n_files}
+    try:
+        with open(marker) as fh:
+            m = json.load(fh)
+        if all(m.get(k) == v for k, v in key.items()):
+            return m["w"]
+    except (OSError, ValueError, KeyError):
+        pass
+    w = write_supplier_fixed_width(spark, sf_dir, path, n_files)
+    with open(marker, "w") as fh:
+        json.dump({**key, "w": w}, fh)
+    return w
+
+
 SUPPLIER_DDL = "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"

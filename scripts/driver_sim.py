@@ -42,6 +42,88 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# Files whose change invalidates EVERY query's verification (shared
+# session conf, the registry/canonicalizer machinery, this harness) —
+# --changed-since falls back to the full sweep when any of these moved.
+_GLOBAL_IMPACT = {
+    "__spark_entry__.py",
+    "tests/oracle_utils.py",
+    "scripts/driver_sim.py",
+    "projectmapreduce_spark/session.py",
+    "projectmapreduce_spark/queries/__init__.py",
+    "projectmapreduce_spark/queries/registry.py",
+}
+
+
+def select_changed(sha: str, qs: dict, meta: dict) -> list[str] | None:
+    """Map ``git diff --name-only <sha>`` onto the query catalog.
+
+    Returns the selected query names, or None for "run the full sweep"
+    (a global-impact file changed).  Three selection channels:
+
+    1. a changed module under projectmapreduce_spark/ selects every
+       query DEFINED in it (META's ``module`` tag);
+    2. the reverse-transitive import closure — queries defined in any
+       package module that imports a changed module (so an operator or
+       source edit selects the queries built on it);
+    3. a changed tests/ or scripts/ .py file selects every query whose
+       name appears in its worktree text (a test edit provably selects
+       the queries it exercises).
+    """
+    import re
+    import subprocess
+
+    out = subprocess.check_output(
+        ["git", "-C", _REPO, "diff", "--name-only", sha], text=True
+    )
+    changed = [f.strip() for f in out.splitlines() if f.strip()]
+    hit_global = sorted(set(changed) & _GLOBAL_IMPACT)
+    if hit_global:
+        print(f"[changed-since] global-impact change ({hit_global[0]}) -> full sweep")
+        return None
+    # Package module graph (importer -> imported), for the closure.
+    pkg_root = Path(_REPO, "projectmapreduce_spark")
+    mod_of: dict[str, str] = {}  # repo-relative path -> dotted module
+    for p in pkg_root.rglob("*.py"):
+        rel = str(p.relative_to(_REPO))
+        mod = rel[: -len(".py")].replace(os.sep, ".")
+        if mod.endswith(".__init__"):
+            mod = mod[: -len(".__init__")]
+        mod_of[rel] = mod
+    rx = re.compile(r"^\s*(?:from|import)\s+(projectmapreduce_spark[\w.]*)", re.M)
+    known = set(mod_of.values())
+    imports: dict[str, set[str]] = {}
+    for rel, mod in mod_of.items():
+        deps = set()
+        for hit in rx.findall(Path(_REPO, rel).read_text(errors="ignore")):
+            while hit and hit not in known:
+                hit = hit.rsplit(".", 1)[0] if "." in hit else ""
+            if hit and hit != mod:
+                deps.add(hit)
+        imports[mod] = deps
+    affected = {mod_of[f] for f in changed if f in mod_of}
+    grew = True
+    while grew:
+        grew = False
+        for mod, deps in imports.items():
+            if mod not in affected and deps & affected:
+                affected.add(mod)
+                grew = True
+    sel = {n for n in qs if meta[n].get("module") in affected}
+    # Channel 3: test/script edits name the queries they exercise.
+    for f in changed:
+        if not (f.startswith(("tests/", "scripts/")) and f.endswith(".py")):
+            continue
+        p = Path(_REPO, f)
+        if p.exists():
+            txt = p.read_text(errors="ignore")
+            sel |= {n for n in qs if n in txt}
+    print(
+        f"[changed-since] {len(changed)} changed paths -> "
+        f"{len(affected)} affected modules -> {len(sel)} queries"
+    )
+    return sorted(sel)
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -98,6 +180,19 @@ def main() -> int:
         "tier, whose near-complete co-supply graph makes the exact "
         "count a documented resource-refusal case — BASELINE.md note)",
     )
+    ap.add_argument(
+        "--changed-since",
+        default="",
+        metavar="SHA",
+        help="incremental per-commit gate (VERDICT r8 task 6): run only "
+        "the queries whose query/operator/oracle code changed vs SHA — "
+        "selection = queries defined in a changed package module, plus "
+        "queries defined in any module that (transitively) imports a "
+        "changed module, plus queries named in a changed tests/ or "
+        "scripts/ file.  A change to a global-impact file (registry, "
+        "session, entry, canonicalizer, this script) falls back to the "
+        "full sweep.  The FULL sweep remains the release gate.",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -148,6 +243,14 @@ def main() -> int:
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     names = args.names or sorted(qs)
+    if args.changed_since and not args.names:
+        from projectmapreduce_spark.queries import META
+
+        picked = select_changed(args.changed_since, qs, META)
+        if picked is not None:
+            names = picked
+            if not names:
+                print("[changed-since] no query-affecting changes; nothing to run")
     if args.lane != "all" and args.names:
         # ADVICE r7 item 2: the lane filter only applies to full-catalog
         # sweeps; explicit names run regardless of lane, so say so
