@@ -41,6 +41,9 @@ STATEFUL = [
     "x11_sql_table_function",
     "s27_parquet_bloom",
     "s28_binary_file_scan",
+    # round-9: s25's fixture became reuse-on-rerun (marker file) — the
+    # second run takes the reuse path, exactly what this gate checks
+    "s25_datasource_pushdown",
 ]
 
 
