@@ -290,6 +290,11 @@ HEADLINE = [
     "s28_binary_file_scan",
     # m12 prices the ordered-streaming alternative to grouped maps.
     "m12_secondary_sort",
+    # round-9: m10b prices the iterative graph loop (4 × join+agg over
+    # once-partitioned inputs + per-round localCheckpoint) — the first
+    # PageRank in the headline; the float m10 stays out (rows-only,
+    # identical plan shape, convergence pinned in tests).
+    "m10b_pagerank_exact",
 ]
 
 

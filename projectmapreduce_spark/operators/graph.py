@@ -87,6 +87,83 @@ def pagerank(
     return ranks
 
 
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 4,
+    scale: int = 10**12,
+) -> DataFrame:
+    """INTEGER-QUANTIZED PageRank → (id, rank_e12) — the engine-exact
+    twin of :func:`pagerank` (round-9, the a4b/a11b/a13b recipe:
+    re-express a rows-only op so a SQL oracle can hash-check it).
+
+    The float fixpoint is rows-only by nature: per-iteration double
+    sums are partition-order-dependent, and ``round(double, k)`` is
+    not guaranteed to tie-break identically across engines at high k.
+    This variant therefore does EVERY data-dependent step in BIGINT
+    units of ``1/scale`` (damping 0.85 as the exact rational 85/100):
+
+        r_0      = scale div N
+        contrib  = r div out_deg              (per edge, floor)
+        inbound  = Σ contrib                  (exact integer sum)
+        dangling = Σ r over sink nodes        (exact integer sum)
+        r_next   = (15·scale) div (100·N)
+                 + (85 · (inbound + dangling div N)) div 100
+
+    Integer sums are order-independent and floor division of
+    non-negative operands is identical on every engine, so the result
+    is bit-reproducible regardless of partitioning — which the
+    unrolled-CTE DuckDB oracle checks hash-exactly.  The quantization
+    truncates ≤ 1/scale per op (ranks live at ~1/N ≫ 1/scale), so the
+    ranking agrees with the float fixpoint; CONVERGENCE to the true
+    power iteration stays pinned on :func:`pagerank` in
+    tests/test_operators.py.  Same scale design as pagerank: one
+    shuffle join + one aggregate per iteration over once-partitioned
+    inputs, lineage truncated per round, driver state = one scalar.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition("id")
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    g = e.join(out_deg, "src").repartition("src").localCheckpoint(eager=True)
+
+    ranks = nodes.select("id", F.lit(scale // n).cast("long").alias("r"))
+    base = (15 * scale) // (100 * n)
+    for _ in range(n_iters):
+        dangling = int(
+            ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            g.join(ranks, g.src == ranks.id)
+            .select("dst", F.expr("r div out_deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inbound"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.id == contribs.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"(85 * (coalesce(inbound, 0) + {dangling // n})) div 100"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.col("r").alias("rank_e12"))
+
+
 def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     """M11: exact triangle count + global clustering coefficient over an
     undirected simple graph — the second canonical MR graph workload

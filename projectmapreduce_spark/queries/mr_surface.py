@@ -252,6 +252,86 @@ def m10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("rank", 8).alias("rank"))
 
 
+def _m10b_oracle(n_iters: int = 4, scale: int = 10**12) -> str:
+    """Unrolled-CTE DuckDB mirror of the integer-quantized PageRank —
+    the c27 recipe (each iteration's statements become one more CTE
+    layer) applied to an iterative graph fixpoint.  Kept as a
+    generator so the Spark operator and the oracle can never disagree
+    on iteration count or quantization scale.
+
+    Every CTE is ``AS MATERIALIZED``: each r_k layer references the
+    previous layer (plus e/od/nodes) more than once, and an INLINED
+    chain re-evaluates its whole ancestry per reference — at the sf1
+    tier that exponential re-expansion spilled >40 GB and exhausted
+    the disk before materialization was forced (observed round 9).
+    Materialized, the oracle is n_iters linear passes, like the
+    engine."""
+    sql = [
+        f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes),
+od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS od FROM e GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT id, (SELECT {scale} // n FROM nn)::BIGINT AS r FROM nodes)"""
+    ]
+    for k in range(1, n_iters + 1):
+        p = k - 1
+        sql.append(
+            f""",
+d{k} AS MATERIALIZED (
+  SELECT coalesce(sum(r), 0)::BIGINT AS dm
+  FROM r{p} LEFT JOIN od ON r{p}.id = od.src WHERE od.src IS NULL),
+c{k} AS MATERIALIZED (
+  SELECT e.dst, sum(r{p}.r // od.od)::BIGINT AS inbound
+  FROM e JOIN od ON e.src = od.src JOIN r{p} ON r{p}.id = e.src
+  GROUP BY e.dst),
+r{k} AS MATERIALIZED (
+  SELECT nodes.id,
+         ((SELECT (15 * {scale}) // (100 * n) FROM nn)
+          + (85 * (coalesce(c{k}.inbound, 0)
+                   + (SELECT dm FROM d{k}) // (SELECT n FROM nn))) // 100
+         )::BIGINT AS r
+  FROM nodes LEFT JOIN c{k} ON nodes.id = c{k}.dst)"""
+        )
+    sql.append(f"\nSELECT id, r AS rank_e12 FROM r{n_iters}")
+    return "".join(sql)
+
+
+@query(
+    "m10b_pagerank_exact",
+    oracle=_m10b_oracle(),
+    survey="M10",
+    category="mr",
+)
+def m10b_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 hash-checkable twin (round 9; the a4b/a11b/a13b recipe
+    extended to an ITERATIVE op): integer-quantized PageRank over the
+    same supplier→customer graph as m10.  Every data-dependent step is
+    BIGINT arithmetic in units of 1e-12 rank (damping as the exact
+    rational 85/100, floor divisions, exact integer sums), so the
+    result is bit-reproducible on any engine at any partitioning —
+    which the unrolled-CTE oracle (4 iterations, the c27 loop-unroll
+    recipe) checks hash-exactly.  m10 keeps the float power iteration
+    (rows-only, convergence pinned against numpy); this twin proves
+    the ITERATION STRUCTURE — per-round dangling-mass scalar, one
+    shuffle join + one aggregate — against an independent engine.  At
+    100 TB the cost model is n_iters × (join + agg) over inputs
+    partitioned once, identical to m10's."""
+    from projectmapreduce_spark.operators.graph import pagerank_exact
+
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+    )
+    return pagerank_exact(edges, n_iters=4)
+
+
 @query(
     "m11_triangle_count",
     oracle="""

@@ -161,6 +161,10 @@ QUERY_SET = [
     "x12_apply_in_arrow",
     "s28_binary_file_scan",
     "m12_secondary_sort",
+    # m10b prices the iterative loop: n_iters × (shuffle join + agg)
+    # over once-partitioned inputs — the first pagerank in the set
+    # (m10's float twin is rows-only, same plan shape).
+    "m10b_pagerank_exact",
 ]
 
 

@@ -721,6 +721,36 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
 
 
+def test_pagerank_exact_matches_integer_reference(spark):
+    """The integer-quantized twin must equal a pure-Python integer
+    reference BIT-FOR-BIT (that is its whole contract — floor
+    divisions and exact integer sums are engine-independent), and its
+    ranking must agree with the float fixpoint on the same graph."""
+    from projectmapreduce_spark.operators.graph import pagerank, pagerank_exact
+
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.id: r.rank_e12 for r in pagerank_exact(edges, n_iters=4).collect()}
+
+    n, scale = 5, 10**12
+    out: dict[int, list[int]] = {}
+    for s, t in edge_list:
+        out.setdefault(s, []).append(t)
+    r = {i: scale // n for i in range(n)}
+    base = (15 * scale) // (100 * n)
+    for _ in range(4):
+        dangling = sum(r[i] for i in range(n) if i not in out)
+        inbound = {i: 0 for i in range(n)}
+        for s, ts in out.items():
+            for t in ts:
+                inbound[t] += r[s] // len(ts)
+        r = {i: base + (85 * (inbound[i] + dangling // n)) // 100 for i in range(n)}
+    assert got == r  # exact integer equality, no tolerance
+    # Ranking agreement with the float fixpoint (same iteration count).
+    flt = {x.id: x.rank for x in pagerank(edges, n_iters=4).collect()}
+    assert sorted(got, key=got.get) == sorted(flt, key=flt.get)
+
+
 def test_triangle_stats_known_graph(spark):
     """K4 plus a pendant edge: C(4,3)=4 triangles; wedges = sum
     C(deg,2) = 3*C(3,2) + C(4,2) + C(1,2)-less pendant = 3*3+6+0... computed
