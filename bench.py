@@ -295,6 +295,8 @@ HEADLINE = [
     # PageRank in the headline; the float m10 stays out (rows-only,
     # identical plan shape, convergence pinned in tests).
     "m10b_pagerank_exact",
+    # f16 prices the ANSI try_* projection (codegen class, like f10).
+    "f16_try_funcs",
 ]
 
 

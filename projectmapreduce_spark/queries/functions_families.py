@@ -734,6 +734,65 @@ def f9b_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f16_try_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN NULL
+            ELSE round(o_totalprice / (o_orderkey % 10), 6) END AS safe_div,
+       CASE WHEN o_orderkey <= 7
+            THEN 9223372036854775800 + o_orderkey END           AS safe_add,
+       CASE WHEN o_orderkey % 5 = 0 THEN NULL
+            ELSE o_orderkey % (o_orderkey % 5) END              AS safe_mod,
+       TRY_CAST(o_orderpriority AS INTEGER)                     AS parse_fail,
+       TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER)    AS parse_ok,
+       string_split(o_orderpriority, '-')[(o_orderkey % 3 + 1)::INT]
+                                                                AS safe_elem
+FROM orders
+""",
+    survey="F16",
+    category="functions",
+)
+def f16_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: the ANSI error-safe function family (``try_divide`` /
+    ``try_add`` / ``try_mod`` / ``try_cast`` / ``try_element_at``) —
+    Spark 4 runs with ``spark.sql.ansi.enabled=true`` by DEFAULT, so
+    division by zero, integer overflow, malformed casts and
+    out-of-range element access RAISE instead of silently wrapping;
+    the ``try_`` variants are the sanctioned per-expression escape
+    hatch that turns each of those into NULL.  At 100 TB this is the
+    difference between one dirty row killing a six-hour job at stage
+    40 and a NULL that flows into the quality gates — every
+    production pipeline on ANSI Spark uses these around untrusted
+    arithmetic, which is why they are a first-class §2.8 row.
+
+    Each column exercises one failure class against data-dependent
+    operands (so both branches occur): /0 when key%10==0, int64
+    overflow past key 7 (9223372036854775800 + key), %0 when
+    key%5==0, an unparseable full string vs its parseable prefix, and
+    a 1-based array index that walks past the end every third row.
+    The oracle re-derives every NULL with explicit CASE guards (and
+    DuckDB's own TRY_CAST / out-of-range list indexing), so the
+    hash pins the exact NULL set, not just "no error".  Pure per-row
+    projection inside whole-stage codegen — zero shuffle, the
+    f10/f11 plan class."""
+    o = scan(spark, sf_dir, "orders")
+    pri_parts = F.split(F.col("o_orderpriority"), "-")
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 10), 6
+        ).alias("safe_div"),
+        F.try_add(F.lit(9223372036854775800), F.col("o_orderkey")).alias("safe_add"),
+        F.expr("try_mod(o_orderkey, o_orderkey % 5)").alias("safe_mod"),
+        F.expr("try_cast(o_orderpriority AS int)").alias("parse_fail"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS int)").alias("parse_ok"),
+        F.try_element_at(
+            pri_parts, (F.col("o_orderkey") % 3 + 1).cast("int")
+        ).alias("safe_elem"),
+    )
+
+
+@query(
     "f17_xml_funcs",
     oracle="""
 SELECT o_orderkey,

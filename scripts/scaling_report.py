@@ -165,6 +165,8 @@ QUERY_SET = [
     # over once-partitioned inputs — the first pagerank in the set
     # (m10's float twin is rows-only, same plan shape).
     "m10b_pagerank_exact",
+    # f16: ANSI try_* projection — scan-bound codegen, like f10.
+    "f16_try_funcs",
 ]
 
 

@@ -70,6 +70,8 @@ SURVEY_IDS = {
     "F13",  # round-6: string collations (UTF8_LCASE predicates)
     "F14",  # round-6: TIMESTAMP_NTZ family (zone-less wall time)
     "F15",  # round-7: blocked fuzzy matching (bounded levenshtein)
+    "F16",  # round-9: ANSI error-safe try_* family
+
     "F17",  # round-8: XML function family (from_xml + xpath_*)
     # §2.9 streaming-shaped (batch forms)
     "T1", "T2", "T3", "T4", "T5", "T6",
