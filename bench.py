@@ -297,6 +297,8 @@ HEADLINE = [
     "m10b_pagerank_exact",
     # f16 prices the ANSI try_* projection (codegen class, like f10).
     "f16_try_funcs",
+    # c31 prices the lateral-alias aggregate (one hash agg, c30 class).
+    "c31_lateral_alias",
 ]
 
 

@@ -1694,3 +1694,44 @@ def c30_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# ONE text for engine and oracle (the c23/c30 identical-text
+# discipline): the surface under test is the ANALYZER's alias
+# resolution, so the two engines must parse the very same string.
+_C31_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))), 2)
+            AS DOUBLE)                    AS revenue,
+       round(revenue / n_orders, 6)       AS avg_revenue,
+       round(avg_revenue * 100, 2)        AS avg_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "c31_lateral_alias",
+    oracle=_C31_SQL,
+    survey="C31",
+    category="composite",
+)
+def c31_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C31: LATERAL COLUMN ALIASES (Spark 3.4+/4) — a select item
+    referencing an ALIAS defined earlier in the SAME select list
+    (`... AS revenue, revenue / n_orders AS avg_revenue, avg_revenue
+    * 100 ...`), including over AGGREGATE expressions.  Classic SQL
+    forces either a wrapping subquery per derivation step or
+    expression duplication — and duplicated aggregate expressions are
+    the classic silent-drift bug (one copy edited, the other missed).
+    The chain here is three deep and sits in an Aggregate, the
+    hardest resolution case: the analyzer must rewrite the lateral
+    references onto the aggregate output, NOT re-evaluate the
+    aggregates (the optimized plan is one partial+final hash agg,
+    identical to the subquery spelling — plan-catalog-pinned).
+    DuckDB resolves the same syntax, so the oracle runs the IDENTICAL
+    text (c23/c30 discipline); the division/multiply chain starts
+    from an exact DECIMAL money sum and an exact count, so every
+    derived double is bit-identical cross-engine."""
+    scan(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_C31_SQL)

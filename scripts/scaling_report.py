@@ -167,6 +167,8 @@ QUERY_SET = [
     "m10b_pagerank_exact",
     # f16: ANSI try_* projection — scan-bound codegen, like f10.
     "f16_try_funcs",
+    # c31: lateral-alias aggregate — one hash agg, the c30 plan class.
+    "c31_lateral_alias",
 ]
 
 

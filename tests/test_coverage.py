@@ -148,6 +148,7 @@ SURVEY_IDS = {
     "C28",  # round-8: IDENTIFIER clause (parameterized names)
     "C29",  # round-8: pandas-on-Spark API surface (pyspark.pandas)
     "C30",  # round-8: GROUP BY ALL / ORDER BY ALL (inferred keys)
+    "C31",  # round-9: lateral column aliases (chained, in Aggregate)
 }
 
 
