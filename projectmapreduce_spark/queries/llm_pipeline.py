@@ -427,11 +427,51 @@ def l7_language_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("l7b_language_id", oracle=None, survey="L7,L8", category="llm")
+@query(
+    "l7b_language_id",
+    oracle=r"""
+WITH lex(cand_lang, marker) AS (
+  VALUES ('en','the'),('en','a'),('en','of'),('en','and'),('en','is'),
+         ('fr','le'),('fr','la'),('fr','de'),('fr','et'),('fr','est'),
+         ('es','el'),('es','la'),('es','de'),('es','y'),('es','es'),
+         ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+         ('zh','的'),('zh','是'),('zh','了'),('zh','在'),('zh','和')
+),
+toks AS (
+  SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+scores AS (
+  SELECT id, cand_lang, count(*)::BIGINT AS hits
+  FROM toks JOIN lex ON token = marker
+  GROUP BY id, cand_lang
+),
+best AS (
+  SELECT id, cand_lang, hits,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY hits DESC, cand_lang ASC) AS rn
+  FROM scores
+)
+SELECT id, cand_lang AS lang_pred, hits AS lang_score FROM best WHERE rn = 1
+""",
+    survey="L7,L8",
+    category="llm",
+)
 def l7b_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID via marker-lexicon scoring (rows-only:
-    the synthetic corpus shares one vocabulary across langs, so this
-    checks the machinery, not linguistic accuracy)."""
+    """Heuristic language ID via marker-lexicon scoring: explode ⋈
+    broadcast lexicon → per-(doc, lang) hit counts → argmax with a
+    lexicographic tiebreak.  (The synthetic corpus shares one
+    vocabulary across langs, so this checks the machinery, not
+    linguistic accuracy.)
+
+    Hash-checked since round 9 (was rows-only): every step is
+    deterministic — whitespace tokenization (`\\s` is ASCII in both
+    Java regex and RE2, so no domain restriction is needed, unlike
+    the Python-split x9/f15 cases), an inner join against the
+    VALUES-inlined lexicon, exact integer hit counts, and a
+    row_number()=1 tiebreak both engines order identically.  Docs
+    with zero lexicon hits drop out of the inner join on both
+    sides."""
     d = scan(spark, sf_dir, "documents")
     return language_id(d, "doc_id", "text")
 
