@@ -64,6 +64,9 @@ HEADLINE = [
     "m7_inverted_index",
     "l1_exact_dedup",
     "l2_minhash_lsh",
+    # round-10: l2c prices the 52-wide partial-agg vote fold + banded
+    # Hamming self-join (the newly hash-checked SimHash signature).
+    "l2c_simhash",
     "l2d_embedding_neardup",
     "l3_cosine_pairs",
     "l4_topk_nn",
@@ -326,8 +329,47 @@ SENTINEL_WARM_REF = {
 }
 GATE_WARM_PER_QUERY = 0.80  # normalized seconds per headline query
 
+# Out-of-repo host-speed probe (round 10, ADVICE r9 medium): the five
+# sentinels are themselves code under test, so a UNIFORM code
+# regression (session conf, codegen, Arrow batch-size change slowing
+# everything ~2×) would inflate the sentinel median equally and be
+# normalized away as "host drift".  The probe is pure
+# hashlib + single-threaded DuckDB over generate_series — zero repo
+# code, zero Spark — so it moves ONLY with host speed.  If the
+# sentinel median runs ≫ the probe ratio, the slowdown is in the code,
+# not the host, and the gate fails regardless of normalization.
+HOST_PROBE_REF = 0.39  # best-of-3 seconds, pinned on the round-10 host
+SENTINEL_VS_PROBE_MAX = 1.6  # sentinel median may exceed probe ratio by ≤1.6×
 
-def gate_verdict(warm: dict[str, float], total_warm: float) -> dict:
+
+def host_probe() -> float | None:
+    """Best-of-3 pure-Python+DuckDB micro-task (~0.4 s/run)."""
+    import hashlib
+
+    try:
+        import duckdb
+    except ImportError:
+        return None
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        buf = b"x" * 4096
+        for _ in range(20000):
+            buf = hashlib.md5(buf).digest() * 256
+        con = duckdb.connect()
+        con.execute("PRAGMA threads=1")
+        con.execute(
+            "SELECT sum(hash(i)) FROM generate_series(1, 20000000) t(i)"
+        ).fetchall()
+        con.close()
+        return time.perf_counter() - t0
+
+    return min(one() for _ in range(3))
+
+
+def gate_verdict(
+    warm: dict[str, float], total_warm: float, probe_sec: float | None = None
+) -> dict:
     ratios = sorted(
         warm[q] / ref for q, ref in SENTINEL_WARM_REF.items() if warm.get(q)
     )
@@ -341,13 +383,28 @@ def gate_verdict(warm: dict[str, float], total_warm: float) -> dict:
     )
     normalized = total_warm / med if med > 0 else total_warm
     limit = GATE_WARM_PER_QUERY * len(HEADLINE)
-    return {
+    out = {
         "warm_total": round(total_warm, 1),
         "sentinel_median_ratio": round(med, 3),
         "normalized_warm": round(normalized, 1),
         "limit": round(limit, 1),
         "verdict": "pass" if normalized <= limit else "fail",
     }
+    # Cross-check the sentinels against the out-of-repo probe: a slow
+    # host slows both; a code regression slows only the sentinels.
+    # probe_ratio floors at 1.0 so a faster-than-calibration host
+    # can't manufacture a failure.
+    if probe_sec is not None:
+        probe_ratio = probe_sec / HOST_PROBE_REF
+        out["host_probe_sec"] = round(probe_sec, 3)
+        out["host_probe_ratio"] = round(probe_ratio, 3)
+        if med > SENTINEL_VS_PROBE_MAX * max(probe_ratio, 1.0):
+            out["verdict"] = "fail"
+            out["fail_reason"] = (
+                "sentinel median exceeds host-probe ratio — uniform code "
+                "regression, not host drift"
+            )
+    return out
 
 
 def machine_condition(sf_dir: str) -> dict:
@@ -430,7 +487,7 @@ def main() -> None:
         print(json.dumps({"q": name, "cold": times[name], "warm": warm[name]}))
         sys.stdout.flush()
 
-    gate = gate_verdict(warm, total_warm)
+    gate = gate_verdict(warm, total_warm, probe_sec=host_probe())
     detail = {
         "metric": "suite_wall_sec",
         "value": round(total, 3),

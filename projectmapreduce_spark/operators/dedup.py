@@ -8,7 +8,8 @@ Four tiers, all pure DataFrame code (no Python in the hot path):
 - ``minhash_lsh_candidates`` / ``near_dup_minhash`` — MinHash + banded
                              LSH candidate generation, then exact
                              Jaccard verification of candidates only.
-- ``simhash``              — 64-bit SimHash + banded Hamming blocking.
+- ``simhash``              — 52-bit SimHash (md5-fold PRF, engine-
+                             portable) + banded Hamming blocking.
 
 Determinism: every hash is ``crc32`` (engine-stable) combined with
 fixed affine coefficients from a seeded RNG — re-runs produce identical
@@ -63,8 +64,14 @@ def tokens_of(
     higher-order array functions (no Python).  ``distinct=False`` skips
     the dedup shuffle — correct for consumers where duplicates are
     absorbed anyway (minhash: min over a multiset == min over the set).
+
+    The split class is the explicit ASCII set ``[ \\t\\n\\f\\r]``
+    rather than ``\\s``: Java's ``\\s`` additionally matches vertical
+    tab (\\x0B) while RE2's (DuckDB oracles) does not, so the explicit
+    class keeps engine and oracle tokenization identical on EVERY
+    input instead of relying on a no-\\x0B corpus guarantee.
     """
-    arr = F.split(F.col(text_col), r"\s+")
+    arr = F.split(F.col(text_col), r"[ \t\n\f\r]+")
     if n > 1:
         # A doc with fewer than n tokens has ZERO n-grams (the SQL
         # twin is `CASE WHEN len(t) >= n THEN ... ELSE [] END`).
@@ -339,48 +346,50 @@ def near_dup_minhash(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: each token votes its crc32 bit
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 52) -> DataFrame:
+    """SimHash per document: each distinct token votes its hash bit
     pattern ±1 per bit; the signature sign-aggregates the votes.
-    Pure relational: explode → (id, bit) vote aggregate → bit OR-fold.
+
+    The token hash is the repo's 52-bit md5 fold
+    (operators/sketch.py::md5_hash52) — a PRF both engines express
+    bit-identically (Spark conv(), DuckDB nibble fold), which is what
+    makes the l2c query hash-checkable against a DuckDB oracle that
+    re-derives the bit-majority (the a4b/a16/m10b engine-exact-twin
+    recipe).  52 bits also stay inside exact-double range, so the
+    signature survives any engine that widens bigints to doubles.
+
+    Plan shape: ONE groupBy(id) with ``bits`` partial-aggregated sum
+    columns (map-side combine; no per-bit row explosion — the previous
+    explode form multiplied rows ×bits before the shuffle), then a
+    JVM-side fold of the per-bit vote signs into the signature long.
 
     Output: (id, simhash: long).  Near-dup candidates come from banding
-    the signature into 4×16-bit chunks (``simhash_candidates``).
+    the signature into 4×13-bit chunks (``simhash_candidates``).
     """
+    from projectmapreduce_spark.operators.sketch import md5_hash52
+
     tok = tokens_of(df, id_col, text_col, 1)
-    # crc32 is 32-bit; derive a 64-bit pattern from two crc32s (token,
-    # token reversed) to fill all bit positions.
-    h64 = (F.crc32("token").bitwiseOR(F.shiftleft(F.crc32(F.reverse("token")), 32))).cast(
-        "long"
+    hashed = tok.withColumn("__h", md5_hash52("token"))
+    # vote_i = +1 if bit i of the token hash is set else -1, summed
+    # over the doc's distinct tokens: sum(2*((h>>i)&1) - 1).
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(F.shiftright("__h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__v{i}")
+            for i in range(bits)
+        ]
     )
-    votes_per_token = tok.withColumn("h64", h64).select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("bit"),
-                    F.when(F.expr(f"(h64 >> {i}) & 1") == 1, 1).otherwise(-1).alias("v"),
-                )
-                for i in range(bits)
-            ])
-        ).alias("bv"),
-    ).select("id", F.col("bv.bit").alias("bit"), F.col("bv.v").alias("v"))
-    sig_bits = (
-        votes_per_token.groupBy("id", "bit")
-        .agg(F.sum("v").alias("votes"))
-        .select(
-            "id",
-            F.when(F.col("votes") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-            .otherwise(F.lit(0).cast("long"))
-            .alias("bitval"),
+    sig = None
+    for i in range(bits):
+        bitval = F.when(F.col(f"__v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
-    return sig_bits.groupBy("id").agg(F.sum("bitval").alias("simhash"))
+        sig = bitval if sig is None else sig + bitval
+    return votes.select("id", sig.alias("simhash"))
 
 
 def simhash_candidates(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit signature into 4
-    16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal),
+    """Near-dup pairs by SimHash: band the 52-bit signature into 4
+    13-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal),
     equi-join on (chunk_idx, chunk), verify Hamming on candidates."""
     chunks = sig.select(
         "id",
@@ -389,8 +398,8 @@ def simhash_candidates(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(i).alias("ci"),
-                    F.shiftright(F.col("simhash"), 16 * i)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("simhash"), 13 * i)
+                    .bitwiseAND(F.lit(0x1FFF))
                     .alias("chunk"),
                 )
                 for i in range(4)

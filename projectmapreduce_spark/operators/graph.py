@@ -120,7 +120,10 @@ def pagerank_exact(
     power iteration stays pinned on :func:`pagerank` in
     tests/test_operators.py.  Same scale design as pagerank: one
     shuffle join + one aggregate per iteration over once-partitioned
-    inputs, lineage truncated per round, driver state = one scalar.
+    inputs, lineage truncated per round; unlike pagerank's float loop
+    the dangling mass is NOT collected — it joins back in as a
+    broadcast 1-row frame, so each iteration is exactly one job (the
+    eager checkpoint) with zero per-iteration driver state.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
@@ -137,10 +140,15 @@ def pagerank_exact(
     ranks = nodes.select("id", F.lit(scale // n).cast("long").alias("r"))
     base = (15 * scale) // (100 * n)
     for _ in range(n_iters):
-        dangling = int(
-            ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)))
-            .collect()[0][0]
+        # Dangling mass rides the iteration's ONE materialization as a
+        # broadcast 1-row scalar instead of a driver collect (round-10
+        # VERDICT task 6: the collect made every iteration TWO driver-
+        # sequenced jobs — at 4 iterations the m10b headline query was
+        # ~95% scheduler latency).  `dang div n` (SQL floor division,
+        # non-negative operands) is bit-identical to the previous
+        # driver-side `dangling // n`, so the hash is unchanged.
+        dang = ranks.join(out_deg, ranks.id == out_deg.src, "left_anti").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang")
         )
         contribs = (
             g.join(ranks, g.src == ranks.id)
@@ -150,13 +158,12 @@ def pagerank_exact(
         )
         ranks = (
             nodes.join(contribs, nodes.id == contribs.dst, "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "id",
                 (
                     F.lit(base)
-                    + F.expr(
-                        f"(85 * (coalesce(inbound, 0) + {dangling // n})) div 100"
-                    )
+                    + F.expr(f"(85 * (coalesce(inbound, 0) + dang div {n})) div 100")
                 ).alias("r"),
             )
             .localCheckpoint(eager=True)
@@ -273,6 +280,83 @@ def triangle_count_oriented(e: DataFrame, deg: DataFrame | None = None) -> DataF
     ).select(F.col("x.dst").alias("p"), F.col("y.dst").alias("q"))
     closing = oriented.select(F.col("src").alias("p"), F.col("dst").alias("q"))
     return cand.join(closing, ["p", "q"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def cosupply_edges(li: DataFrame, cap: int = 64) -> DataFrame:
+    """Distinct co-supply edges (u < v) — supplier pairs appearing in
+    the same order — with the DEGENERACY CAP both triangle queries
+    share (m11 exact, m11b DOULION estimate): orders with more than
+    ``cap`` distinct suppliers are dropped BEFORE pair fan-out, because
+    a single pathological order contributes C(n, 2) edges (the skew
+    tier's hottest order alone: C(3634, 2) ≈ 6.6M; at 100 TB a
+    degenerate key could be millions wide).  ``cap`` = 64 is far above
+    the organic 99.9th percentile (10), so on clean data the capped
+    graph IS the full graph — the cap only activates on adversarial
+    degeneracy, where the uncapped exact count is not a slower answer
+    but a non-answer (spill-disk exhaustion; round-9 skew tier ran
+    with a recorded --skip for exactly this, removed in round 10 by
+    making the cap part of m11's declared, oracle-mirrored semantics).
+
+    Input: (l_orderkey, l_suppkey) rows.  The collect_set buffer is
+    bounded by a conservative TWO-LEVEL pre-filter (round-8 profile —
+    the "skip when a cheap upper bound clears" answer):
+
+    1. A plain ``count(*)`` per order finds ROW-HEAVY candidates
+       (> 2·cap rows).  Row count upper-bounds distinct count, so
+       every order that could exceed the cap is a candidate; the
+       aggregate state is 8 bytes/key vs ~4 KB of HLL registers for an
+       always-on approx_count_distinct — at billions of order keys the
+       partial-agg payload drops ~500×.
+    2. Only candidates get the bounded-state approx_count_distinct
+       check (HLL++ at rsd 0.02 is sparse-exact at these
+       cardinalities, so a true ≤cap-supplier order can never trip
+       approx > 2·cap).  On organic data the candidate list is EMPTY
+       and AQE's empty-broadcast propagation short-circuits the probe
+       pass — the skip path.  A broadcast anti-join then drops
+       confirmed-hot orders before collect_set ever buffers them.
+
+    The exact ``size(ss) <= cap`` filter still decides the
+    (cap, 2·cap] band, so the SQL oracle's exact HAVING mirrors the
+    result; the degenerate key costs O(scalar + HLL registers), never
+    an unbounded array in one task.  Pairs are generated map-side from
+    the per-order sorted set (u < v structural from the sort); the
+    localCheckpoint pins one materialization for the multiple
+    downstream consumers (degree agg, wedge join, edge count)."""
+    li = li.filter(F.col("l_suppkey").isNotNull()).select("l_orderkey", "l_suppkey")
+    candidates = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 2 * cap)
+        .select("l_orderkey")
+    )
+    hot = (
+        li.join(F.broadcast(candidates), "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.approx_count_distinct("l_suppkey", 0.02).alias("n_approx"))
+        .filter(F.col("n_approx") > 2 * cap)
+        .select("l_orderkey")
+    )
+    sets_ = (
+        li.join(F.broadcast(hot), "l_orderkey", "left_anti")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
+        .filter(F.size("ss").between(2, cap))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    return (
+        sets_.select(F.explode(pair_structs).alias("p"))
+        .select("p.u", "p.v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
 
 def doulion_sample(e: DataFrame) -> DataFrame:

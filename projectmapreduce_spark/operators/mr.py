@@ -110,7 +110,7 @@ def partition_by(df: DataFrame, n: int, *keys: str) -> DataFrame:
 def word_count(df: DataFrame, text_col: str) -> DataFrame:
     """M6: the canonical job — tokenize, explode, count per term."""
     return (
-        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"))
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"[ \t\n\f\r]+")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -122,7 +122,7 @@ def inverted_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"[ \t\n\f\r]+")).alias("term"),
         )
         .filter(F.col("term") != "")
         .groupBy("term")

@@ -30,21 +30,25 @@ _STOPWORDS = ("a", "the", "of", "and", "is")
 def normalize_text(col) -> Column:
     """L5: lowercase, strip non-word punctuation, collapse whitespace."""
     c = F.lower(col)
-    c = F.regexp_replace(c, r"[^\w\s]", " ")
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"[^\w \t\n\f\r]", " ")
+    c = F.regexp_replace(c, r"[ \t\n\f\r]+", " ")
     return F.trim(c)
 
 
 def tokenize(col) -> Column:
-    """L6: whitespace tokenization → array<string>."""
-    return F.split(F.trim(col), r"\s+")
+    """L6: whitespace tokenization → array<string>.
+
+    Explicit ASCII class ``[ \\t\\n\\f\\r]`` == RE2 ``\\s`` (DuckDB):
+    Java's ``\\s`` also matches \\x0B, which RE2's does not — the
+    explicit class makes engine and oracle agree on every input."""
+    return F.split(F.trim(col), r"[ \t\n\f\r]+")
 
 
 def bpe_ish_token_count(col) -> Column:
     """Token-count estimate with a BPE-ish regex: splits words, digit
     runs, and punctuation marks separately (the common ~GPT-style
     pre-tokenizer shape), counted JVM-side."""
-    pieces = F.regexp_extract_all(col, F.lit(r"(\w+|[^\w\s])"), 1)
+    pieces = F.regexp_extract_all(col, F.lit(r"(\w+|[^\w \t\n\f\r])"), 1)
     return F.size(pieces)
 
 
@@ -60,7 +64,7 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
         n_tok.alias("n_tokens"),
-        (F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n_tok).alias(
+        (F.length(F.regexp_replace(F.col(text_col), r"[ \t\n\f\r]+", "")) / n_tok).alias(
             "mean_token_len"
         ),
         (n_stop / n_tok).alias("stopword_ratio"),
@@ -82,7 +86,7 @@ def quality_filter(
     """Keep docs passing the C4-style cheap quality gates."""
     toks = tokenize(F.col(text_col))
     n_tok = F.size(toks)
-    mean_len = F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n_tok
+    mean_len = F.length(F.regexp_replace(F.col(text_col), r"[ \t\n\f\r]+", "")) / n_tok
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_tok
     return df.filter(

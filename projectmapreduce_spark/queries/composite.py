@@ -1732,6 +1732,19 @@ def c31_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB resolves the same syntax, so the oracle runs the IDENTICAL
     text (c23/c30 discipline); the division/multiply chain starts
     from an exact DECIMAL money sum and an exact count, so every
-    derived double is bit-identical cross-engine."""
+    derived double is bit-identical cross-engine BEFORE the rounds.
+
+    Tie-risk rationale (ADVICE r9): the identical-text contract means
+    the engine runs plain `round(double, 6)` / `round(double, 2)`
+    here, not the repo's dround — Spark HALF_UP on the shortest-repr
+    decimal expansion vs DuckDB's scaled std::round CAN diverge
+    exactly at a half boundary.  The exposure is bounded and
+    accepted: 5 output groups × 2 rounded columns = 10 roundings per
+    run, each a quotient/product of an exact DECIMAL sum by an exact
+    count, so a boundary hit is a measure-zero coincidence of the
+    data, not an accumulating process (verified green at sf0.01 and
+    all three sf1 tiers).  Swapping dround in would BREAK the
+    identical-text property this row exists to demonstrate — if a
+    tier ever trips this, quantize the chain like m10b instead."""
     scan(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_C31_SQL)

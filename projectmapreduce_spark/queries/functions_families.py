@@ -774,12 +774,25 @@ def f16_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's own TRY_CAST / out-of-range list indexing), so the
     hash pins the exact NULL set, not just "no error".  Pure per-row
     projection inside whole-stage codegen — zero shuffle, the
-    f10/f11 plan class."""
+    f10/f11 plan class.
+
+    Boundary pinned by the round-10 fuzzer
+    (tests/test_differential_fuzz.py): try_element_at only catches
+    OUT-OF-BOUNDS — index 0 (INVALID_INDEX_OF_ZERO) still raises
+    under try_, so the index expression here (`key % 3 + 1`, range
+    1–3) and any future caller must keep 0 structurally impossible."""
     o = scan(spark, sf_dir, "orders")
     pri_parts = F.split(F.col("o_orderpriority"), "-")
     return o.select(
         "o_orderkey",
-        F.round(
+        # dround, not F.round (ADVICE r9): repo discipline is dround
+        # for every float column in a declared query — the current
+        # divisors (1–9 over 2-decimal prices) make half-boundary ties
+        # practically impossible, but the pattern must not invite a
+        # fragile edit.  The oracle keeps plain round(…, 6): both
+        # agree everywhere off the tie boundary, and dround matches
+        # DuckDB's scaled-std::round AT it.
+        dround(
             F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 10), 6
         ).alias("safe_div"),
         F.try_add(F.lit(9223372036854775800), F.col("o_orderkey")).alias("safe_add"),

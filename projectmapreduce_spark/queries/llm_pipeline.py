@@ -144,10 +144,64 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", dround("jaccard", 4).alias("jaccard"))
 
 
-@query("l2c_simhash", oracle=None, survey="L2", category="llm")
+_SIMHASH_TOKEN_HASH_SQL = """list_reduce(list_transform(generate_series(1, 13),
+    i -> CASE WHEN ascii(substr(md5(token), i, 1)) BETWEEN 48 AND 57
+              THEN ascii(substr(md5(token), i, 1)) - 48
+              ELSE ascii(substr(md5(token), i, 1)) - 87 END::BIGINT),
+    (acc, n) -> acc * 16 + n)"""
+
+
+@query(
+    "l2c_simhash",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, unnest(string_split_regex(text, '\\s+')) AS token
+  FROM documents
+),
+h AS (SELECT id, {_SIMHASH_TOKEN_HASH_SQL} AS h FROM tok),
+votes AS (
+  SELECT id, bit, sum(2 * ((h >> bit) & 1) - 1)::BIGINT AS v
+  FROM h, (SELECT unnest(generate_series(0, 51)) AS bit) bits
+  GROUP BY id, bit
+),
+sig AS (
+  SELECT id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END)::BIGINT
+           AS simhash
+  FROM votes GROUP BY id
+),
+chunks AS (
+  SELECT id, simhash, ci, (simhash >> (13 * ci)) & 8191 AS chunk
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS ci) cis
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+  FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk AND a.id < b.id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+""",
+    survey="L2",
+    category="llm",
+)
 def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (64-bit signature, 4×16-bit bands,
-    Hamming ≤ 3).  Rows-only; signature algebra pinned in unit tests."""
+    """SimHash near-dup candidates (52-bit signature, 4×13-bit bands,
+    Hamming ≤ 3).
+
+    Hash-checked since round 10 (was rows-only): the token hash is the
+    md5-52 fold PRF (operators/sketch.py::md5_hash52) both engines
+    express bit-identically, and everything downstream is integer
+    arithmetic — ±1 vote sums per bit (order-independent), a strict
+    `votes > 0` sign rule, power-of-two folds, band extraction by
+    shift/mask, and an exact Hamming via bit_count(xor).  The oracle
+    re-derives the bit-majority from scratch (per-(doc, bit) vote sums
+    over generate_series(0, 51)), so the check covers the signature
+    algebra itself, not just the candidate join.  Tokenization is the
+    l2b-proven pair: Spark split on the explicit ASCII class
+    `[ \\t\\n\\f\\r]+` == RE2 `\\s+` (see operators/dedup.py::tokens_of
+    — Java `\\s` additionally matches \\x0B, so the explicit class is
+    used engine-side to keep the two regex dialects identical on every
+    input, not just the current corpus)."""
     d = scan(spark, sf_dir, "documents")
     sig = simhash(d, "doc_id", "text")
     return simhash_candidates(sig, max_hamming=3)
@@ -465,9 +519,11 @@ def l7b_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     linguistic accuracy.)
 
     Hash-checked since round 9 (was rows-only): every step is
-    deterministic — whitespace tokenization (`\\s` is ASCII in both
-    Java regex and RE2, so no domain restriction is needed, unlike
-    the Python-split x9/f15 cases), an inner join against the
+    deterministic — whitespace tokenization (the engine splits on the
+    explicit ASCII class `[ \\t\\n\\f\\r]+`, which equals RE2's `\\s`;
+    Java's `\\s` would ALSO match \\x0B, so the explicit class is used
+    rather than relying on a no-\\x0B corpus — see
+    operators/text.py::tokenize), an inner join against the
     VALUES-inlined lexicon, exact integer hit counts, and a
     row_number()=1 tiebreak both engines order identically.  Docs
     with zero lexicon hits drop out of the inner join on both
@@ -1187,7 +1243,7 @@ def l17_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectmapreduce_spark.operators.dedup import connected_components
 
     d = scan(spark, sf_dir, "documents").filter(
-        F.size(F.split(F.col("text"), r"\s+")) >= 3
+        F.size(F.split(F.col("text"), r"[ \t\n\f\r]+")) >= 3
     )
     edges = ngram_jaccard_join(d, "doc_id", "text", threshold=0.5, n=3)
     comps = connected_components(edges)
@@ -1888,7 +1944,7 @@ def l30_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = scan(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
     n_tok = F.size(toks)
-    mean_len = F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / n_tok
+    mean_len = F.length(F.regexp_replace(F.col("text"), r"[ \t\n\f\r]+", "")) / n_tok
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_tok
     quality_pred = (n_tok >= 10) & (mean_len <= 12.0) & (stop_ratio >= 0.0)
@@ -1993,7 +2049,7 @@ def l31_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression tree is engine-mirrored; per-bigram ln() then mean
     keeps the fold order canonical on both sides before round(6)."""
     d = scan(spark, sf_dir, "documents")
-    arr = F.split(F.trim(F.col("text")), r"\s+")
+    arr = F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+")
     pairs = F.zip_with(
         F.slice(arr, 1, F.size(arr) - 1),
         F.slice(arr, 2, F.size(arr) - 1),

@@ -335,10 +335,14 @@ def m10b_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "m11_triangle_count",
     oracle="""
-WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+           WHERE l_suppkey IS NOT NULL),
+ok AS (SELECT l_orderkey FROM s GROUP BY l_orderkey HAVING count(*) <= 64),
 e AS (
   SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
-  FROM s x JOIN s y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+  FROM s x JOIN s y ON x.l_orderkey = y.l_orderkey
+  JOIN ok ON x.l_orderkey = ok.l_orderkey
+  WHERE x.l_suppkey < y.l_suppkey
 ),
 deg AS (
   SELECT id, count(*) AS deg
@@ -370,24 +374,28 @@ def m11_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M11: exact triangle count + global clustering coefficient over
     the supplier co-supply graph (edge per supplier pair appearing in
     the same order) — the second canonical MR graph workload
-    (Cohen 2009).  Edge generation is an equi-join on the order key
-    (per-order pair fan-out bounded by order size, so linear in
-    lineitem); counting uses DEGREE ORIENTATION
+    (Cohen 2009).  Counting uses DEGREE ORIENTATION
     (`operators/graph.py:triangle_stats`) so the wedge join is
     O(m^1.5) worst-case instead of hub-quadratic.  The oracle counts
     the same triangles the schoolbook way (a<b<c edge triples) —
-    orientation is a performance strategy, not a semantics change."""
-    from projectmapreduce_spark.operators.graph import triangle_stats
+    orientation is a performance strategy, not a semantics change.
 
-    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
-    x = li.alias("x")
-    y = li.alias("y")
-    edges = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
-    ).select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
-    return triangle_stats(edges)
+    Declared semantics since round 10: the graph is the DEGENERACY-
+    CAPPED co-supply graph (orders with > 64 distinct suppliers are
+    excluded before pair fan-out — `operators/graph.py:cosupply_edges`,
+    cap mirrored exactly by the oracle's HAVING).  On organic data the
+    cap never activates (99.9th-percentile order breadth is 10), so
+    clean-tier results are bit-identical to the uncapped round-9
+    numbers; on adversarial degeneracy (the skew tier's 3634-supplier
+    order → C(3634,2) ≈ 6.6M edges from ONE key) the cap is what lets
+    the EXACT count run at all — round 9 excluded m11 from the skew
+    sf1 sweep via a recorded --skip, removed in round 10.  The count
+    stays exact on the capped graph (unlike m11b, which additionally
+    DOULION-samples for the dense regime)."""
+    from projectmapreduce_spark.operators.graph import cosupply_edges, triangle_stats
+
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return triangle_stats(cosupply_edges(li, cap=64), a="u", b="v")
 
 
 @query(
@@ -417,16 +425,21 @@ FROM tri
     category="mr",
 )
 def m11b_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M11b: the PRODUCTION answer to the dense-graph case M11's exact
-    count rightly refuses (the skew tier's near-complete co-supply
-    graph: ~4·10⁸ edges → spill-disk exhaustion).  Two bounds compose:
+    """M11b: the SAMPLED estimator for graphs dense even after the
+    degeneracy cap — the UNCAPPED skew-tier co-supply graph was
+    ~4·10⁸ edges (spill-disk exhaustion for any exact count), and
+    since round 10 the cap itself is shared with m11, so what this
+    query adds over the exact count is the sampling.  Two bounds
+    compose:
 
-    1. **Co-occurrence cap** (the L2 ``max_bucket`` pattern): orders
-       with > 64 distinct suppliers are dropped BEFORE pair fan-out —
-       a single pathological order otherwise contributes C(n,2) edges
-       (the skew tier's hottest order alone: C(3634,2) ≈ 6.6M).  64 is
-       far above the organic 99.9th percentile (10), so on clean data
-       the capped graph IS the full graph.
+    1. **Co-occurrence cap** (the L2 ``max_bucket`` pattern, shared
+       helper ``operators/graph.py:cosupply_edges`` since round 10):
+       orders with > 64 distinct suppliers are dropped BEFORE pair
+       fan-out — a single pathological order otherwise contributes
+       C(n,2) edges (the skew tier's hottest order alone:
+       C(3634,2) ≈ 6.6M).  64 is far above the organic 99.9th
+       percentile (10), so on clean data the capped graph IS the
+       full graph.
     2. **DOULION edge sampling** (Tsourakakis KDD'09): each surviving
        edge is kept with p = 51/256 by a deterministic md5 coin
        (``operators/graph.py:doulion_sample``), triangles are counted
@@ -441,88 +454,27 @@ def m11b_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The md5 coin makes the whole query engine-deterministic, so unlike
     classic sampled estimators it carries a full SQL hash oracle, not
-    a rows-only check.  On the skew tier this completes in seconds
-    where m11 cannot run."""
+    a rows-only check.  (Since round 10 m11 shares the same capped
+    edge helper and runs exactly on every tier; this estimator remains
+    the scale path for graphs dense even AFTER the cap, where the
+    O((pm)^1.5) sampled wedge join is the difference between seconds
+    and the exact count's full m^1.5.)"""
     from projectmapreduce_spark.operators.graph import (
+        cosupply_edges,
         doulion_sample,
         triangle_count_oriented,
     )
 
-    # Edge generation (the L2 bucket-pair pattern): per-order sorted
-    # distinct supplier sets via collect_set (the pair-level distinct
-    # folds into the aggregate), the exact cap filter applied to the
-    # SET size, then the C(n,2) pairs generated map-side from the
-    # sorted array — u < v is structural from the sort.  The
-    # collect_set buffer itself is bounded by a conservative
-    # TWO-LEVEL pre-filter (round-8 profile of the VERDICT r7 task-6
-    # fold-or-skip question — this is the "skipped when a cheap upper
-    # bound clears" answer):
-    #
-    # 1. A plain ``count(*)`` per order finds ROW-HEAVY candidates
-    #    (> 128 rows).  Row count upper-bounds distinct count, so
-    #    every order that could possibly exceed the cap is a
-    #    candidate; the aggregate state is 8 bytes/key vs the ~4 KB
-    #    of HLL registers the previous always-on
-    #    approx_count_distinct pass shuffled — at billions of order
-    #    keys the partial-agg payload drops ~500×, and map-side
-    #    combine keeps a degenerate hot key's shuffle tiny either way.
-    # 2. Only the candidates get the bounded-state
-    #    approx_count_distinct check (HLL++ at rsd 0.02 is
-    #    sparse-exact at these cardinalities, so a true ≤64-supplier
-    #    order can never trip approx > 128).  On organic data the
-    #    candidate list is EMPTY (order sizes are bounded; sf0.1 has
-    #    zero orders over 128 rows) and AQE's empty-broadcast
-    #    propagation short-circuits the probe pass entirely — the
-    #    skip path.  A broadcast anti-join then drops confirmed-hot
-    #    orders before collect_set ever buffers their suppliers.
-    #
-    # The exact ``size(ss) <= 64`` filter below still decides the
-    # (64, 128] band, so the declared semantics (and the SQL oracle's
-    # exact HAVING) are untouched; the degenerate 100-TB key
-    # (millions of distinct suppliers in one order) still costs
-    # O(scalar + HLL registers) instead of an unbounded array in one
-    # task.  Measured at sf0.1: ~5.8 s → ~4.1 s warm, unchanged hash.
-    li = (
-        scan(spark, sf_dir, "lineitem")
-        .filter(F.col("l_suppkey").isNotNull())
-        .select("l_orderkey", "l_suppkey")
-    )
-    candidates = (
-        li.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .filter(F.col("n_rows") > 128)
-        .select("l_orderkey")
-    )
-    hot = (
-        li.join(F.broadcast(candidates), "l_orderkey")
-        .groupBy("l_orderkey")
-        .agg(F.approx_count_distinct("l_suppkey", 0.02).alias("n_approx"))
-        .filter(F.col("n_approx") > 128)
-        .select("l_orderkey")
-    )
-    sets_ = (
-        li.join(F.broadcast(hot), "l_orderkey", "left_anti")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
-        .filter(F.size("ss").between(2, 64))
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ss"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
-                lambda y: F.struct(x.alias("u"), y.alias("v")),
-            ),
-        )
-    )
-    # edges feeds three consumers (n_edges, the sampler, the wedge
-    # join); the checkpoint pins one materialization all three read.
-    edges = (
-        sets_.select(F.explode(pair_structs).alias("p"))
-        .select("p.u", "p.v")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # Edge generation is the shared capped helper (round 10: m11 now
+    # runs on the SAME degeneracy cap, so the bucket-pair pattern, the
+    # two-level prefilter, and the cap rationale live in exactly one
+    # place — operators/graph.py:cosupply_edges).  Measured at sf0.1:
+    # ~5.8 s → ~4.1 s warm vs the always-on HLL prefilter, unchanged
+    # hash.  The checkpoint inside the helper pins one materialization
+    # for the three consumers here (n_edges, the sampler, the wedge
+    # join).
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = cosupply_edges(li, cap=64)
     samp = doulion_sample(edges).localCheckpoint(eager=True)
     tri = triangle_count_oriented(samp)
     counts = edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(

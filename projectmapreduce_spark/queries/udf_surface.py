@@ -272,7 +272,7 @@ def x6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the engine's own tokenize() contract use trim() = ASCII
             # spaces only; the two must agree on tab/newline-edged text.
             trimmed = pc.utf8_trim(text, " ")
-            toks = pc.split_pattern_regex(trimmed, r"\s+")
+            toks = pc.split_pattern_regex(trimmed, r"[ \t\n\f\r]+")
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("doc_id"),

@@ -909,7 +909,30 @@ def ensure_supplier_fixed_width(spark, sf_dir: str, path: str, n_files: int = 8)
     import json
 
     marker = os.path.join(path, "_PMR_FIXTURE.json")
-    key = {"sf_dir": os.path.abspath(sf_dir), "n_files": n_files}
+    # The key includes a cheap data fingerprint of the source parquet
+    # (ADVICE r9): (sf_dir, n_files) alone reuses a STALE fixture if
+    # the parquet under sf_dir is regenerated in place, producing a
+    # confusing false verification failure (engine reads old fixture,
+    # oracle reads fresh parquet).  File (name, size, mtime_ns)
+    # triples change on any rewrite without reading data bytes.
+    src = os.path.join(sf_dir, "supplier.parquet")
+    try:
+        if os.path.isdir(src):  # multi-file dataset layout
+            fingerprint = sorted(
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                for e in os.scandir(src)
+                if not e.name.startswith((".", "_"))
+            )
+        else:  # single-file layout (the testdata tiers)
+            st = os.stat(src)
+            fingerprint = [(os.path.basename(src), st.st_size, st.st_mtime_ns)]
+    except OSError:
+        fingerprint = []
+    key = {
+        "sf_dir": os.path.abspath(sf_dir),
+        "n_files": n_files,
+        "src_fingerprint": [list(t) for t in fingerprint],
+    }
     try:
         with open(marker) as fh:
             m = json.load(fh)

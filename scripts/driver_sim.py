@@ -76,7 +76,17 @@ def select_changed(sha: str, qs: dict, meta: dict) -> list[str] | None:
     out = subprocess.check_output(
         ["git", "-C", _REPO, "diff", "--name-only", sha], text=True
     )
-    changed = [f.strip() for f in out.splitlines() if f.strip()]
+    # Union in untracked files (ADVICE r9): `git diff` alone excludes
+    # a brand-new, not-yet-staged query module or test, which would
+    # make the incremental signal silently empty exactly when new
+    # queries exist.
+    untracked = subprocess.check_output(
+        ["git", "-C", _REPO, "ls-files", "--others", "--exclude-standard"],
+        text=True,
+    )
+    changed = sorted(
+        {f.strip() for f in (out.splitlines() + untracked.splitlines()) if f.strip()}
+    )
     hit_global = sorted(set(changed) & _GLOBAL_IMPACT)
     if hit_global:
         print(f"[changed-since] global-impact change ({hit_global[0]}) -> full sweep")

@@ -52,6 +52,10 @@ QUERY_SET = [
     "m7_inverted_index",
     "l1_exact_dedup",
     "l2_minhash_lsh",
+    # l2c scales as one 52-column partial agg over distinct tokens +
+    # a banded self-join whose output is the candidate set — the same
+    # bucket-bounded profile as l2's banding.
+    "l2c_simhash",
     "l8_text_quality",
     "l13_deterministic_split",
     "l14_sequence_packing",

@@ -180,3 +180,19 @@ def test_sql_checkable_share():
     """P0 contract: the relational core must be hash-checked, not
     rows-only — at least 85% of declared queries carry an oracle."""
     assert len(ORACLES) / len(QUERIES) >= 0.85
+
+
+def test_coverage_md_matches_registry():
+    """Generated docs must not trail the registry (round-9 verdict:
+    COVERAGE.md went one regeneration stale after the l7b oracle
+    conversion).  The committed file must byte-match the generator."""
+    import os
+
+    import scripts.coverage_report as cr
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md")
+    with open(path) as f:
+        committed = f.read()
+    assert committed == cr.render(), (
+        "COVERAGE.md is stale — regenerate with `python scripts/coverage_report.py`"
+    )

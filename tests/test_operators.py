@@ -93,7 +93,7 @@ def test_simhash_near_dups_have_small_hamming(spark):
     assert ham(1, 4) == 0  # order-invariant: identical bag → identical signature
     assert ham(1, 2) <= 16  # near-dups land close
     assert ham(1, 2) < ham(1, 3)  # ...and closer than unrelated docs
-    # Banded candidate generation (4×16-bit chunks) guarantees capture
+    # Banded candidate generation (4×13-bit chunks) guarantees capture
     # only for hamming ≤ 3 (pigeonhole) — the identical pair must appear.
     cands = {
         (r.id_a, r.id_b): r.hamming
