@@ -300,6 +300,10 @@ HEADLINE = [
     "m10b_pagerank_exact",
     # f16 prices the ANSI try_* projection (codegen class, like f10).
     "f16_try_funcs",
+    # round-10: a18 prices the exact per-group sort (median) + top-1
+    # frequency (mode); a19 prices the fixed-4KB bitmap-segment agg.
+    "a18_mode_median",
+    "a19_bitmap_distinct",
     # c31 prices the lateral-alias aggregate (one hash agg, c30 class).
     "c31_lateral_alias",
 ]

@@ -1043,3 +1043,134 @@ def a8b_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "a18_mode_median",
+    oracle="""
+WITH nn AS (SELECT l_returnflag, l_quantity, l_linenumber
+            FROM lineitem WHERE l_quantity IS NOT NULL),
+cq AS (
+  SELECT l_returnflag, l_quantity, count(*) AS n
+  FROM nn GROUP BY l_returnflag, l_quantity
+),
+mq AS (
+  SELECT l_returnflag, l_quantity AS mode_qty
+  FROM cq
+  QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                             ORDER BY n DESC, l_quantity ASC) = 1
+),
+cl AS (
+  SELECT l_returnflag, l_linenumber, count(*) AS n
+  FROM lineitem WHERE l_linenumber IS NOT NULL
+  GROUP BY l_returnflag, l_linenumber
+),
+ml AS (
+  SELECT l_returnflag, l_linenumber AS mode_line
+  FROM cl
+  QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                             ORDER BY n DESC, l_linenumber ASC) = 1
+),
+med AS (
+  SELECT l_returnflag,
+         quantile_cont(l_quantity::DOUBLE, 0.5) AS median_qty
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT mq.l_returnflag, mq.mode_qty, ml.mode_line, med.median_qty
+FROM mq JOIN ml USING (l_returnflag) JOIN med USING (l_returnflag)
+""",
+    survey="A18",
+    category="aggregate",
+)
+def a18_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: the native exact order/frequency aggregates `mode()` and
+    `median()` (Spark 3.4+) — the two everyone reaches for before
+    percentile sketches exist, exercised on a double column AND an int
+    column per group.
+
+    Determinism contract making the hash check possible: `mode(col,
+    true)` is the DETERMINISTIC variant — among equally-most-frequent
+    values it returns the LOWEST (plain `mode()` may return any);
+    the oracle re-derives exactly that rule with a count + (n DESC,
+    value ASC) row_number, because DuckDB's own mode() leaves ties
+    unspecified.  `median()` interpolates the middle pair on even
+    counts — DuckDB's median() does too but ONLY over DOUBLE (over
+    DECIMAL it returns the lower-middle, found by the round-10
+    probe), so the oracle casts explicitly; interpolated halves of
+    integer-valued doubles are IEEE-exact, no rounding needed.
+
+    Scale shape: median is an exact per-group sort (the small-group
+    tool — at 100 TB use a11's KLL sketch); mode is one (group,
+    value) hash aggregate + a per-group top-1, the same
+    two-aggregate profile as a3."""
+    li = scan(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("mode(l_quantity, true)").alias("mode_qty"),
+            F.expr("mode(l_linenumber, true)").alias("mode_line"),
+            F.median("l_quantity").alias("median_qty"),
+        )
+        .select("l_returnflag", "mode_qty", "mode_line", "median_qty")
+    )
+
+
+@query(
+    "a19_bitmap_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+       -- floor(), not integer //: Spark's bucket formula is
+       -- floorDiv(key-1, 32768)+1 and the fixtures contain custkey 0,
+       -- where DuckDB's // TRUNCATES toward zero (-1//32768 = 0, vs
+       -- floor = -1) and would fuse buckets 0 and 1.  Keys are far
+       -- below 2^52, so the double floor is exact.
+       count(DISTINCT 1 + CAST(floor((o_custkey - 1) / 32768.0) AS BIGINT))::BIGINT
+         AS n_segments
+FROM orders
+WHERE o_custkey IS NOT NULL
+GROUP BY o_orderpriority
+""",
+    survey="A19",
+    category="aggregate",
+)
+def a19_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: the bitmap aggregate family (Spark 3.5 —
+    `bitmap_bucket_number` / `bitmap_bit_position` /
+    `bitmap_construct_agg` / `bitmap_count` / `bitmap_or_agg`): EXACT
+    distinct counting over dense integer keys via fixed 4 KB (32768-
+    bit) bitmap segments — the production COUNT(DISTINCT)
+    acceleration.  Keys shard into numbered buckets, each (group,
+    bucket) builds one bitmap, and distinct = Σ bitmap_count per
+    group; a segment is mergeable by bitmap_or_agg without ever
+    rescanning rows, which is the 100 TB story: per-partition
+    segments persist as state and any rollup (day → month, region →
+    global) is a pure bitmap OR over metadata-scale rows — the exact
+    counterpart of a13b's approximate HLL-register persistence.
+
+    Hash-checked end-to-end against first principles: the oracle
+    computes the same numbers as plain COUNT(DISTINCT) plus the
+    bucket formula `floorDiv(key-1, 32768) + 1` (pinned by the
+    round-10 probe: key 5 → bucket 1, key 70000 → bucket 3, key 0 →
+    bucket 0 — the fixtures' custkey 0 caught that DuckDB's `//`
+    truncates toward zero where Spark FLOORS, so the oracle spells
+    the division as an explicit floor()), so a single bit misplaced
+    anywhere in the segmentation pipeline breaks the match.
+
+    Scale shape: one (group, bucket) hash aggregate whose state is a
+    fixed 4 KB buffer — like a13's HLL, the shuffle payload is
+    bounded per key regardless of input size; the final per-group
+    reduce touches segment counts only."""
+    o = scan(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    seg = o.select(
+        "o_orderpriority",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+        F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+    )
+    bitmaps = seg.groupBy("o_orderpriority", "bkt").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    return bitmaps.groupBy("o_orderpriority").agg(
+        F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_distinct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+    )

@@ -334,34 +334,69 @@ def m10b_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m11_triangle_count",
+    # The oracle counts with the FORWARD algorithm (Schank & Wagner
+    # 2005) over the same degree orientation as the engine: each
+    # triangle is counted exactly once at its base edge (a→b), as a
+    # wedge (a, q∈N⁺(b)) whose closing edge (a→q) exists.  Four
+    # formulations were measured on the organic synth-sf1 graph
+    # (7.5M capped edges over 10k suppliers, mean out-degree 754,
+    # 7.7·10⁸ triangles — the co-supply graph DENSIFIES with sf):
+    # (1) relational wedge joins — schoolbook a<b<c or oriented pair
+    # join — instantiate Σ C(deg,2) ≈ 10^10 wedge rows and spilled
+    # DuckDB 40–76 GB to disk exhaustion; (2) per-edge
+    # len(list_intersect(N⁺(a), N⁺(b))) never spills but DuckDB's
+    # list_intersect is O(|a|·|b|) per row → ~53 min; (3) the same
+    # EXISTS query as below but phrased in CTEs — DuckDB's
+    # build-side optimizer mis-estimates the unnest stream as small
+    # and flips to RIGHT_SEMI, hashing the 5.7·10⁹-row wedge stream
+    # (spill death again); (4) the form below — STAGED TEMP TABLES
+    # (DuckDB's Python execute() runs multi-statement strings and
+    # fetches the last result), which carry exact row counts, so the
+    # semi join builds on the 7.5M-row edge table — 51 s, ZERO
+    # spill.  Temp-table names are m11_-prefixed and CREATE OR
+    # REPLACE so sweep-session reuse and reruns can't collide.
     oracle="""
-WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
-           WHERE l_suppkey IS NOT NULL),
-ok AS (SELECT l_orderkey FROM s GROUP BY l_orderkey HAVING count(*) <= 64),
-e AS (
-  SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
-  FROM s x JOIN s y ON x.l_orderkey = y.l_orderkey
-  JOIN ok ON x.l_orderkey = ok.l_orderkey
-  WHERE x.l_suppkey < y.l_suppkey
+CREATE OR REPLACE TEMP TABLE m11_e AS
+WITH s AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_suppkey IS NOT NULL
 ),
-deg AS (
-  SELECT id, count(*) AS deg
-  FROM (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
-  GROUP BY id
-),
-tri AS (
+ok AS (SELECT l_orderkey FROM s GROUP BY l_orderkey HAVING count(*) <= 64)
+SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+FROM s x JOIN s y ON x.l_orderkey = y.l_orderkey
+JOIN ok ON x.l_orderkey = ok.l_orderkey
+WHERE x.l_suppkey < y.l_suppkey;
+
+CREATE OR REPLACE TEMP TABLE m11_deg AS
+SELECT id, count(*) AS deg
+FROM (SELECT u AS id FROM m11_e UNION ALL SELECT v AS id FROM m11_e)
+GROUP BY id;
+
+CREATE OR REPLACE TEMP TABLE m11_o AS
+SELECT CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND e.u < e.v)
+            THEN e.u ELSE e.v END AS src,
+       CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND e.u < e.v)
+            THEN e.v ELSE e.u END AS dst
+FROM m11_e e JOIN m11_deg a ON a.id = e.u JOIN m11_deg b ON b.id = e.v;
+
+CREATE OR REPLACE TEMP TABLE m11_lists AS
+SELECT src, list(dst) AS outs FROM m11_o GROUP BY src;
+
+WITH tri AS (
   SELECT count(*)::BIGINT AS n_triangles
-  FROM e e1
-  JOIN e e2 ON e1.v = e2.u
-  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+  FROM (
+    SELECT oo.src AS p, unnest(lt.outs) AS q
+    FROM m11_o oo JOIN m11_lists lt ON lt.src = oo.dst
+  ) w
+  WHERE EXISTS (SELECT 1 FROM m11_o o WHERE o.src = w.p AND o.dst = w.q)
 ),
 agg AS (
   SELECT count(*)::BIGINT AS n_nodes,
          sum((deg * (deg - 1)) // 2)::BIGINT AS n_wedges
-  FROM deg
+  FROM m11_deg
 )
 SELECT agg.n_nodes,
-       (SELECT count(*)::BIGINT FROM e) AS n_edges,
+       (SELECT count(*)::BIGINT FROM m11_e) AS n_edges,
        agg.n_wedges,
        tri.n_triangles,
        round(3.0 * tri.n_triangles / agg.n_wedges, 6) AS clustering
@@ -376,9 +411,14 @@ def m11_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same order) — the second canonical MR graph workload
     (Cohen 2009).  Counting uses DEGREE ORIENTATION
     (`operators/graph.py:triangle_stats`) so the wedge join is
-    O(m^1.5) worst-case instead of hub-quadratic.  The oracle counts
-    the same triangles the schoolbook way (a<b<c edge triples) —
-    orientation is a performance strategy, not a semantics change.
+    O(m^1.5) worst-case instead of hub-quadratic.  The oracle
+    re-derives the count independently with the FORWARD algorithm
+    (per-edge out-neighbor list intersection over the same
+    orientation): the schoolbook a<b<c triple join was correct but
+    its Σ C(deg,2) intermediate (~1.6·10^10 on the organic sf1
+    graph) exhausted DuckDB's spill disk — an oracle must be
+    RUNNABLE to verify anything, and the counting identity (each
+    triangle once at its base edge) is not a semantics change.
 
     Declared semantics since round 10: the graph is the DEGENERACY-
     CAPPED co-supply graph (orders with > 64 distinct suppliers are

@@ -203,26 +203,42 @@ def main() -> int:
         "session, entry, canonicalizer, this script) falls back to the "
         "full sweep.  The FULL sweep remains the release gate.",
     )
+    ap.add_argument(
+        "--release-spark",
+        action="store_true",
+        help="stop (and lazily recreate) the SparkSession after each "
+        "engine result is collected, BEFORE the DuckDB oracle runs — "
+        "Spark's blockmgr shuffle/checkpoint files persist for the "
+        "session lifetime, and for disk-heavy pairs (m11's wedge join: "
+        "~27 GB blockmgr + ~38 GB oracle spill on the organic sf1 "
+        "graph) the two sides cannot coexist inside the machine's "
+        "spill budget.  Costs ~15 s of JVM restart per query; use for "
+        "targeted heavy-query runs, never needed at sf0.01",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
-    builder = (
-        SparkSession.builder.master(args.master)
-        .appName("driver-sim")
-        .config("spark.sql.session.timeZone", args.hostile_tz)
-        .config("spark.driver.memory", args.driver_mem)
-        .config("spark.ui.enabled", "false")
-    )
-    # Parallel-sweep isolation: when $SPARK_GRAFT_SCRATCH redirects the
-    # query scratch root (io.scratch_path), redirect the managed-table
-    # warehouse with it — sink_managed queries (s22) would otherwise
-    # race on the shared spark-warehouse/ directory across processes.
-    if os.environ.get("SPARK_GRAFT_SCRATCH"):
-        builder = builder.config(
-            "spark.sql.warehouse.dir",
-            os.path.join(os.environ["SPARK_GRAFT_SCRATCH"], "warehouse"),
+    def make_spark():
+        builder = (
+            SparkSession.builder.master(args.master)
+            .appName("driver-sim")
+            .config("spark.sql.session.timeZone", args.hostile_tz)
+            .config("spark.driver.memory", args.driver_mem)
+            .config("spark.ui.enabled", "false")
         )
-    spark = builder.getOrCreate()
+        # Parallel-sweep isolation: when $SPARK_GRAFT_SCRATCH redirects
+        # the query scratch root (io.scratch_path), redirect the
+        # managed-table warehouse with it — sink_managed queries (s22)
+        # would otherwise race on the shared spark-warehouse/ directory
+        # across processes.
+        if os.environ.get("SPARK_GRAFT_SCRATCH"):
+            builder = builder.config(
+                "spark.sql.warehouse.dir",
+                os.path.join(os.environ["SPARK_GRAFT_SCRATCH"], "warehouse"),
+            )
+        return builder.getOrCreate()
+
+    spark = make_spark()
 
     # --- smoke ---
     t0 = time.time()
@@ -245,6 +261,19 @@ def main() -> int:
     duck_tmp = os.path.join(".tmp", f"duck_{os.getpid()}")
     os.makedirs(duck_tmp, exist_ok=True)
     con.execute(f"SET temp_directory='{duck_tmp}'")
+    # Reap ORPHANED spill dirs (round 10): a killed sweep leaves its
+    # duck_<pid> behind — a 14 GB stale dir plus a live oracle's spill
+    # exhausted the disk mid-run.  A dir whose pid is dead is garbage.
+    import shutil
+
+    for d in os.listdir(".tmp"):
+        if d.startswith("duck_") and d != f"duck_{os.getpid()}":
+            try:
+                os.kill(int(d.split("_", 1)[1]), 0)
+            except (ProcessLookupError, ValueError):
+                shutil.rmtree(os.path.join(".tmp", d), ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another uid — leave it
     for t in TABLES:
         # Driver fixtures are single files; Spark-written tiers (the
         # sf1 synth data) are directories of part files — glob those.
@@ -296,8 +325,15 @@ def main() -> int:
     for name in names:
         t0 = time.time()
         try:
+            if spark is None:
+                spark = make_spark()
             sdf = qs[name](spark, args.sf_dir)
             sp = sdf.toPandas()
+            if args.release_spark:
+                # Engine result is fully collected — free the session's
+                # blockmgr disk before the oracle spills.
+                spark.stop()
+                spark = None
             _record_canon(name, sp)
             if name not in oracles:
                 n_rows_only += 1

@@ -165,6 +165,11 @@ QUERY_SET = [
     "x12_apply_in_arrow",
     "s28_binary_file_scan",
     "m12_secondary_sort",
+    # a18: exact per-group median sort + mode top-1 (two hash aggs);
+    # a19: fixed-4KB bitmap segments — payload bounded per (group,
+    # bucket) key, so it scales like a13's register agg.
+    "a18_mode_median",
+    "a19_bitmap_distinct",
     # m10b prices the iterative loop: n_iters × (shuffle join + agg)
     # over once-partitioned inputs — the first pagerank in the set
     # (m10's float twin is rows-only, same plan shape).

@@ -7,8 +7,8 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
-# The full §2 inventory: 206 operator rows across 13 categories
-# (85 round-1 rows + the round-2/round-3 additions tagged below).
+# The full §2 inventory: 210 operator rows across 13 categories
+# (85 round-1 rows + the per-round additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
@@ -48,6 +48,8 @@ SURVEY_IDS = {
     "A15",  # round-3: second moments (var/std/corr) under the exact-sum contract
     "A16",  # round-7: KMV distinct sketch with set algebra (intersection)
     "A17",  # round-8: approx_top_k heavy hitters (accumulate/combine/estimate)
+    "A18",  # round-10: native exact mode()/median() aggregates
+    "A19",  # round-10: bitmap aggregate family (exact distinct via 4 KB segments)
     # §2.5 windows
     "W1", "W2", "W3", "W4", "W5", "W6",
     "W7",  # round-2: windowed distinct count
