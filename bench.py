@@ -342,12 +342,30 @@ GATE_WARM_PER_QUERY = 0.80  # normalized seconds per headline query
 # code, zero Spark — so it moves ONLY with host speed.  If the
 # sentinel median runs ≫ the probe ratio, the slowdown is in the code,
 # not the host, and the gate fails regardless of normalization.
+#
+# Round 11 (VERDICT r10 task 2 / ADVICE r10 medium): the probe gained
+# a PARALLEL component.  The single-threaded probe prices disk +
+# single-core speed but is BLIND to CPU contention: at loadavg 10 on
+# 32 cores the 32-wide Spark sentinels degraded ~1.85× while the
+# serial probe read 1.12× — a 4%-margin near-miss from a false
+# "uniform code regression" verdict in round 10.  The parallel probe
+# saturates every core the same way the sentinels do (N-thread
+# hashlib over GIL-releasing 1 MiB buffers + a threads=N DuckDB
+# aggregate), so contention inflates it proportionally; the gate
+# cross-checks the sentinel median against max(serial, parallel)
+# ratio — both host axes priced, neither able to masquerade as code.
 HOST_PROBE_REF = 0.39  # best-of-3 seconds, pinned on the round-10 host
+# Best-of-3 seconds for the parallel probe, pinned on a QUIET
+# round-11 window (loadavg m1 0.81 on 32 cores; four consecutive
+# best-of-3 readings 2.45/2.63/2.53/2.45 — stamped in BASELINE.md
+# § bench gate).
+HOST_PROBE_PAR_REF = 2.45
 SENTINEL_VS_PROBE_MAX = 1.6  # sentinel median may exceed probe ratio by ≤1.6×
 
 
 def host_probe() -> float | None:
-    """Best-of-3 pure-Python+DuckDB micro-task (~0.4 s/run)."""
+    """Best-of-3 pure-Python+DuckDB micro-task (~0.4 s/run),
+    single-threaded: prices serial CPU + allocator speed only."""
     import hashlib
 
     try:
@@ -371,8 +389,47 @@ def host_probe() -> float | None:
     return min(one() for _ in range(3))
 
 
+def host_probe_parallel() -> float | None:
+    """Best-of-3 ALL-CORE micro-task: N worker threads each md5-hash
+    1 MiB buffers (hashlib releases the GIL above 2047 bytes, so the
+    threads genuinely occupy N cores) plus a threads=N DuckDB
+    aggregate.  Under external CPU contention this degrades like the
+    32-wide Spark sentinels — the axis the serial probe cannot see."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        import duckdb
+    except ImportError:
+        return None
+
+    cpus = os.cpu_count() or 8
+
+    def hash_task() -> None:
+        buf = b"x" * (1 << 20)
+        for _ in range(48):
+            hashlib.md5(buf).digest()
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=cpus) as pool:
+            list(pool.map(lambda _: hash_task(), range(cpus)))
+        con = duckdb.connect()
+        con.execute(f"PRAGMA threads={cpus}")
+        con.execute(
+            "SELECT sum(hash(i)) FROM generate_series(1, 200000000) t(i)"
+        ).fetchall()
+        con.close()
+        return time.perf_counter() - t0
+
+    return min(one() for _ in range(3))
+
+
 def gate_verdict(
-    warm: dict[str, float], total_warm: float, probe_sec: float | None = None
+    warm: dict[str, float],
+    total_warm: float,
+    probe_sec: float | None = None,
+    probe_par_sec: float | None = None,
 ) -> dict:
     ratios = sorted(
         warm[q] / ref for q, ref in SENTINEL_WARM_REF.items() if warm.get(q)
@@ -394,19 +451,31 @@ def gate_verdict(
         "limit": round(limit, 1),
         "verdict": "pass" if normalized <= limit else "fail",
     }
-    # Cross-check the sentinels against the out-of-repo probe: a slow
-    # host slows both; a code regression slows only the sentinels.
-    # probe_ratio floors at 1.0 so a faster-than-calibration host
-    # can't manufacture a failure.
+    # Cross-check the sentinels against the out-of-repo probes: a
+    # slow host slows them too; a code regression slows only the
+    # sentinels.  The effective ratio is the WORST host axis —
+    # max(serial, parallel) — so CPU contention (visible only to the
+    # parallel probe) and disk/serial slowness (visible to both) each
+    # raise the allowance; probe_ratio floors at 1.0 so a
+    # faster-than-calibration host can't manufacture a failure.
+    ratios_seen = []
     if probe_sec is not None:
         probe_ratio = probe_sec / HOST_PROBE_REF
         out["host_probe_sec"] = round(probe_sec, 3)
         out["host_probe_ratio"] = round(probe_ratio, 3)
-        if med > SENTINEL_VS_PROBE_MAX * max(probe_ratio, 1.0):
+        ratios_seen.append(probe_ratio)
+    if probe_par_sec is not None:
+        par_ratio = probe_par_sec / HOST_PROBE_PAR_REF
+        out["host_probe_par_sec"] = round(probe_par_sec, 3)
+        out["host_probe_par_ratio"] = round(par_ratio, 3)
+        ratios_seen.append(par_ratio)
+    if ratios_seen:
+        worst = max(ratios_seen)
+        if med > SENTINEL_VS_PROBE_MAX * max(worst, 1.0):
             out["verdict"] = "fail"
             out["fail_reason"] = (
-                "sentinel median exceeds host-probe ratio — uniform code "
-                "regression, not host drift"
+                "sentinel median exceeds both host-probe ratios — uniform "
+                "code regression, not host drift"
             )
     return out
 
@@ -491,7 +560,12 @@ def main() -> None:
         print(json.dumps({"q": name, "cold": times[name], "warm": warm[name]}))
         sys.stdout.flush()
 
-    gate = gate_verdict(warm, total_warm, probe_sec=host_probe())
+    gate = gate_verdict(
+        warm,
+        total_warm,
+        probe_sec=host_probe(),
+        probe_par_sec=host_probe_parallel(),
+    )
     detail = {
         "metric": "suite_wall_sec",
         "value": round(total, 3),

@@ -307,13 +307,18 @@ def cosupply_edges(li: DataFrame, cap: int = 64) -> DataFrame:
        aggregate state is 8 bytes/key vs ~4 KB of HLL registers for an
        always-on approx_count_distinct — at billions of order keys the
        partial-agg payload drops ~500×.
-    2. Only candidates get the bounded-state approx_count_distinct
-       check (HLL++ at rsd 0.02 is sparse-exact at these
-       cardinalities, so a true ≤cap-supplier order can never trip
-       approx > 2·cap).  On organic data the candidate list is EMPTY
-       and AQE's empty-broadcast propagation short-circuits the probe
-       pass — the skip path.  A broadcast anti-join then drops
-       confirmed-hot orders before collect_set ever buffers them.
+    2. Only candidates get an EXACT countDistinct confirmation
+       (ADVICE r10: the earlier approx_count_distinct confirmation
+       left a probabilistic gap — an HLL overestimate of a true
+       ≤cap order would silently drop its edges and diverge from the
+       oracle's exact HAVING.  The candidate set is tiny by
+       construction — only orders with > 2·cap rows — so the exact
+       distinct aggregate costs the same bounded two-phase shuffle
+       and removes the gap entirely).  On organic data the candidate
+       list is EMPTY and AQE's empty-broadcast propagation
+       short-circuits the probe pass — the skip path.  A broadcast
+       anti-join then drops confirmed-hot orders before collect_set
+       ever buffers them.
 
     The exact ``size(ss) <= cap`` filter still decides the
     (cap, 2·cap] band, so the SQL oracle's exact HAVING mirrors the
@@ -332,8 +337,8 @@ def cosupply_edges(li: DataFrame, cap: int = 64) -> DataFrame:
     hot = (
         li.join(F.broadcast(candidates), "l_orderkey")
         .groupBy("l_orderkey")
-        .agg(F.approx_count_distinct("l_suppkey", 0.02).alias("n_approx"))
-        .filter(F.col("n_approx") > 2 * cap)
+        .agg(F.countDistinct("l_suppkey").alias("n_distinct"))
+        .filter(F.col("n_distinct") > cap)
         .select("l_orderkey")
     )
     sets_ = (

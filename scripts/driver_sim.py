@@ -264,16 +264,23 @@ def main() -> int:
     # Reap ORPHANED spill dirs (round 10): a killed sweep leaves its
     # duck_<pid> behind — a 14 GB stale dir plus a live oracle's spill
     # exhausted the disk mid-run.  A dir whose pid is dead is garbage.
+    # Scoped (ADVICE r10) to names matching duck_\d+ EXACTLY so a
+    # duck_<non-integer> dir some other tool created is never rmtree'd
+    # via a ValueError branch; pid-reuse keeping a dead dir alive is
+    # the conservative direction and acceptable.
+    import re
     import shutil
 
     for d in os.listdir(".tmp"):
-        if d.startswith("duck_") and d != f"duck_{os.getpid()}":
-            try:
-                os.kill(int(d.split("_", 1)[1]), 0)
-            except (ProcessLookupError, ValueError):
-                shutil.rmtree(os.path.join(".tmp", d), ignore_errors=True)
-            except PermissionError:
-                pass  # pid alive under another uid — leave it
+        m = re.fullmatch(r"duck_(\d+)", d)
+        if not m or d == f"duck_{os.getpid()}":
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(".tmp", d), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
     for t in TABLES:
         # Driver fixtures are single files; Spark-written tiers (the
         # sf1 synth data) are directories of part files — glob those.

@@ -1,0 +1,94 @@
+"""Gate-logic unit tests for bench.py's drift-normalized warm gate.
+
+Round 11 (VERDICT r10 task 2): the round-10 near-miss — sentinel
+median 1.725 vs fail-limit 1.795 on a contended host the
+single-threaded probe read as only 1.12× slow — motivated the
+parallel probe.  These tests pin the scenarios the gate must
+adjudicate correctly, with synthetic warm times so no Spark session
+is needed.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def _warm(ratio: float) -> dict[str, float]:
+    """Synthetic warm dict: every sentinel at `ratio` × its reference."""
+    return {q: ref * ratio for q, ref in bench.SENTINEL_WARM_REF.items()}
+
+
+def _fast_total() -> float:
+    """A warm total comfortably inside the per-query envelope."""
+    return 0.3 * len(bench.HEADLINE)
+
+
+def test_quiet_host_passes():
+    out = bench.gate_verdict(
+        _warm(1.0), _fast_total(), probe_sec=0.39, probe_par_sec=2.45
+    )
+    assert out["verdict"] == "pass"
+    assert out["host_probe_ratio"] == 1.0
+    assert out["host_probe_par_ratio"] == 1.0
+
+
+def test_round10_contention_scenario_passes_with_parallel_probe():
+    # The round-10 near-miss: CPU contention slows 32-wide sentinels
+    # 1.85× while the serial probe reads only 1.12×.  The parallel
+    # probe sees the contention (ratio ~1.9) and raises the allowance
+    # to 1.6 × 1.9 = 3.04 — no false "uniform code regression".
+    out = bench.gate_verdict(
+        _warm(1.85),
+        _fast_total(),
+        probe_sec=0.39 * 1.12,
+        probe_par_sec=2.45 * 1.9,
+    )
+    assert out["verdict"] == "pass", out
+    # With ONLY the serial probe (the round-10 gate), 1.85 > 1.6 ×
+    # 1.12 = 1.792 would have flipped the verdict — the blind axis.
+    old = bench.gate_verdict(_warm(1.85), _fast_total(), probe_sec=0.39 * 1.12)
+    assert old["verdict"] == "fail"
+
+
+def test_uniform_code_regression_still_fails():
+    # Both probes read the host at calibration speed while every
+    # sentinel runs 2× slow: that is a CODE regression and must fail
+    # even though the drift-normalized total would absorb it.
+    out = bench.gate_verdict(
+        _warm(2.0), _fast_total(), probe_sec=0.39, probe_par_sec=2.45
+    )
+    assert out["verdict"] == "fail"
+    assert "uniform code regression" in out["fail_reason"]
+
+
+def test_fast_host_cannot_manufacture_failure():
+    # Probe ratios floor at 1.0: a host 2× faster than calibration
+    # must not shrink the sentinel allowance below 1.6×.
+    out = bench.gate_verdict(
+        _warm(1.5), _fast_total(), probe_sec=0.39 / 2, probe_par_sec=2.45 / 2
+    )
+    assert out["verdict"] == "pass"
+
+
+def test_genuine_per_byte_regression_fails_on_normalized_total():
+    # Sentinels flat (host + codegen fine) but the suite total blows
+    # the 0.80 s/query envelope: the normalized gate fails.
+    out = bench.gate_verdict(
+        _warm(1.0),
+        1.2 * len(bench.HEADLINE),
+        probe_sec=0.39,
+        probe_par_sec=2.45,
+    )
+    assert out["verdict"] == "fail"
+
+
+def test_probes_absent_degrades_to_normalized_gate_only():
+    out = bench.gate_verdict(_warm(1.0), _fast_total())
+    assert out["verdict"] == "pass"
+    assert "host_probe_ratio" not in out
+    assert "host_probe_par_ratio" not in out

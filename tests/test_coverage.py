@@ -7,6 +7,49 @@ from __future__ import annotations
 from projectmapreduce_spark.queries import ORACLES, QUERIES
 from projectmapreduce_spark.queries.registry import META
 
+# The rows-only FLOOR (round 11, VERDICT r10 task 7): the 14 declared
+# queries that are non-SQL-expressible BY NATURE — each value is the
+# hash-checked engine-exact twin (None = no twin possible; the exact
+# counterpart lives in unit tests, named in the rationale).  Round 10
+# converted the last convertible one (l2c_simhash); the remainder are
+# impossible by construction, not unconverted debt:
+#   - a4/a11/a13: sketch INTERNALS (HLL registers, KLL/GK quantile
+#     sketch state, sketch-union merge order) are engine-specific;
+#     the twins re-express each as deterministic register/histogram
+#     algebra with full hash oracles.
+#   - l2: MinHash signatures depend on Spark's xxhash64 seed stream;
+#     the l2c twin hash-checks the SimHash signature algebra and the
+#     band-join candidate structure cross-engine.
+#   - l28 + the l4b-l4f ANN family: learned centroids / LSH buckets /
+#     PQ codebooks are iterative-fit artifacts (k-means inits, float
+#     fixpoints); recall floors vs the SQL-checked exact l4_topk_nn
+#     are pinned in tests/test_operators.py instead.
+#   - m10: float PageRank fixpoint (IEEE accumulation order); the
+#     m10b twin runs the identical plan in BIGINT rank units with a
+#     hash oracle.
+#   - m5: spark_partition_id is engine-defined by nature.
+#   - p8: Bernoulli sample draws Spark's RNG stream; determinism and
+#     bounds pinned in tests (test_queries.py::test_p8_sample).
+#   - t5s: arrival-order watermark dedup — "first row seen" is
+#     execution-order-defined; the t5b twin drains keys-only with a
+#     SELECT DISTINCT oracle.
+ROWS_ONLY_FLOOR = {
+    "a4_approx_count_distinct": "a4b_hll_registers",
+    "a11_approx_quantile_sketch": "a11b_histogram_quantiles",
+    "a13_hll_sketch_union": "a13b_hll_register_union",
+    "l2_minhash_lsh": "l2c_simhash",
+    "l28_semantic_dedup": None,
+    "l4b_ann_lsh": None,
+    "l4c_ann_ivf": None,
+    "l4d_ann_ivf_int8": None,
+    "l4e_ann_index_serve": None,
+    "l4f_ann_pq": None,
+    "m10_pagerank": "m10b_pagerank_exact",
+    "m5_partition_by": None,
+    "p8_sample": None,
+    "t5s_stream_dedup": "t5b_stream_dedup_keys",
+}
+
 # The full §2 inventory: 210 operator rows across 13 categories
 # (85 round-1 rows + the per-round additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
@@ -182,6 +225,23 @@ def test_sql_checkable_share():
     """P0 contract: the relational core must be hash-checked, not
     rows-only — at least 85% of declared queries carry an oracle."""
     assert len(ORACLES) / len(QUERIES) >= 0.85
+
+
+def test_rows_only_floor_is_closed():
+    """The rows-only set is a declared FLOOR, not drift: exactly the
+    14 by-nature-unconvertible queries, no more (a new rows-only query
+    needs a documented entry here — or better, an oracle) and no less
+    (a conversion must retire its floor entry)."""
+    assert set(QUERIES) - set(ORACLES) == set(ROWS_ONLY_FLOOR)
+
+
+def test_rows_only_twins_are_hash_checked():
+    """Every declared engine-exact twin exists and carries a full SQL
+    oracle — the twin IS the cross-engine check for its floor row."""
+    for rows_only, twin in ROWS_ONLY_FLOOR.items():
+        assert rows_only in QUERIES
+        if twin is not None:
+            assert twin in ORACLES, f"{rows_only}'s twin {twin} lost its oracle"
 
 
 def test_coverage_md_matches_registry():

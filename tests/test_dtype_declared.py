@@ -100,9 +100,14 @@ def test_declared_type_families_match(name, spark, duck_correct):
     # A STAGED oracle (m11: multi-statement string, temp-table setup
     # + final SELECT — the only form whose semi join survives the sf1
     # graph) can't be wrapped in one DESCRIBE: run the setup
-    # statements first, describe only the final SELECT.  Top-level
-    # ';' split is safe — no oracle carries ';' inside a literal.
-    stmts = [s for s in ORACLES[name].split(";") if s.strip()]
+    # statements first, describe only the final SELECT.  Split with
+    # DuckDB's own parser (ADVICE r10) — a raw ';' split would break
+    # on a future oracle carrying ';' inside a string literal.
+    import duckdb as _duckdb
+
+    stmts = [
+        s.query for s in _duckdb.extract_statements(ORACLES[name]) if s.query.strip()
+    ]
     for setup in stmts[:-1]:
         duck_correct.execute(setup)
     du = {
