@@ -178,6 +178,15 @@ QUERY_SET = [
     "f16_try_funcs",
     # c31: lateral-alias aggregate — one hash agg, the c30 plan class.
     "c31_lateral_alias",
+    # m11 (round 11, VERDICT r10 task 1): the EXACT triangle count
+    # joined the sweep once the round-10 degeneracy cap bounded its
+    # wedge fan-out.  Its exponent prices graph DENSIFICATION — the
+    # TPC-H co-supply graph's edges grow superlinearly with sf
+    # (triangles faster still), so a >1 exponent here reports the
+    # fixture's output growth, not a plan regression; the cap keeps
+    # per-key state bounded at any sf (m11b above prices the sampled
+    # production path).
+    "m11_triangle_count",
 ]
 
 
