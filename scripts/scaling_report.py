@@ -204,15 +204,24 @@ def time_tier(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
+    import datetime
     import math
 
+    t_start = time.time()
+    load_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark(app_name="pmr-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     small = time_tier(spark, SMALL)
     big = time_tier(spark, BIG)
 
+    stamp = (
+        f"Run stamp: {datetime.date.today().isoformat()}, single session, "
+        f"{len(QUERY_SET)} queries × 2 tiers × min-of-2; loadavg at launch "
+        f"{load_start}; sweep wall {round((time.time() - t_start) / 60)} min."
+    )
     lines = [
         "# SCALING — measured sf0.1 → sf1 (10× rows) per-query scaling\n",
+        stamp + "\n",
         "Generated by scripts/scaling_report.py over the synthetic sf1",
         "dataset from scripts/make_scale_data.py (same schemas/FKs as the",
         "driver fixtures, uniform value distributions, deterministic",
@@ -266,6 +275,14 @@ def main() -> None:
         "  small-query latency.",
         "- Star/composite joins (j10, c1, c5, c7) scale as broadcast",
         "  plans should: fact-scan-bound, dim costs invisible.",
+        "- **m11's exponent > 1 is OUTPUT growth, not a plan leak**:",
+        "  the TPC-H co-supply graph DENSIFIES with sf — edges and",
+        "  wedges grow superlinearly in rows, and the exact count must",
+        "  touch every wedge.  The round-10 degeneracy cap bounds",
+        "  per-key state (the sweep completes where the uncapped form",
+        "  exhausted spill disk), and the sampled m11b rides the same",
+        "  growth at ~1/25 the edge volume — the production path for",
+        "  dense graphs, with m11 exact as the audited fallback.",
         "",
     ]
     from md_sections import carry_sections
