@@ -306,6 +306,10 @@ HEADLINE = [
     "a19_bitmap_distinct",
     # c31 prices the lateral-alias aggregate (one hash agg, c30 class).
     "c31_lateral_alias",
+    # round-11: c32 prices the hint-forced SMJ (two sort-shuffles the
+    # unhinted broadcast plan avoids — the deliberate cost of plan
+    # control, not a regression).
+    "c32_query_hints",
 ]
 
 

@@ -1748,3 +1748,60 @@ def c31_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier ever trips this, quantize the chain like m10b instead."""
     scan(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_C31_SQL)
+
+
+_C32_SQL = """
+SELECT /*+ BROADCAST(supplier), MERGE(orders) */
+       s_nationkey,
+       o_orderpriority,
+       count(*) AS n_items,
+       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                           AS DECIMAL(20,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY s_nationkey, o_orderpriority
+ORDER BY s_nationkey, o_orderpriority
+"""
+
+
+@query(
+    "c32_query_hints",
+    oracle=_C32_SQL,
+    survey="C32",
+    category="composite",
+)
+def c32_query_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C32: the SQL query-hint control plane (`/*+ BROADCAST(t) */`,
+    `MERGE`, `SHUFFLE_HASH`, `SHUFFLE_REPLICATE_NL`, plus the layout
+    family `REPARTITION` / `REBALANCE` / `COALESCE`) — how an engineer
+    OVERRIDES the optimizer when its estimates are wrong, which at
+    100 TB is the difference between a plan that runs and one that
+    dies.  The canonical cases: a filtered dimension whose post-filter
+    size CBO cannot know (force BROADCAST below the threshold check);
+    a join whose build side would OOM an executor (force MERGE over a
+    runtime broadcast conversion); pre-sorted/bucketed inputs where
+    the sort in SMJ is pure waste (force SHUFFLE_HASH); and REBALANCE
+    to let AQE size output files without a hand-picked partition
+    count.
+
+    This query pins hint PRECEDENCE end-to-end: at the test tiers
+    `orders` is far under `autoBroadcastJoinThreshold`, so the
+    UNHINTED plan broadcasts it — the `MERGE(orders)` hint must
+    instead force a sort-merge join (and survive AQE's
+    broadcast-demotion pass, which by contract does not override user
+    join hints), while `BROADCAST(supplier)` keeps the dim build
+    broadcast.  Both effects are asserted on the executed plan in
+    tests/test_new_surfaces.py::test_c32_hints_take_effect and pinned
+    by the plan-catalog facts (the forced SMJ adds exactly its two
+    sort-shuffle exchanges).  Hints never change SEMANTICS — the
+    oracle runs the IDENTICAL text (DuckDB parses the hint as a plain
+    comment — the c23/c30/c31 identical-text discipline), so the hash
+    check proves result invariance while the plan assertions prove
+    the steering took effect.  Money via the exact-DECIMAL idiom
+    spelled inline on both engines."""
+    scan(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    scan(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    scan(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_C32_SQL)

@@ -187,6 +187,10 @@ QUERY_SET = [
     # per-key state bounded at any sf (m11b above prices the sampled
     # production path).
     "m11_triangle_count",
+    # c32 (round 11): the hint-forced SMJ — its exponent prices the
+    # sort-shuffle pair scaling with the fact side, the cost the
+    # BROADCAST-only twin avoids; both joins stay fact-scan-bound.
+    "c32_query_hints",
 ]
 
 

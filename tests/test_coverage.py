@@ -50,7 +50,7 @@ ROWS_ONLY_FLOOR = {
     "t5s_stream_dedup": "t5b_stream_dedup_keys",
 }
 
-# The full §2 inventory: 210 operator rows across 13 categories
+# The full §2 inventory: 211 operator rows across 13 categories
 # (85 round-1 rows + the per-round additions tagged below).
 # The enforced count is len(SURVEY_IDS) — keep this comment in sync.
 SURVEY_IDS = {
@@ -194,6 +194,7 @@ SURVEY_IDS = {
     "C29",  # round-8: pandas-on-Spark API surface (pyspark.pandas)
     "C30",  # round-8: GROUP BY ALL / ORDER BY ALL (inferred keys)
     "C31",  # round-9: lateral column aliases (chained, in Aggregate)
+    "C32",  # round-11: SQL query-hint control plane (join + layout hints)
 }
 
 

@@ -1240,3 +1240,65 @@ def test_s27_bloom_footer_payload(spark):
         assert back.count() == base.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_c32_hints_take_effect(spark):
+    """C32's reason to exist: the hints must STEER the plan, not just
+    parse.  At sf0.01 `orders` is far below the broadcast threshold,
+    so the unhinted twin broadcasts BOTH join sides; the declared
+    query's MERGE(orders) must force a SortMergeJoin that survives
+    AQE's broadcast-demotion pass, while BROADCAST(supplier) keeps
+    the dim side a broadcast build.  Executed-plan assertion — AQE
+    has finalized when we read the node list."""
+    from projectmapreduce_spark.plans.inspect import physical_node_names
+
+    df = QUERIES["c32_query_hints"](spark, SF_CORRECT)
+    df.count()
+    names = set(physical_node_names(df))
+    assert "SortMergeJoinExec" in names, "MERGE hint did not force SMJ"
+    assert "BroadcastHashJoinExec" in names, "BROADCAST hint lost"
+
+    unhinted = spark.sql(
+        """
+        SELECT s_nationkey, o_orderpriority, count(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY s_nationkey, o_orderpriority
+        """
+    )
+    unhinted.count()
+    assert "SortMergeJoinExec" not in set(physical_node_names(unhinted)), (
+        "control violated: the unhinted twin should broadcast orders — "
+        "if this fires the fixture outgrew the threshold and the hint "
+        "test is no longer testing precedence"
+    )
+
+
+def test_c32_hint_family_shuffle_hash_and_rebalance(spark):
+    """The other two hint families steer as documented: SHUFFLE_HASH
+    forces a ShuffledHashJoin (no sort phase — the pre-sorted-input
+    escape from SMJ), and REBALANCE inserts an AQE-managed shuffle
+    whose partitioning the runtime may split/coalesce by size."""
+    from projectmapreduce_spark.plans.inspect import physical_node_names
+
+    spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet").createOrReplaceTempView(
+        "li_h"
+    )
+    spark.read.parquet(f"{SF_CORRECT}/orders.parquet").createOrReplaceTempView(
+        "ord_h"
+    )
+    sh = spark.sql(
+        "SELECT /*+ SHUFFLE_HASH(ord_h) */ count(*) AS n "
+        "FROM li_h JOIN ord_h ON l_orderkey = o_orderkey"
+    )
+    sh.count()
+    assert "ShuffledHashJoinExec" in set(physical_node_names(sh))
+
+    rb = spark.sql("SELECT /*+ REBALANCE(l_returnflag) */ l_returnflag FROM li_h")
+    rb.count()
+    assert "ShuffleExchangeExec" in set(physical_node_names(rb))
+    # Hints never change semantics: the rebalanced scan returns the
+    # same multiset cardinality as the plain one.
+    assert rb.count() == spark.table("li_h").count()
