@@ -434,6 +434,7 @@ def gate_verdict(
     total_warm: float,
     probe_sec: float | None = None,
     probe_par_sec: float | None = None,
+    disk_mb_s: float | None = None,
 ) -> dict:
     ratios = sorted(
         warm[q] / ref for q, ref in SENTINEL_WARM_REF.items() if warm.get(q)
@@ -481,6 +482,22 @@ def gate_verdict(
                 "sentinel median exceeds both host-probe ratios — uniform "
                 "code regression, not host drift"
             )
+    # IO-drift caveat (round 11): sentinel normalization absorbs CPU
+    # drift, not IO drift — on a slow-disk window IO-/Python-worker-
+    # bound queries run 3-9× while the compute sentinels stay flat,
+    # so the NORMALIZED total can fail spuriously (observed this
+    # round: disk probe 124 MB/s, normalized 135.6 > 108, per-query
+    # median vs the committed window 0.976 — pure host).  Don't flip
+    # the verdict (a real IO regression, e.g. a scan suddenly reading
+    # every column, must still fail) — flag it for the adjudication
+    # method BASELINE.md records.
+    if out["verdict"] == "fail" and disk_mb_s is not None and disk_mb_s < 300:
+        out["warning"] = (
+            f"io_degraded_window: disk probe {disk_mb_s:.0f} MB/s — "
+            "adjudicate per-query warm medians vs the committed "
+            "BENCH_DETAIL window (BASELINE.md § bench caveat) before "
+            "reading this fail as a code regression"
+        )
     return out
 
 
@@ -569,6 +586,7 @@ def main() -> None:
         total_warm,
         probe_sec=host_probe(),
         probe_par_sec=host_probe_parallel(),
+        disk_mb_s=cond.get("disk_mb_s"),
     )
     detail = {
         "metric": "suite_wall_sec",

@@ -92,3 +92,39 @@ def test_probes_absent_degrades_to_normalized_gate_only():
     assert out["verdict"] == "pass"
     assert "host_probe_ratio" not in out
     assert "host_probe_par_ratio" not in out
+
+
+def test_io_degraded_fail_carries_warning_but_stays_fail():
+    # The round-11 spurious-fail shape: sentinels flat, total blown,
+    # disk probe degraded — the verdict must STAY fail (a real IO
+    # regression looks identical from inside one window) but carry
+    # the adjudication pointer.
+    out = bench.gate_verdict(
+        _warm(1.0),
+        1.2 * len(bench.HEADLINE),
+        probe_sec=0.39,
+        probe_par_sec=2.45,
+        disk_mb_s=124.7,
+    )
+    assert out["verdict"] == "fail"
+    assert "io_degraded_window" in out.get("warning", "")
+
+
+def test_fast_disk_fail_has_no_io_warning():
+    out = bench.gate_verdict(
+        _warm(1.0),
+        1.2 * len(bench.HEADLINE),
+        probe_sec=0.39,
+        probe_par_sec=2.45,
+        disk_mb_s=1600.0,
+    )
+    assert out["verdict"] == "fail"
+    assert "warning" not in out
+
+
+def test_pass_on_slow_disk_has_no_warning():
+    out = bench.gate_verdict(
+        _warm(1.0), _fast_total(), probe_sec=0.39, probe_par_sec=2.45, disk_mb_s=100.0
+    )
+    assert out["verdict"] == "pass"
+    assert "warning" not in out
