@@ -44,25 +44,43 @@ def pagerank(
     deduplicated (simple-graph semantics).  Every node appearing as
     src OR dst participates; dangling nodes contribute uniformly.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # Round-11 (guide §2.4/§5): checkpoint the canonical edge list ONCE.
+    # Before, `e` (scan → project → distinct) stayed lazy: the nodes
+    # and g checkpoints each re-evaluated it, and — the real leak —
+    # every iteration's dangling-mass subtree re-ran the FULL edge
+    # lineage (scan + distinct shuffle + out-degree aggregate) just to
+    # anti-join ranks against out_deg.  At 100 TB that is a complete
+    # re-read of the input per iteration.  Now sink-ness is computed
+    # once into an `is_sink` flag carried on the node/rank frames, and
+    # the per-iteration dangling mass is a filter + 1-row aggregate
+    # over the already-checkpointed ranks — no join, no rescan.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .join(out_deg, F.col("id") == F.col("src"), "left")
+        .select("id", F.col("src").isNull().alias("is_sink"))
         .repartition("id")
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # Edges carry their src out-degree so each iteration's join is the
     # ONLY place ranks meet the graph; partitioned once on src.
     g = e.join(out_deg, "src").repartition("src").localCheckpoint(eager=True)
 
-    ranks = nodes.select("id", (F.lit(1.0) / n).alias("rank"))
+    ranks = nodes.select("id", (F.lit(1.0) / n).alias("rank"), "is_sink")
     for _ in range(n_iters):
-        # dangling mass: rank parked on nodes with no out-edges
+        # dangling mass: rank parked on nodes with no out-edges —
+        # same scalar as the old anti-join (is_sink ⇔ id ∉ out_deg),
+        # read off the checkpointed ranks.
         dangling = (
-            ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
+            ranks.filter("is_sink")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .collect()[0][0]
         )
@@ -81,10 +99,11 @@ def pagerank(
                     + F.lit(damping)
                     * (F.coalesce(F.col("inbound"), F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("rank"),
+                "is_sink",
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select("id", "rank")
 
 
 def pagerank_exact(
@@ -125,29 +144,39 @@ def pagerank_exact(
     broadcast 1-row frame, so each iteration is exactly one job (the
     eager checkpoint) with zero per-iteration driver state.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # Round-11: same per-iteration fix as :func:`pagerank` — the edge
+    # list is checkpointed once, and the dangling mass no longer
+    # re-runs the full edge lineage (scan + distinct + out-degree
+    # aggregate + anti-join) every iteration; sink-ness is a flag on
+    # the checkpointed node/rank frames and the per-iteration dangling
+    # scalar is a filter + 1-row aggregate riding the SAME broadcast
+    # (round-10's one-job-per-iteration shape is kept; `dang div n`
+    # unchanged, so the hash is unchanged).
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .join(out_deg, F.col("id") == F.col("src"), "left")
+        .select("id", F.col("src").isNull().alias("is_sink"))
         .repartition("id")
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     g = e.join(out_deg, "src").repartition("src").localCheckpoint(eager=True)
 
-    ranks = nodes.select("id", F.lit(scale // n).cast("long").alias("r"))
+    ranks = nodes.select("id", F.lit(scale // n).cast("long").alias("r"), "is_sink")
     base = (15 * scale) // (100 * n)
     for _ in range(n_iters):
-        # Dangling mass rides the iteration's ONE materialization as a
-        # broadcast 1-row scalar instead of a driver collect (round-10
-        # VERDICT task 6: the collect made every iteration TWO driver-
-        # sequenced jobs — at 4 iterations the m10b headline query was
-        # ~95% scheduler latency).  `dang div n` (SQL floor division,
-        # non-negative operands) is bit-identical to the previous
-        # driver-side `dangling // n`, so the hash is unchanged.
-        dang = ranks.join(out_deg, ranks.id == out_deg.src, "left_anti").agg(
+        # Same scalar as the old anti-join (is_sink ⇔ id ∉ out_deg),
+        # read off the checkpointed ranks instead of recomputing the
+        # edge lineage.
+        dang = ranks.filter("is_sink").agg(
             F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang")
         )
         contribs = (
@@ -165,6 +194,7 @@ def pagerank_exact(
                     F.lit(base)
                     + F.expr(f"(85 * (coalesce(inbound, 0) + dang div {n})) div 100")
                 ).alias("r"),
+                "is_sink",
             )
             .localCheckpoint(eager=True)
         )
@@ -179,11 +209,12 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     Scale design — degree orientation, the standard trick that bounds
     the wedge blow-up: each undirected edge is oriented from the
     endpoint of LOWER (degree, id) rank to the higher one, so every
-    node's out-degree is O(sqrt(m)) on any graph and the wedge join
-    (out-edges ⋈ out-edges on shared source) generates
-    sum_v C(out_deg(v), 2) = O(m^1.5) candidates instead of the
-    unoriented sum_v C(deg(v), 2), which a single hub node makes
-    quadratic.  Two self-joins + one count; no driver-side state.
+    node's out-degree is O(sqrt(m)) on any graph; counting is the
+    forward algorithm over out-neighbor lists (see
+    ``triangle_count_oriented`` — round 11 replaced the wedge-row
+    self-join, which materialized O(m^1.5) candidate rows into a
+    shuffle, with in-task sorted-list intersections doing the same
+    O(m^1.5) work on O(√m)-bounded arrays).  No driver-side state.
 
     Returns ONE row: (n_nodes, n_edges, n_wedges, n_triangles,
     clustering) where n_wedges counts UNORIENTED length-2 paths
@@ -239,13 +270,35 @@ DOULION_P = 51.0 / 256.0
 
 def triangle_count_oriented(e: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """Exact triangle count over canonical undirected simple edges
-    (columns ``u`` < ``v``, distinct) via degree orientation — the same
-    O(m^1.5) wedge-join strategy as ``triangle_stats``, returned as a
-    single-row (n_triangles) frame for composition (DOULION rescaling,
-    per-snapshot counting).  ``deg`` optionally supplies a precomputed
-    (id, deg) frame over exactly ``e`` so a caller that already
-    aggregated degrees (``triangle_stats``) does not pay the edge-list
-    aggregate twice."""
+    (columns ``u`` < ``v``, distinct) via degree orientation, returned
+    as a single-row (n_triangles) frame for composition (DOULION
+    rescaling, per-snapshot counting).  ``deg`` optionally supplies a
+    precomputed (id, deg) frame over exactly ``e`` so a caller that
+    already aggregated degrees (``triangle_stats``) does not pay the
+    edge-list aggregate twice.
+
+    Round-11 (guide §2.3 "shuffle fewer bytes" / §3.3 "explode before
+    a join multiplies the shuffle"): the counter is the FORWARD
+    algorithm (Schank & Wagner 2005) — per oriented edge (u, v),
+    triangles += |N⁺(u) ∩ N⁺(v)| — instead of the wedge self-join.
+    The wedge form MATERIALIZED every length-2 path as a row
+    (Σ_v C(outdeg(v), 2) — O(m^1.5) rows) and shuffled them into the
+    closing-edge join; on the sf0.1 co-supply graph that was ~10⁹
+    candidate rows (82 s; 695 s at sf1, SCALING exponent 1.15).  The
+    forward form does the same O(m^1.5) wedge WORK, but as an in-task
+    sorted-array intersection over per-node out-neighbor lists: the
+    only shuffled payloads are the m edges plus one O(√m)-bounded
+    list per edge endpoint, and no wedge row ever exists.  This is
+    the identical counting identity the m11 DuckDB oracle switched to
+    in round 10 (the wedge explosion exhausted its spill disk —
+    queries/mr_surface.py:_M11_ORACLE) — each triangle a<b<c in
+    orientation rank is counted exactly once, at its base edge (a, b),
+    because c ∈ N⁺(a) ∩ N⁺(b) while N⁺(b)/N⁺(c) cannot reach back
+    down the orientation.  Orientation and tie-break (degree, then
+    id) are UNCHANGED, so the oriented graph — and therefore the
+    count — is bit-identical to the wedge form's
+    (tests/test_operators.py pins trace(A³)/6 equality on random
+    graphs and the m11 oracle hash-checks the composed query)."""
     if deg is None:
         deg = (
             e.select(F.col("u").alias("id"))
@@ -262,24 +315,21 @@ def triangle_count_oriented(e: DataFrame, deg: DataFrame | None = None) -> DataF
     oriented = ranked.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst_id"),
     ).localCheckpoint(eager=True)
-    x = oriented.alias("x")
-    y = oriented.alias("y")
-    cand = x.join(
-        y,
-        (F.col("x.src") == F.col("y.src"))
-        & (
-            (F.col("x.dst_deg") < F.col("y.dst_deg"))
-            | (
-                (F.col("x.dst_deg") == F.col("y.dst_deg"))
-                & (F.col("x.dst_id") < F.col("y.dst_id"))
-            )
-        ),
-    ).select(F.col("x.dst").alias("p"), F.col("y.dst").alias("q"))
-    closing = oriented.select(F.col("src").alias("p"), F.col("dst").alias("q"))
-    return cand.join(closing, ["p", "q"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    # Out-neighbor lists, sorted so the intersection is a linear merge;
+    # each list is O(√m) by the orientation bound.  The groupBy and the
+    # first join share the hash-partitioning on src.
+    lists = oriented.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("outs"))
+    lu = lists.select(F.col("src").alias("lu_src"), F.col("outs").alias("outs_u"))
+    lv = lists.select(F.col("src").alias("lv_src"), F.col("outs").alias("outs_v"))
+    # Inner joins: an endpoint with no out-edges has an empty N⁺ and
+    # contributes 0 — dropping the row is the same sum.
+    return (
+        oriented.join(lu, F.col("src") == F.col("lu_src"))
+        .join(lv, F.col("dst") == F.col("lv_src"))
+        .select(F.size(F.array_intersect("outs_u", "outs_v")).alias("k"))
+        .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("n_triangles"))
+    )
 
 
 def cosupply_edges(li: DataFrame, cap: int = 64) -> DataFrame:
