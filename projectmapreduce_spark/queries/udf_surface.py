@@ -93,7 +93,7 @@ def x3_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is why the relational form is preferred when expressible."""
 
     def per_label(pdf: pd.DataFrame) -> pd.DataFrame:
-        first = pdf["embedding"].apply(lambda v: float(v[0]))
+        first = pdf["first_dim"]
         return pd.DataFrame(
             {
                 "label": [pdf["label"].iloc[0]],
@@ -103,7 +103,14 @@ def x3_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    e = scan(spark, sf_dir, "embeddings")
+    # Round-11 (guide §4.1): the UDAF reads only embedding[0], but
+    # applyInPandas is opaque to pruning — the whole 64-double array
+    # crossed the groupBy shuffle AND the Arrow boundary per row.
+    # Extract the first dim JVM-side: ~64x less shuffled/shipped
+    # payload, same float64 values reaching pandas, same result.
+    e = scan(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").getItem(0).alias("first_dim")
+    )
     out = e.groupBy("label").applyInPandas(
         per_label, "label int, n_vecs long, mean_first_dim double, min_first_dim double"
     )
@@ -410,7 +417,16 @@ def x8_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield (self.key, b, self.counts[b])
 
     spark.udtf.register("pmr_bucket_counts", udtf(BucketCounts))
-    scan(spark, sf_dir, "orders").createOrReplaceTempView("pmr_orders_x8")
+    # Round-11 (guide §4.1): a UDTF TABLE argument is opaque to column
+    # pruning — eval() receives the whole row, so Spark must scan,
+    # shuffle (the PARTITION BY exchange), struct-pack and ship EVERY
+    # column of the view through the Python boundary.  Project the two
+    # columns the function reads before the boundary: the scan's
+    # ReadSchema drops 6 -> 2 columns, the exchange payload and the
+    # per-row Python struct drop 7 -> 3 fields.  Result unchanged
+    # (bucket counts depend only on key + value columns).
+    scan(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")\
+        .createOrReplaceTempView("pmr_orders_x8")
     return spark.sql(
         """
         SELECT * FROM pmr_bucket_counts(
