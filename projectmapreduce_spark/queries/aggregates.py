@@ -623,11 +623,18 @@ def a13b_hll_register_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("grp", "bucket", "reg")
     )
     ests = hll_estimate(stored.unionByName(merged), ["grp"], p=9)
-    exact_m = o.groupBy("grp").agg(F.countDistinct("o_custkey").alias("exact_distinct"))
-    exact_all = o.agg(F.countDistinct("o_custkey").alias("exact_distinct")).select(
-        F.lit("ALL").alias("grp"), "exact_distinct"
+    # Round-11 (guide §2.4): the per-month and ALL exact counts were
+    # two separate aggregations, each with its own full orders scan in
+    # the final plan.  rollup("grp") computes both grouping sets in
+    # one pass over one scan (grp is never null — date_format of a
+    # non-null date — so the rollup's null grand-total row maps to
+    # 'ALL' unambiguously).  Same values, one fewer base-table scan.
+    exact = (
+        o.rollup("grp")
+        .agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+        .select(F.coalesce("grp", F.lit("ALL")).alias("grp"), "exact_distinct")
     )
-    return ests.join(exact_m.unionByName(exact_all), "grp")
+    return ests.join(exact, "grp")
 
 
 @query("a13_hll_sketch_union", oracle=None, survey="A13", category="aggregate")
