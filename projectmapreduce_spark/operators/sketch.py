@@ -247,13 +247,22 @@ def histogram_quantiles(
             F.lit(buckets - 1),
         )
     )
-    counts = b.select(*group_cols, bkt.alias("bkt")).groupBy(*group_cols, "bkt").agg(
-        F.count(F.lit(1)).alias("c")
+    # Round-11 (guide §2.4): carry the pass-1 scalars through the bin
+    # aggregation as (constant-per-group) grouping keys instead of
+    # re-joining broadcast(mm) after it — the re-join made the plan
+    # re-run pass 1's full scan a THIRD time (mm's lineage is lazy and
+    # appeared once under the bucketing join and once under the
+    # cumulative join).  Two scans — the algorithm's minimum — and one
+    # exchange fewer; identical values.
+    counts = (
+        b.select(*group_cols, "__mn", "__mx", "n_rows", bkt.alias("bkt"))
+        .groupBy(*group_cols, "__mn", "__mx", "n_rows", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy("bkt")
-    cum = counts.withColumn("cume", F.sum("c").over(w)).join(F.broadcast(mm), group_cols)
+    cum = counts.withColumn("cume", F.sum("c").over(w))
     qd = cum.withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
     target = F.ceil(F.col("q") * F.col("n_rows")).cast("double")
     picked = qd.filter(
