@@ -2058,8 +2058,20 @@ def l31_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # Round-11 (guide §2.4): the bigram model table is materialized
+    # once (it is vocabulary²-, not corpus-, sized) and the unigram
+    # table rolls up from it — c1(w1) = Σ_w2 c2(w1, w2) exactly, since
+    # every bigram occurrence contributes once to its w1's unigram
+    # count.  Before, uni and bi were two independent aggregates over
+    # the lazy bigram stream and the scoring join's plan re-tokenized
+    # the corpus a third time; now the corpus is tokenized twice (the
+    # model build and the scoring stream), the algorithm's minimum.
+    # Identical integer counts; the float expression tree is
+    # untouched.
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).localCheckpoint(
+        eager=True
+    )
+    uni = bi.groupBy("w1").agg(F.sum("c2").alias("c1"))
     lp = F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.lit(1.0)))
     scored = (
         bg.join(F.broadcast(bi), ["w1", "w2"])
