@@ -453,21 +453,28 @@ def connected_components(
     )
     for _ in range(max_iters):
         neighbor_labels = sym.join(labels, sym.dst == labels.id).select(
-            F.col("src").alias("id"), "comp"
+            F.col("src").alias("id"), "comp", F.lit(False).alias("own")
         )
+        # Round-11 (guide §2.4): the convergence check used to re-JOIN
+        # new_labels against labels — a second shuffle join per round
+        # just to count changes.  The node's own (old) label already
+        # rides the union (it is the one row with own=True per id), so
+        # min(comp WHERE own) re-derives it inside the SAME aggregate
+        # and `changed` becomes a cheap filter-count over the
+        # checkpointed result.  comp itself is the min over the same
+        # multiset as before — values unchanged.
         new_labels = (
-            labels.unionByName(neighbor_labels)
+            labels.select("id", "comp", F.lit(True).alias("own"))
+            .unionByName(neighbor_labels)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("own"), F.col("comp"))).alias("__old"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("comp", "comp_new")
-            .join(labels, "id")
-            .filter(F.col("comp_new") != F.col("comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("comp") != F.col("__old")).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     return labels
