@@ -1053,6 +1053,47 @@ def test_triangle_count_oriented_matches_triangle_stats(spark):
     assert composed["n_triangles"] == exact["n_triangles"] > 0
 
 
+def test_triangle_forward_counter_edge_cases(spark):
+    """Round-11 focused pin for the FORWARD-algorithm rewrite of
+    triangle_count_oriented (wedge self-join → per-edge out-neighbor
+    list intersection): a hub star (every oriented dst has an empty
+    out-list — the inner-join zero-contribution path), a hub star
+    PLUS one rim edge (exactly the rim triangles), a triangle with a
+    pendant tail (the tail's dst never reaches back down the
+    orientation), and an O(n³) brute-force reference on a dense-ish
+    deterministic graph.  All exact equalities."""
+    from projectmapreduce_spark.operators.graph import triangle_count_oriented
+
+    def count(pairs):
+        e = spark.createDataFrame(
+            [(int(u), int(v)) for u, v in sorted(pairs)], "u long, v long"
+        )
+        return triangle_count_oriented(e).collect()[0]["n_triangles"]
+
+    # Star K1,6: wedges exist, zero triangles (all intersections empty).
+    star = {(0, i) for i in range(1, 7)}
+    assert count(star) == 0
+    # Star + one rim edge closes exactly one triangle.
+    assert count(star | {(1, 2)}) == 1
+    # Triangle + pendant tail: still exactly one.
+    assert count({(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)}) == 1
+    # Brute-force reference on a deterministic 25-node graph with a hub.
+    rng = np.random.default_rng(7)
+    pairs = {
+        tuple(sorted(p)) for p in rng.integers(0, 25, (160, 2)).tolist() if p[0] != p[1]
+    }
+    pairs |= {(0, i) for i in range(1, 25)}  # hub: worst case for orientation
+    adj = {tuple(sorted(p)) for p in pairs}
+    brute = sum(
+        1
+        for a in range(25)
+        for b in range(a + 1, 25)
+        for c in range(b + 1, 25)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    assert count(pairs) == brute > 0
+
+
 def test_doulion_estimate_error_bound(spark):
     """m11b's rescaled estimate lands within the documented 20% of the
     exact count on the adversarially-DENSE sf0.01 co-supply graph
