@@ -93,7 +93,7 @@ def x3_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is why the relational form is preferred when expressible."""
 
     def per_label(pdf: pd.DataFrame) -> pd.DataFrame:
-        first = pdf["first_dim"]
+        first = pdf["embedding"].apply(lambda v: float(v[0]))
         return pd.DataFrame(
             {
                 "label": [pdf["label"].iloc[0]],
@@ -103,14 +103,18 @@ def x3_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    # Round-11 (guide §4.1): the UDAF reads only embedding[0], but
-    # applyInPandas is opaque to pruning — the whole 64-double array
-    # crossed the groupBy shuffle AND the Arrow boundary per row.
-    # Extract the first dim JVM-side: ~64x less shuffled/shipped
-    # payload, same float64 values reaching pandas, same result.
-    e = scan(spark, sf_dir, "embeddings").select(
-        "label", F.col("embedding").getItem(0).alias("first_dim")
-    )
+    # Round-11 note: a guide-§4.1 projection (extract embedding[0]
+    # JVM-side so only one double crosses the groupBy shuffle and the
+    # Arrow boundary — measured 2× warm at sf0.1) was tried and
+    # REVERTED: shrinking the shuffle payload ~64× changes AQE's
+    # post-shuffle coalescing, which permutes each group's
+    # row-arrival order, and the pandas float mean is
+    # summation-order-sensitive — 3 of 200 groups drifted 1 ulp at
+    # round(6) against the DuckDB oracle on the skew sf1 tier.  The
+    # whole-array form is the one whose fold order empirically
+    # matches the oracle on every tier; result identity outranks the
+    # boundary-bytes win here (OPTIMIZATION_r11.md).
+    e = scan(spark, sf_dir, "embeddings")
     out = e.groupBy("label").applyInPandas(
         per_label, "label int, n_vecs long, mean_first_dim double, min_first_dim double"
     )
