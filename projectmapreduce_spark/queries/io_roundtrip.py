@@ -1128,7 +1128,14 @@ def s22_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         from projectmapreduce_spark.io import sink_managed
 
         sink_managed(scan(spark, sf_dir, t).select(*cols), f"pmr_s22_{t}")
-        spark.sql(f"ANALYZE TABLE pmr_s22_{t} COMPUTE STATISTICS")
+    # Round-11 (guide §1.2 step 2): ANALYZE ... FOR COLUMNS computes
+    # table-level stats (sizeInBytes, rowCount) in the SAME scan as
+    # the column stats, so the separate plain COMPUTE STATISTICS per
+    # table was a redundant third full pass over each table (write +
+    # plain analyze + column analyze → write + column analyze).  The
+    # CBO reorder needs rowCount + column stats — both still present;
+    # the executed-plan assertion in tests/test_plans.py proves the
+    # reorder still fires.
     spark.sql(
         "ANALYZE TABLE pmr_s22_lineitem COMPUTE STATISTICS FOR COLUMNS l_partkey, l_suppkey"
     )
