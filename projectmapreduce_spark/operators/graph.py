@@ -78,11 +78,14 @@ def pagerank(
     for _ in range(n_iters):
         # dangling mass: rank parked on nodes with no out-edges —
         # same scalar as the old anti-join (is_sink ⇔ id ∉ out_deg),
-        # read off the checkpointed ranks.
-        dangling = (
-            ranks.filter("is_sink")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # read off the checkpointed ranks.  Round-11: it rides the
+        # iteration's one materialization as a broadcast 1-row frame
+        # (the m10b shape) instead of a driver collect — one job per
+        # iteration, zero per-iteration driver state.  `dang / n` is
+        # the same IEEE double division the collected literal
+        # performed in Python.
+        dang = ranks.filter("is_sink").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
         )
         contribs = (
             g.join(ranks, g.src == ranks.id)
@@ -92,12 +95,16 @@ def pagerank(
         )
         ranks = (
             nodes.join(contribs, nodes.id == contribs.dst, "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "id",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("inbound"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("inbound"), F.lit(0.0))
+                        + F.col("dang") / F.lit(float(n))
+                    )
                 ).alias("rank"),
                 "is_sink",
             )
