@@ -321,28 +321,50 @@ def near_dup_minhash(
     seed: int = 42,
 ) -> DataFrame:
     """L2 end-to-end: LSH candidates → exact-Jaccard verify → pairs ≥
-    threshold.  Only candidate pairs pay the exact-verify cost."""
+    threshold.  Only candidate pairs pay the exact-verify cost.
+
+    The verify is ARRAY-based (round 12, the shape
+    :func:`ngram_jaccard_join` has used since its round-8 sf1
+    disk-full fix): the per-doc distinct token set is ONE
+    ``collect_set`` aggregate, attached to each candidate pair, and
+    the intersection is a map-side ``array_intersect`` — shuffle
+    volume O(candidates), never O(candidates × doc_len).  The
+    previous exploded-token-join verify re-derived the tokenization
+    for ``sizes``/``inter`` separately (10 documents scans, 36
+    exchanges in the final plan) and shuffled |A| token rows per
+    candidate pair.  ``n_inter``/``n_a``/``n_b`` are the same exact
+    integers (set intersection / set sizes), so jaccard — one double
+    division — and every output row are bit-identical."""
     cands = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_n, seed
     )
-    tok = tokens_of(df, id_col, text_col, shingle_n)
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
-    ta = tok.select(F.col("id").alias("id_a"), "token")
-    tb = tok.select(F.col("id").alias("id_b"), "token")
-    inter = (
-        cands.join(ta, "id_a")
-        .join(tb, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # ONE shuffle builds the distinct token set per doc (collect_set ==
+    # the old tokens_of(distinct=True) + count/collect pair).
+    arrays = (
+        tokens_of(df, id_col, text_col, shingle_n, distinct=False)
+        .groupBy("id")
+        .agg(F.collect_set("token").alias("toks"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"))
+    inter = (
+        cands.join(
+            arrays.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")),
+            "id_a",
+        )
+        .join(
+            arrays.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ta", "tb")).alias("n_inter"),
+            F.size("ta").alias("n_a"),
+            F.size("tb").alias("n_b"),
+        )
+    )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
