@@ -393,20 +393,47 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 52) -> DataFr
     tok = tokens_of(df, id_col, text_col, 1)
     hashed = tok.withColumn("__h", md5_hash52("token"))
     # vote_i = +1 if bit i of the token hash is set else -1, summed
-    # over the doc's distinct tokens: sum(2*((h>>i)&1) - 1).
-    votes = hashed.groupBy("id").agg(
+    # over the doc's distinct tokens: v_i = 2*ones_i - n where
+    # ones_i = sum((h>>i)&1) and n = count(tokens).  Round 12 (guide
+    # §2.4, narrower aggregate state): adjacent bit PAIRS are packed
+    # into one 64-bit lane — low 32 bits count bit 2g, high 32 bits
+    # count bit 2g+1 — via a 4-entry lookup on (h>>2g)&3, so the
+    # aggregate carries ⌈bits/2⌉+1 sum buffers instead of ``bits``
+    # and each row evaluates one shift+mask+lookup per PAIR instead
+    # of shift+mask+arithmetic per BIT.  Lanes cannot carry: a lane
+    # sublane holds ones ≤ n, and n < 2^31 always (a document is a
+    # <2 GiB string, so it has < 2^31 whitespace tokens), keeping
+    # ones_high·2^32 + ones_low < 2^63.  The recovered ones_i are the
+    # same exact integers the per-bit sums produced, and the strict
+    # 2*ones_i > n sign rule is algebraically identical to v_i > 0,
+    # so the signature is bit-identical.
+    n_lanes = (bits + 1) // 2
+    # SPREAD[b] for the 2-bit value b packs (bit0, bit1) into
+    # (low32, high32): [0, 1, 2^32, 2^32 + 1].
+    spread = f"array(0L, 1L, {1 << 32}L, {(1 << 32) + 1}L)"
+    lanes = hashed.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(F.shiftright("__h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__v{i}")
-            for i in range(bits)
-        ]
+            F.expr(
+                f"sum(element_at({spread}, cast(shiftright(__h, {2 * g}) & 3 as int)"
+                f" + 1)) as __l{g}"
+            )
+            for g in range(n_lanes)
+        ],
     )
     sig = None
     for i in range(bits):
-        bitval = F.when(F.col(f"__v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+        g, hi = divmod(i, 2)
+        ones = (
+            F.shiftright(f"__l{g}", 32)
+            if hi
+            else F.col(f"__l{g}").bitwiseAND(F.lit(0xFFFFFFFF))
+        )
+        bitval = F.when(ones * 2 > F.col("__n"), F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sig = bitval if sig is None else sig + bitval
-    return votes.select("id", sig.alias("simhash"))
+    return lanes.select("id", sig.alias("simhash"))
 
 
 def simhash_candidates(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -431,12 +458,17 @@ def simhash_candidates(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "ci", "chunk")
     b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "ci", "chunk")
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # Hamming is a pure function of the pair's two signatures, so
+    # filtering BEFORE the distinct is the same set of rows — but the
+    # dedup shuffle then carries only surviving pairs instead of every
+    # chunk-collision (round 12, guide §2.3: filter before the
+    # exchange).
     return (
         a.join(b, on=["ci", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
