@@ -342,14 +342,34 @@ def _centroid_scores_sql(vec_sql: str, cents: list[list[float]]) -> str:
     """SQL for array<struct<s,c>> of per-centroid scores v·c − ‖c‖²/2
     (argmax of which ⇔ argmin euclidean distance).  Built as ONE SQL
     string — k×dim literals via column-by-column Py4J construction was
-    the plan-build bottleneck (~1000 round trips per assignment)."""
-    structs = []
-    for i, c in enumerate(cents):
-        arr = "array(" + ",".join(f"{x!r}D" for x in c) + ")"
-        dotp = f"aggregate(zip_with({vec_sql}, {arr}, (x,y)->x*y), 0.0D, (a,x)->a+x)"
-        off = sum(x * x for x in c) / 2.0
-        structs.append(f"named_struct('s', {dotp} - {off!r}D, 'c', {i})")
-    return "array(" + ",".join(structs) + ")"
+    the plan-build bottleneck (~1000 round trips per assignment).
+
+    Round 12 (guide §1.2 step 2): the k inlined
+    ``named_struct(aggregate(zip_with(v, array(...)...)))`` copies are
+    now ONE ``transform`` over a k×dim array literal with the offsets
+    in a parallel k-array literal — the expression tree shrinks ~k×
+    (32 zip_with/aggregate subtree copies → 1), which is what Catalyst
+    analyzes, codegen compiles, and the interpreted HOF evaluator
+    walks per row.  The arithmetic is element-for-element identical:
+    the same zip_with/aggregate left fold per centroid, minus the same
+    literal offset (``element_at`` of a literal array IS the literal),
+    with the same (s, c) struct ordering under ``array_max`` — so
+    every assignment and probe ranking is bit-identical."""
+    cents_arr = (
+        "array("
+        + ",".join("array(" + ",".join(f"{x!r}D" for x in c) + ")" for c in cents)
+        + ")"
+    )
+    offs_arr = (
+        "array("
+        + ",".join(f"{sum(x * x for x in c) / 2.0!r}D" for c in cents)
+        + ")"
+    )
+    return (
+        f"transform({cents_arr}, (c, i) -> named_struct("
+        f"'s', aggregate(zip_with({vec_sql}, c, (x,y)->x*y), 0.0D, (a,x)->a+x)"
+        f" - element_at({offs_arr}, i + 1), 'c', i))"
+    )
 
 
 def _nearest_centroid(vec_sql: str, cents: list[list[float]]) -> Column:
