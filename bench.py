@@ -366,6 +366,39 @@ HOST_PROBE_REF = 0.39  # best-of-3 seconds, pinned on the round-10 host
 HOST_PROBE_PAR_REF = 2.45
 SENTINEL_VS_PROBE_MAX = 1.6  # sentinel median may exceed probe ratio by ≤1.6×
 
+# Round 12 (VERDICT r11 task 2): the sentinel-vs-probe allowance passed
+# round 11 by 0.6% — a genuine ~1.5× uniform regression could hide
+# inside any contended window because the allowance is keyed to
+# max-of-probes alone.  Second, WINDOW-INDEPENDENT signal: the median
+# of per-query warm ratios against the COMMITTED reference window
+# (BENCH_REF.json, re-pinned whenever the baseline is re-established),
+# normalized by relative probe drift between the two windows.  This is
+# BASELINE.md's adjudication method promoted into the verdict itself:
+# the median over ~136 headline queries is robust to a handful of
+# legitimately changed queries, and probe normalization absorbs host
+# drift, so a surviving >1.15× median is a code regression.
+PER_QUERY_MEDIAN_MAX = 1.15
+PER_QUERY_MIN_COMMON = 20  # skip the check below this overlap
+BENCH_REF_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_REF.json"
+)
+
+
+def load_bench_ref() -> dict | None:
+    """Committed per-query warm reference window, or None if absent."""
+    try:
+        with open(BENCH_REF_PATH) as fh:
+            ref = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    return ref if isinstance(ref.get("warm"), dict) else None
+
+
+def _median(vals: list[float]) -> float:
+    vs = sorted(vals)
+    mid = len(vs) // 2
+    return vs[mid] if len(vs) % 2 else (vs[mid - 1] + vs[mid]) / 2
+
 
 def host_probe() -> float | None:
     """Best-of-3 pure-Python+DuckDB micro-task (~0.4 s/run),
@@ -435,18 +468,14 @@ def gate_verdict(
     probe_sec: float | None = None,
     probe_par_sec: float | None = None,
     disk_mb_s: float | None = None,
+    bench_ref: dict | None = None,
 ) -> dict:
     ratios = sorted(
         warm[q] / ref for q, ref in SENTINEL_WARM_REF.items() if warm.get(q)
     )
     if not ratios:
         return {"verdict": "no_sentinels"}
-    mid = len(ratios) // 2
-    med = (
-        ratios[mid]
-        if len(ratios) % 2
-        else (ratios[mid - 1] + ratios[mid]) / 2
-    )
+    med = _median(ratios)
     normalized = total_warm / med if med > 0 else total_warm
     limit = GATE_WARM_PER_QUERY * len(HEADLINE)
     out = {
@@ -482,6 +511,43 @@ def gate_verdict(
                 "sentinel median exceeds both host-probe ratios — uniform "
                 "code regression, not host drift"
             )
+    # Per-query-median cross-check vs the committed reference window
+    # (round 12, VERDICT r11 task 2).  Window-independent: each query's
+    # warm time is compared to its own pinned reference, the MEDIAN of
+    # those ratios is divided by the probe drift between the two
+    # windows, and anything still > PER_QUERY_MEDIAN_MAX fails.  Only
+    # the median must clear the bar, so individual slow queries (or a
+    # few refactored ones) cannot trip it — but a uniform slowdown of
+    # the whole suite cannot hide behind one contended probe reading.
+    if bench_ref is None:
+        bench_ref = load_bench_ref()
+    if bench_ref:
+        ref_warm = bench_ref["warm"]
+        common = [
+            warm[q] / ref_warm[q]
+            for q in warm
+            if warm.get(q) and ref_warm.get(q)
+        ]
+        if len(common) >= PER_QUERY_MIN_COMMON:
+            pq_med = _median(common)
+            now_worst = max(ratios_seen) if ratios_seen else 1.0
+            ref_worst = float(bench_ref.get("probe_worst_ratio", 1.0))
+            # Relative drift between this window and the pinned one;
+            # floored at 1.0 so a faster-than-reference host cannot
+            # manufacture a failure.
+            drift = max(max(now_worst, 1.0) / max(ref_worst, 1.0), 1.0)
+            pq_norm = pq_med / drift
+            out["per_query_median_ratio"] = round(pq_med, 3)
+            out["per_query_median_normalized"] = round(pq_norm, 3)
+            out["per_query_n_common"] = len(common)
+            if pq_norm > PER_QUERY_MEDIAN_MAX:
+                out["verdict"] = "fail"
+                out["fail_reason"] = (
+                    "per-query warm median "
+                    f"{pq_med:.2f}x the committed reference window "
+                    f"({pq_norm:.2f}x after probe normalization) — "
+                    "exceeds the 1.15x allowance; code regression"
+                )
     # IO-drift caveat (round 11): sentinel normalization absorbs CPU
     # drift, not IO drift — on a slow-disk window IO-/Python-worker-
     # bound queries run 3-9× while the compute sentinels stay flat,

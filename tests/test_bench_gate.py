@@ -128,3 +128,101 @@ def test_pass_on_slow_disk_has_no_warning():
     )
     assert out["verdict"] == "pass"
     assert "warning" not in out
+
+
+# ---- round 12: per-query-median cross-check vs the committed window ----
+
+
+def _ref(n: int = 30, probe_worst: float = 1.0) -> dict:
+    return {
+        "probe_worst_ratio": probe_worst,
+        "warm": {f"q{i}": 1.0 for i in range(n)},
+    }
+
+
+def _warm_vs_ref(ratio: float, n: int = 30) -> dict[str, float]:
+    """Sentinels at calibration speed + n reference queries at `ratio`."""
+    w = _warm(1.0)
+    w.update({f"q{i}": ratio for i in range(n)})
+    return w
+
+
+def test_per_query_uniform_regression_fails_even_with_contended_probe():
+    # The round-11 hole: sentinel allowance 1.6 x max-probe lets a
+    # ~1.5x uniform regression hide inside a contended window.  The
+    # per-query median vs the committed window catches it: probes at
+    # calibration, every query 1.5x its pinned warm time.
+    out = bench.gate_verdict(
+        _warm_vs_ref(1.5),
+        _fast_total(),
+        probe_sec=0.39,
+        probe_par_sec=2.45,
+        bench_ref=_ref(),
+    )
+    assert out["verdict"] == "fail"
+    assert "per-query warm median" in out["fail_reason"]
+    assert out["per_query_median_ratio"] == 1.5
+
+
+def test_per_query_contended_window_normalizes_away():
+    # Same 1.5x warm ratios, but the parallel probe reads 1.9x vs a
+    # reference window pinned at 1.0x: relative drift 1.9 normalizes
+    # the median to ~0.79 — host contention, not code.
+    out = bench.gate_verdict(
+        _warm_vs_ref(1.5),
+        _fast_total(),
+        probe_sec=0.39,
+        probe_par_sec=2.45 * 1.9,
+        bench_ref=_ref(),
+    )
+    assert out["verdict"] == "pass", out
+    assert out["per_query_median_normalized"] < 1.0
+
+
+def test_per_query_faster_host_cannot_manufacture_failure():
+    # Host 2x faster than the probes' calibration: drift floors at 1.0
+    # so queries at their pinned times still pass.
+    out = bench.gate_verdict(
+        _warm_vs_ref(1.0),
+        _fast_total(),
+        probe_sec=0.39 / 2,
+        probe_par_sec=2.45 / 2,
+        bench_ref=_ref(),
+    )
+    assert out["verdict"] == "pass"
+    assert out["per_query_median_normalized"] == 1.0
+
+
+def test_per_query_check_skipped_below_min_overlap():
+    out = bench.gate_verdict(
+        _warm_vs_ref(3.0, n=5),
+        _fast_total(),
+        probe_sec=0.39,
+        probe_par_sec=2.45,
+        bench_ref=_ref(n=5),
+    )
+    assert out["verdict"] == "pass"
+    assert "per_query_median_ratio" not in out
+
+
+def test_per_query_median_robust_to_individually_changed_queries():
+    # A handful of queries 4x slower (legitimate refactors / noise)
+    # must not trip the gate while the median stays at 1.0.
+    w = _warm_vs_ref(1.0)
+    for i in range(5):
+        w[f"q{i}"] = 4.0
+    out = bench.gate_verdict(
+        w, _fast_total(), probe_sec=0.39, probe_par_sec=2.45, bench_ref=_ref()
+    )
+    assert out["verdict"] == "pass"
+    assert out["per_query_median_ratio"] == 1.0
+
+
+def test_committed_bench_ref_loads_and_covers_headline():
+    ref = bench.load_bench_ref()
+    assert ref is not None, "BENCH_REF.json must ship with the repo"
+    assert len(ref["warm"]) >= 100
+    assert ref["probe_worst_ratio"] >= 1.0
+    # the sentinels themselves are in the pinned window
+    for q in bench.SENTINEL_WARM_REF:
+        assert q in ref["warm"]
