@@ -912,7 +912,9 @@ def s20_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow kernel (hex fields — int64 as two's-complement hex, float64
     as IEEE-754 bit hex so NaN/-0.0 survive, strings as padded UTF-8
     hex so embedded newlines can never break line framing, NULL as a
-    'Z'-fill sentinel), written as 8 text files, read back through the
+    'Z'-fill sentinel), written as a data-sized number of text files
+    (supplier_fixture_files: ~8 MiB source parquet per file, floor 2
+    so multi-file planning stays exercised), read back through the
     registered source, and aggregated — the result must hash-match
     DuckDB over the ORIGINAL table, which checks schema declaration,
     partition planning, and every field decoder.  The string width is
@@ -972,14 +974,17 @@ def s23_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged files — a failed job never publishes partial data (pinned
     by tests/test_new_surfaces.py::test_writer_abort_leaves_nothing).
 
-    Round-trip proof: supplier written through the writer API as 8
-    files, read back through the registered source, aggregated — must
+    Round-trip proof: supplier written through the writer API as a
+    data-sized number of files (supplier_fixture_files, floor 2 so the
+    multi-task staged-commit path stays exercised), read back through
+    the registered source, aggregated — must
     hash-match DuckDB over the ORIGINAL table, which checks the write
     path end-to-end (spec parsing, Arrow encode, staging, commit
     rename) against the already-proven read path."""
     from projectmapreduce_spark.sources.fixed_width import (
         SUPPLIER_DDL,
         register,
+        supplier_fixture_files,
         supplier_write_frame,
     )
 
@@ -988,7 +993,7 @@ def s23_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = f"long,string:{w},long,double"
     register(spark)
     (
-        sup.repartition(8)
+        sup.repartition(supplier_fixture_files(sf_dir))
         .write.format("pmr_fixedwidth")
         .option("path", path)
         .option("spec", spec)

@@ -877,13 +877,43 @@ def supplier_write_frame(spark, sf_dir: str):
     return sup, w
 
 
-def write_supplier_fixed_width(spark, sf_dir: str, path: str, n_files: int = 8):
+def supplier_fixture_files(sf_dir: str) -> int:
+    """Data-sized file count for the fixed-width supplier fixture
+    (round 12, guide §6 file sizing): ~8 MiB of source parquet per
+    text file, clamped to [2, 64].  The old constant 8 wrote a 1000-row
+    / 85 KB fixture as 8 files at sf0.1 — eight Python reader
+    invocations and eight writer tasks pricing worker spin-up, not the
+    connector — while at a 100 TB scale a constant would under-split.
+    Metadata only (no job): sizes the source parquet on disk.  Floor 2
+    keeps the multi-file planning path (one InputPartition per file)
+    exercised on every tier."""
+    src = os.path.join(sf_dir, "supplier.parquet")
+    try:
+        if os.path.isdir(src):  # multi-file dataset layout
+            n_bytes = sum(
+                e.stat().st_size
+                for e in os.scandir(src)
+                if not e.name.startswith((".", "_"))
+            )
+        else:  # single-file layout (the testdata tiers)
+            n_bytes = os.path.getsize(src)
+    except OSError:
+        return 8
+    return int(max(2, min(64, 1 + n_bytes // (8 << 20))))
+
+
+def write_supplier_fixed_width(
+    spark, sf_dir: str, path: str, n_files: int | None = None
+):
     """Write the supplier table as ``n_files`` fixed-width text files
     (shared by the s20 batch and s21 streaming round-trip queries and
-    their tests).  Returns the data-sized string hex width ``w``; the
-    read spec is ``f"long,string:{w},long,double"`` with ddl
-    ``s_suppkey bigint, s_name string, s_nationkey bigint,
+    their tests; ``n_files`` defaults to the data-sized
+    :func:`supplier_fixture_files`).  Returns the data-sized string
+    hex width ``w``; the read spec is ``f"long,string:{w},long,double"``
+    with ddl ``s_suppkey bigint, s_name string, s_nationkey bigint,
     s_acctbal double``."""
+    if n_files is None:
+        n_files = supplier_fixture_files(sf_dir)
     sup, w = supplier_write_frame(spark, sf_dir)
     spec = [("long", 0), ("string", w), ("long", 0), ("double", 0)]
     (
@@ -895,7 +925,9 @@ def write_supplier_fixed_width(spark, sf_dir: str, path: str, n_files: int = 8):
     return w
 
 
-def ensure_supplier_fixed_width(spark, sf_dir: str, path: str, n_files: int = 8):
+def ensure_supplier_fixed_width(
+    spark, sf_dir: str, path: str, n_files: int | None = None
+):
     """Idempotent wrapper around :func:`write_supplier_fixed_width`
     (VERDICT r8 task 3): s25's bench cost was dominated by re-WRITING
     the identical fixture on every iteration, so the pushdown scan —
@@ -908,6 +940,8 @@ def ensure_supplier_fixed_width(spark, sf_dir: str, path: str, n_files: int = 8)
     disappears."""
     import json
 
+    if n_files is None:
+        n_files = supplier_fixture_files(sf_dir)
     marker = os.path.join(path, "_PMR_FIXTURE.json")
     # The key includes a cheap data fingerprint of the source parquet
     # (ADVICE r9): (sf_dir, n_files) alone reuses a STALE fixture if

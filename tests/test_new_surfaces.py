@@ -380,8 +380,11 @@ def test_fixed_width_roundtrip_rowwise(spark):
     )
     import os
 
+    from projectmapreduce_spark.sources.fixed_width import supplier_fixture_files
+
     n_files = sum(1 for f in os.listdir(path) if f.endswith(".txt"))
-    assert len(reader.partitions()) == n_files == 8
+    assert len(reader.partitions()) == n_files == supplier_fixture_files(SF_CORRECT)
+    assert n_files >= 2  # multi-file planning stays exercised
 
 
 def test_stream_source_paced_offsets(spark, tmp_path):
@@ -401,7 +404,9 @@ def test_stream_source_paced_offsets(spark, tmp_path):
     )
 
     path = scratch_path("s21_paced_test")
-    w = write_supplier_fixed_width(spark, SF_CORRECT, path)
+    # explicit 8 files: this test is about OFFSET PACING over many
+    # files (2/trigger), not the query fixture's data-sized layout
+    w = write_supplier_fixed_width(spark, SF_CORRECT, path, n_files=8)
     register(spark)
     stream = (
         spark.readStream.format("pmr_fixedwidth")
@@ -949,7 +954,8 @@ def test_stream_writer_multibatch_and_replay_idempotent(spark, tmp_path):
 
     src = scratch_path("s24_paced_src_test")
     dst = str(tmp_path / "dst")
-    w = write_supplier_fixed_width(spark, SF_CORRECT, src)
+    # explicit 8 files: multi-batch replay needs several triggers
+    w = write_supplier_fixed_width(spark, SF_CORRECT, src, n_files=8)
     spec = f"long,string:{w},long,double"
     register(spark)
     stream = (
