@@ -30,6 +30,11 @@ EXEMPT = {
     "queries/aggregates.py": [
         "F.sort_array(F.array_distinct(F.flatten(F.collect_list"
     ],
+    # L2's array-based verify consumes the per-doc token set ONLY via
+    # size() and size(array_intersect()) — set cardinalities are
+    # order-insensitive by construction, and sorting every doc's token
+    # array would add a per-doc O(n log n) the result cannot observe.
+    "operators/dedup.py": ['F.collect_set("token").alias("toks")'],
 }
 
 
